@@ -1,0 +1,13 @@
+"""headpose_tpu — a TPU-native (JAX/XLA/Pallas) head-pose estimation framework.
+
+A from-scratch rebuild of the capabilities of Maaz77/Head-Pose-Estimation-Model:
+BlazeFace face detection with grafted yaw/pitch/roll regression heads, running
+as single fused XLA programs on TPU, batched and mesh-shardable, with a full
+training/eval/sweep stack for the pose-head model zoo.
+"""
+
+__version__ = "0.1.0"
+
+from . import core
+
+__all__ = ["core", "__version__"]

@@ -1,0 +1,165 @@
+"""Keras-2 H5 reader built directly on h5py.
+
+The reference ships ~690 Keras-2 ``.h5`` artifacts (heads, detectors, unified
+models).  Stock Keras 3 cannot deserialize them, and depending on TensorFlow
+for weight loading would drag a second framework into the TPU stack — so this
+module parses the H5 format directly: the ``model_config`` JSON attribute
+describes the layer graph, and the ``model_weights`` group holds the arrays.
+
+Reference behaviours this mirrors (for parity checking, not code):
+  * model topology as saved by JoinModels.py:75-87
+  * weight layout consumed by tf.keras.models.load_model
+    (BlazePoser/blazeFaceDetectorH5.py:96-102)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import h5py
+import numpy as np
+
+__all__ = ["LayerDef", "ModelDef", "read_model"]
+
+
+@dataclasses.dataclass
+class LayerDef:
+    """One node of a Keras functional graph."""
+
+    name: str
+    class_name: str
+    config: dict[str, Any]
+    # Per call-node list of (layer_name, node_index, tensor_index) inputs.
+    inbound: list[list[tuple[str, int, int]]]
+    weights: dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    # Present when class_name is Functional/Model: the nested sub-model.
+    submodel: "ModelDef | None" = None
+
+
+@dataclasses.dataclass
+class ModelDef:
+    """A parsed functional model: layers plus input/output tensor refs."""
+
+    name: str
+    layers: dict[str, LayerDef]
+    order: list[str]  # topological order as saved
+    inputs: list[tuple[str, int, int]]
+    outputs: list[tuple[str, int, int]]
+
+    def param_count(self) -> int:
+        n = 0
+        for layer in self.layers.values():
+            n += sum(int(np.prod(w.shape)) for w in layer.weights.values())
+            if layer.submodel is not None:
+                n += layer.submodel.param_count()
+        return n
+
+
+def _parse_inbound(raw) -> list[list[tuple[str, int, int]]]:
+    """Normalize Keras inbound_nodes into [(name, node_idx, tensor_idx), ...] per call."""
+    nodes = []
+    for call in raw or []:
+        refs = []
+        for item in call:
+            if isinstance(item, list):
+                refs.append((item[0], int(item[1]), int(item[2])))
+            elif isinstance(item, dict):  # newer keras kwargs-style node
+                args = item.get("args", [])
+                for a in args:
+                    if isinstance(a, dict) and "config" in a:
+                        kh = a["config"].get("keras_history")
+                        if kh:
+                            refs.append((kh[0], int(kh[1]), int(kh[2])))
+        nodes.append(refs)
+    return nodes
+
+
+def _parse_ref_list(raw) -> list[tuple[str, int, int]]:
+    return [(r[0], int(r[1]), int(r[2])) for r in raw]
+
+
+def _parse_graph(name: str, cfg: dict) -> ModelDef:
+    layers: dict[str, LayerDef] = {}
+    order: list[str] = []
+    for lraw in cfg["layers"]:
+        lname = lraw["name"]
+        cls = lraw["class_name"]
+        lconf = lraw.get("config", {})
+        sub = None
+        if cls in ("Functional", "Model"):
+            sub = _parse_graph(lname, lconf if "layers" in lconf else lconf["config"])
+        layers[lname] = LayerDef(
+            name=lname,
+            class_name=cls,
+            config=lconf,
+            inbound=_parse_inbound(lraw.get("inbound_nodes")),
+            submodel=sub,
+        )
+        order.append(lname)
+    return ModelDef(
+        name=name,
+        layers=layers,
+        order=order,
+        inputs=_parse_ref_list(cfg["input_layers"]),
+        outputs=_parse_ref_list(cfg["output_layers"]),
+    )
+
+
+def _weight_key(path_parts: list[str]) -> str:
+    """Short weight key from an H5 weight path.
+
+    'conv2d/kernel:0' → 'kernel'; MultiHeadAttention paths keep one level of
+    qualification: '.../query/kernel:0' → 'query/kernel'.
+    """
+    short = path_parts[-1]
+    short = short[:-2] if short.endswith(":0") else short
+    if len(path_parts) >= 3:
+        short = path_parts[-2] + "/" + short
+    return short
+
+
+def _route_weight(model: ModelDef, parts: list[str], arr: np.ndarray) -> None:
+    """Attach one weight array, descending through nested submodels by path."""
+    lname = parts[0]
+    layer = model.layers.get(lname)
+    if layer is None:
+        return
+    if layer.submodel is not None and len(parts) > 2:
+        _route_weight(layer.submodel, parts[1:], arr)
+    else:
+        layer.weights[_weight_key(parts)] = arr
+
+
+def _attach_weights(model: ModelDef, group: h5py.Group) -> None:
+    """Walk the model_weights group and attach arrays to their layers.
+
+    Layout: model_weights/<layer>/ holds an attr ``weight_names`` listing
+    path-style names ('conv2d/kernel:0', 'mha/query/kernel:0', …) with the
+    arrays stored at those paths inside the group.  Nested functional
+    submodels reuse the same convention one level down.
+    """
+    for lname, layer in model.layers.items():
+        if lname not in group:
+            continue
+        lgroup = group[lname]
+        names = lgroup.attrs.get("weight_names")
+        if names is None:
+            continue
+        for wname in names:
+            wname = wname.decode() if isinstance(wname, bytes) else wname
+            arr = np.asarray(lgroup[wname])
+            parts = wname.split("/")
+            if layer.submodel is not None:
+                _route_weight(layer.submodel, parts, arr)
+            else:
+                layer.weights[_weight_key(parts)] = arr
+
+
+def read_model(path: str) -> ModelDef:
+    """Parse a Keras-2 H5 file into a ModelDef without any Keras dependency."""
+    with h5py.File(path, "r") as f:
+        cfg = json.loads(f.attrs["model_config"])
+        model = _parse_graph(cfg["config"].get("name", "model"), cfg["config"])
+        _attach_weights(model, f["model_weights"])
+    return model

@@ -1,0 +1,190 @@
+"""Capture golden outputs from the reference implementation for parity tests.
+
+Runs the reference Keras-H5 artifacts (mounted read-only at /root/reference) via
+tf-keras and stores small npz fixtures under tests/golden/.  These fixtures are
+committed so the test suite never needs TensorFlow or the reference mount.
+
+Reference behaviours captured (file:line cites refer to /root/reference):
+  * SSD anchor table        — BlazePoser/blazeFaceUtils.py:59-127
+  * Unified model forward   — BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5
+  * Bicubic preprocessing   — BlazePoser/blazeFaceDetectorH5.py:247-269
+  * Head predictions        — Model-88/Trained-Models-88/stoqa9pt.h5,
+                              Model-96/Trained-Models-96-ReshapedInput-NoFlatten/hrchr82r.h5
+  * Post-process pipeline   — BlazePoser/blazeFaceDetectorH5.py:284-357
+"""
+import os
+import sys
+import json
+
+import numpy as np
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+sys.path.insert(0, os.path.join(REF, "BlazePoser"))
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+import tf_keras as keras  # legacy Keras-2 loader; stock Keras 3 cannot read these H5s
+import tensorflow as tf
+
+
+def capture_anchors():
+    from blazeFaceUtils import gen_anchors, SsdAnchorsCalculatorOptions
+
+    opts = SsdAnchorsCalculatorOptions(
+        input_size_width=128, input_size_height=128,
+        min_scale=0.1484375, max_scale=0.75,
+        anchor_offset_x=0.5, anchor_offset_y=0.5, num_layers=4,
+        feature_map_width=[], feature_map_height=[],
+        strides=[8, 16, 16, 16], aspect_ratios=[1.0],
+        reduce_boxes_in_lowest_layer=False,
+        interpolated_scale_aspect_ratio=1.0,
+        fixed_anchor_size=True,
+    )
+    anchors = gen_anchors(opts)
+    arr = np.array([[a.x_center, a.y_center, a.w, a.h] for a in anchors], np.float64)
+    np.savez_compressed(os.path.join(OUT, "anchors.npz"), anchors=arr)
+    print("anchors:", arr.shape)
+
+
+def capture_unified_forward():
+    path = os.path.join(REF, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5")
+    model = keras.models.load_model(path, compile=False)
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(-1.0, 1.0, size=(4, 1, 128, 128, 3)).astype(np.float32)
+    outs = {f"out{i}": [] for i in range(6)}
+    for x in xs:
+        ys = model(x)
+        for i, y in enumerate(ys):
+            outs[f"out{i}"].append(np.asarray(y)[0])
+    np.savez_compressed(
+        os.path.join(OUT, "unified_forward.npz"),
+        inputs=xs[:, 0],
+        **{k: np.stack(v) for k, v in outs.items()},
+    )
+    print("unified forward captured")
+    return model
+
+
+def capture_resize():
+    rng = np.random.default_rng(1)
+    fixtures = {}
+    for i, (h, w) in enumerate([(160, 160), (271, 313), (480, 640)]):
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.float64) / 255.0
+        # exact preprocessing of blazeFaceDetectorH5.py:254-263
+        resized = tf.image.resize(img, [128, 128], method="bicubic").numpy()
+        fixtures[f"img{i}"] = img.astype(np.float32)
+        fixtures[f"resized{i}"] = resized.astype(np.float32)
+    np.savez_compressed(os.path.join(OUT, "resize_bicubic.npz"), **fixtures)
+    print("resize goldens captured")
+
+
+def capture_heads():
+    rng = np.random.default_rng(2)
+    fixtures = {}
+    m88 = keras.models.load_model(
+        os.path.join(REF, "Model-88/Trained-Models-88/stoqa9pt.h5"), compile=False)
+    m96 = keras.models.load_model(
+        os.path.join(REF, "Model-96/Trained-Models-96-ReshapedInput-NoFlatten/hrchr82r.h5"),
+        compile=False)
+    x88 = rng.normal(size=(16, 1, 1, 88)).astype(np.float32) * 3.0
+    x96 = rng.normal(size=(16, 1, 1, 96)).astype(np.float32) * 3.0
+    fixtures["x88"] = x88
+    fixtures["y88"] = np.asarray(m88(x88))
+    fixtures["x96"] = x96
+    fixtures["y96"] = np.asarray(m96(x96))
+    # spatial-map inputs (pose-map path of the unified model)
+    xm88 = rng.normal(size=(2, 16, 16, 88)).astype(np.float32)
+    xm96 = rng.normal(size=(2, 8, 8, 96)).astype(np.float32)
+    fixtures["xmap88"] = xm88
+    fixtures["ymap88"] = np.asarray(m88(xm88))
+    fixtures["xmap96"] = xm96
+    fixtures["ymap96"] = np.asarray(m96(xm96))
+    np.savez_compressed(os.path.join(OUT, "heads.npz"), **fixtures)
+    print("head goldens captured")
+
+
+def capture_postprocess(model):
+    """Exercise the reference post-processing (decode + NMS + pose lookup) on
+    synthetic raw outputs via the real class methods (blazeFaceDetectorH5.py:284-357)."""
+    import blazeFaceDetectorH5 as bfd
+
+    det = bfd.blazeFaceDetector.__new__(bfd.blazeFaceDetector)
+    det.scoreThreshold = 0.4
+    det.iouThreshold = 0.3
+    det.sigmoidScoreThreshold = np.log(det.scoreThreshold / (1 - det.scoreThreshold))
+    det.inputWidth = det.inputHeight = 128
+    det.channels = 3
+    det.generateAnchors()
+
+    rng = np.random.default_rng(3)
+    fixtures = {}
+    for case in range(3):
+        cls = rng.normal(loc=-4.0, scale=1.0, size=(896,)).astype(np.float32)
+        hot = rng.choice(896, size=24, replace=False)
+        cls[hot] = rng.uniform(-0.3, 4.0, size=24).astype(np.float32)
+        loc = rng.normal(scale=6.0, size=(896, 16)).astype(np.float32)
+        loc[:, 2:4] = rng.uniform(8.0, 48.0, size=(896, 2)).astype(np.float32)
+        pose_front = rng.normal(scale=30.0, size=(16, 16, 3)).astype(np.float32)
+        pose_back = rng.normal(scale=30.0, size=(8, 8, 3)).astype(np.float32)
+
+        scores, good = det.filterDetections(cls)
+        boxes, keypoints = det.extractDetections(loc, good)
+        res = det.filterWithNonMaxSupression(boxes, keypoints, scores, good,
+                                             pose_front, pose_back)
+        fixtures[f"cls{case}"] = cls
+        fixtures[f"loc{case}"] = loc
+        fixtures[f"pose_front{case}"] = pose_front
+        fixtures[f"pose_back{case}"] = pose_back
+        fixtures[f"boxes{case}"] = res.boxes.astype(np.float32)
+        fixtures[f"keypoints{case}"] = res.keypoints.astype(np.float32)
+        fixtures[f"scores{case}"] = res.scores.astype(np.float32)
+        fixtures[f"poses{case}"] = res.poses.astype(np.float32)
+        print(f"  case {case}: {len(res.scores)} detections survive")
+    np.savez_compressed(os.path.join(OUT, "postprocess.npz"), **fixtures)
+    print("postprocess goldens captured")
+
+
+def capture_e2e(model):
+    """Full reference pipeline (preprocess+forward+postprocess) on synthetic BGR images."""
+    import blazeFaceDetectorH5 as bfd
+
+    det = bfd.blazeFaceDetector.__new__(bfd.blazeFaceDetector)
+    # low threshold so synthetic (face-free) images still produce detections,
+    # exercising the whole decode+NMS+pose path end to end
+    det.scoreThreshold = 0.05
+    det.iouThreshold = 0.3
+    det.sigmoidScoreThreshold = np.log(det.scoreThreshold / (1 - det.scoreThreshold))
+    det.inputWidth = det.inputHeight = 128
+    det.channels = 3
+    det.fps = 0
+    import time
+    det.timeLastPrediction = time.time()
+    det.frameCounter = 0
+    det.interpreter = model
+    det.generateAnchors()
+
+    rng = np.random.default_rng(4)
+    fixtures = {}
+    for case, (h, w) in enumerate([(256, 256), (480, 480)]):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+        res = det.detectFaces(img)
+        fixtures[f"img{case}"] = img
+        fixtures[f"boxes{case}"] = np.asarray(res.boxes, np.float32)
+        fixtures[f"keypoints{case}"] = np.asarray(res.keypoints, np.float32)
+        fixtures[f"scores{case}"] = np.asarray(res.scores, np.float32)
+        fixtures[f"poses{case}"] = np.asarray(res.poses, np.float32)
+        print(f"  e2e case {case}: {len(res.scores)} detections")
+    np.savez_compressed(os.path.join(OUT, "e2e.npz"), **fixtures)
+    print("e2e goldens captured")
+
+
+if __name__ == "__main__":
+    capture_anchors()
+    capture_resize()
+    capture_heads()
+    model = capture_unified_forward()
+    capture_postprocess(model)
+    capture_e2e(model)
+    print("all goldens written to", os.path.abspath(OUT))

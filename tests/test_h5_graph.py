@@ -1,0 +1,109 @@
+"""Parity tests: the H5 graph compiler vs golden outputs captured from the
+reference TF/Keras implementation (scripts/capture_goldens.py).
+
+Mirrors the reference's own validation style — numeric equivalence within
+float tolerance (Model-96/InputShapeConvertor.py:129-218 used
+np.allclose(rtol=1e-5, atol=1e-5) as its acceptance bar).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from headpose_tpu.core import load_graph_model, read_model
+
+from conftest import REFERENCE_ROOT, has_reference
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+needs_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference artifacts not mounted")
+
+
+def _ref(*parts):
+    return os.path.join(REFERENCE_ROOT, *parts)
+
+
+@needs_reference
+class TestHeadParity:
+    def test_hrchr82r_head(self):
+        g = np.load(os.path.join(GOLDEN, "heads.npz"))
+        m = load_graph_model(
+            _ref("Model-96", "Trained-Models-96-ReshapedInput-NoFlatten", "hrchr82r.h5"))
+        assert m.param_count == 3683  # BASELINE.md model-size table
+        y = np.asarray(m(g["x96"]))
+        np.testing.assert_allclose(y, g["y96"], rtol=1e-4, atol=1e-4)
+
+    def test_hrchr82r_spatial_map(self):
+        """Heads are fully convolutional: the same params must work on 8x8 maps."""
+        g = np.load(os.path.join(GOLDEN, "heads.npz"))
+        m = load_graph_model(
+            _ref("Model-96", "Trained-Models-96-ReshapedInput-NoFlatten", "hrchr82r.h5"))
+        y = np.asarray(m(g["xmap96"]))
+        assert y.shape == (2, 8, 8, 3)
+        np.testing.assert_allclose(y, g["ymap96"], rtol=1e-4, atol=1e-4)
+
+    def test_stoqa9pt_head(self):
+        g = np.load(os.path.join(GOLDEN, "heads.npz"))
+        m = load_graph_model(_ref("Model-88", "Trained-Models-88", "stoqa9pt.h5"))
+        assert m.param_count == 5891
+        y = np.asarray(m(g["x88"]))
+        np.testing.assert_allclose(y, g["y88"], rtol=1e-4, atol=1e-4)
+
+    def test_fixed_shape_head_with_flatten(self):
+        """Original Trained-Models-96 heads (pre-conversion, with Flatten) load too."""
+        m = load_graph_model(
+            _ref("Model-96", "Trained-Models-96", "model_runid_hrchr82r.h5"))
+        x = np.random.default_rng(0).normal(size=(4, 1, 1, 96)).astype(np.float32)
+        y = np.asarray(m(x))
+        assert y.shape == (4, 3)  # Flatten collapses the 1x1 map
+
+        # must agree with the converted (NoFlatten) variant — this is exactly
+        # the numeric-equivalence contract of InputShapeConvertor.validate_conversion
+        m2 = load_graph_model(
+            _ref("Model-96", "Trained-Models-96-ReshapedInput-NoFlatten", "hrchr82r.h5"))
+        y2 = np.asarray(m2(x)).reshape(4, 3)
+        np.testing.assert_allclose(y, y2, rtol=1e-5, atol=1e-5)
+
+
+@needs_reference
+class TestUnifiedParity:
+    def test_unified_forward_batched(self):
+        """The unified 6-output contract (JoinModels.py:152-158), run BATCHED —
+        the reference H5 is hardwired to batch 1; ours accepts any batch."""
+        g = np.load(os.path.join(GOLDEN, "unified_forward.npz"))
+        m = load_graph_model(
+            _ref("BlazePoser", "UnifiedModels", "reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+        assert m.param_count == 110964  # BASELINE.md
+        outs = m(g["inputs"])
+        expected_shapes = [(4, 512, 1), (4, 384, 1), (4, 512, 16),
+                           (4, 384, 16), (4, 16, 16, 3), (4, 8, 8, 3)]
+        assert len(outs) == 6
+        for i, (o, shape) in enumerate(zip(outs, expected_shapes)):
+            o = np.asarray(o)
+            assert o.shape == shape
+            np.testing.assert_allclose(o, g[f"out{i}"], rtol=1e-3, atol=2e-4)
+
+    def test_reads_all_unified_models(self):
+        d = _ref("BlazePoser", "UnifiedModels")
+        for fn in os.listdir(d):
+            md = read_model(os.path.join(d, fn))
+            assert len(md.outputs) == 6
+
+
+@needs_reference
+def test_artifact_zoo_loads():
+    """Spot-check a sample across all three artifact families parses + runs."""
+    rng = np.random.default_rng(0)
+    dirs = [
+        (_ref("Model-88", "Trained-Models-88"), (2, 1, 1, 88)),
+        (_ref("Model-96", "Trained-Models-96-ReshapedInput-NoFlatten"), (2, 1, 1, 96)),
+        (_ref("Model-96", "Trained-Models-96"), (2, 1, 1, 96)),
+    ]
+    for d, in_shape in dirs:
+        files = sorted(os.listdir(d))[:3]
+        for fn in files:
+            m = load_graph_model(os.path.join(d, fn))
+            x = rng.normal(size=in_shape).astype(np.float32)
+            y = np.asarray(m(x))
+            assert np.isfinite(y).all(), fn
