@@ -1,0 +1,17 @@
+"""Native TPU-first model definitions: BlazeFace, pose-head zoo, unified model."""
+from .anchors import AnchorConfig, FRONT_CONFIG, generate_anchors
+from .blazeface import BlazeFace, BLAZEFACE_FRONT, blazeface_from_h5
+from .heads import (
+    MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead, SETransformerHead,
+    head_from_h5, mlp_head_from_modeldef, HEAD_REGISTRY,
+)
+from .unified import UnifiedPoseModel, unified_from_h5, join_models
+
+__all__ = [
+    "AnchorConfig", "FRONT_CONFIG", "generate_anchors",
+    "BlazeFace", "BLAZEFACE_FRONT", "blazeface_from_h5",
+    "MLPHead", "ResidualMLPHead", "SkipMLPHead", "SEMLPHead",
+    "SETransformerHead", "head_from_h5", "mlp_head_from_modeldef",
+    "HEAD_REGISTRY",
+    "UnifiedPoseModel", "unified_from_h5", "join_models",
+]

@@ -1,0 +1,169 @@
+"""Native BlazeFace backbone + SSD heads (TPU-first, batch-polymorphic).
+
+The reference ships this network only as Keras-H5 weights (no source; layer
+table recovered in SURVEY.md §2.4 and verified by execution).  Architecture:
+
+  128x128x3 → 5x5/2 conv (24ch, relu) → 16 BlazeBlocks:
+    channels 24,28,32*,36,42,48*,56,64,72,80,88,96*,96,96,96,96
+    (* = stride-2 downsample)
+  A BlazeBlock is depthwise-3x3 + pointwise-1x1 with a residual skip; the
+  skip is max-pooled on downsample blocks and zero-padded on the channel axis
+  when channels grow (the tf_op_layer_Pad nodes of the H5 graph), then ReLU.
+
+Taps and heads (names refer to the reference H5 / JoinModels.py:117-118):
+  * feat88 = 16x16x88 map (re_lu_10) — input of the Model-88 pose heads and
+    of cls_front (1x1→2ch) / loc_front (1x1→32ch) SSD heads
+  * feat96 = 8x8x96 map (re_lu_15) — input of the Model-96 pose heads and of
+    cls_back (1x1→6ch) / loc_back (1x1→96ch)
+
+The forward returns decode-ready tensors: scores logits (B, 896) and raw loc
+(B, 896, 16) — the anchor-major flattening matches the reference's output
+reshapes (tf_op_layer_classificators/regressors, verified against golden
+fixtures) — plus both feature maps for pose-head grafting.
+
+Design notes: one jitted NHWC conv pipeline; activations can run in bfloat16
+(params stay f32, cast at trace time — XLA folds it); channel sizes are
+MXU-unfriendly (24..96) but the convs are small enough that HBM bandwidth,
+not the MXU, bounds this network, so fusion matters more than padding to 128.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BlazeFace", "BLAZEFACE_FRONT", "blazeface_from_h5"]
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class BlazeFace:
+    """BlazeFace front-camera detector configuration."""
+
+    input_size: int = 128
+    stem_features: int = 24
+    block_channels: tuple[int, ...] = (24, 28, 32, 36, 42, 48, 56, 64,
+                                       72, 80, 88, 96, 96, 96, 96, 96)
+    downsample_blocks: tuple[int, ...] = (2, 5, 11)  # stride-2 block indices
+    tap88_block: int = 10   # output of this block = 16x16x88 feature map
+    cls_channels: tuple[int, int] = (2, 6)    # anchors per cell, front/back grid
+    loc_channels: tuple[int, int] = (32, 96)  # 16 values * anchors per cell
+
+    # ------------------------------------------------------------------ init
+    def init(self, key) -> Params:
+        def conv_init(k, kh, kw, cin, cout):
+            fan_in, fan_out = kh * kw * cin, kh * kw * cout
+            lim = math.sqrt(6.0 / (fan_in + fan_out))
+            return {"kernel": jax.random.uniform(k, (kh, kw, cin, cout),
+                                                 jnp.float32, -lim, lim),
+                    "bias": jnp.zeros((cout,), jnp.float32)}
+
+        keys = jax.random.split(key, 2 * len(self.block_channels) + 5)
+        params: Params = {"stem": conv_init(keys[0], 5, 5, 3, self.stem_features)}
+        blocks = []
+        cin = self.stem_features
+        for i, cout in enumerate(self.block_channels):
+            kd, kp = keys[1 + 2 * i], keys[2 + 2 * i]
+            dw_lim = math.sqrt(6.0 / (9 * cin + 9))
+            blocks.append({
+                "dw_kernel": jax.random.uniform(kd, (3, 3, 1, cin),
+                                                jnp.float32, -dw_lim, dw_lim),
+                "dw_bias": jnp.zeros((cin,), jnp.float32),
+                **{f"pw_{k}": v for k, v in conv_init(kp, 1, 1, cin, cout).items()},
+            })
+            cin = cout
+        params["blocks"] = blocks
+        c88 = self.block_channels[self.tap88_block]
+        c96 = self.block_channels[-1]
+        params["cls_front"] = conv_init(keys[-4], 1, 1, c88, self.cls_channels[0])
+        params["cls_back"] = conv_init(keys[-3], 1, 1, c96, self.cls_channels[1])
+        params["loc_front"] = conv_init(keys[-2], 1, 1, c88, self.loc_channels[0])
+        params["loc_back"] = conv_init(keys[-1], 1, 1, c96, self.loc_channels[1])
+        return params
+
+    # --------------------------------------------------------------- forward
+    def apply(self, params: Params, x, *, dtype=None) -> dict[str, jax.Array]:
+        """x: (B, 128, 128, 3) in [-1, 1].  Returns dict with feat88, feat96,
+        scores (B, 896) logits, and loc (B, 896, 16) raw offsets."""
+        if dtype is not None:
+            params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+            x = x.astype(dtype)
+
+        def conv(p, v, stride=1, padding="SAME", groups=1):
+            return jax.lax.conv_general_dilated(
+                v, p[0], (stride, stride), padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups) + p[1]
+
+        y = jax.nn.relu(conv((params["stem"]["kernel"], params["stem"]["bias"]),
+                             x, stride=2))
+        feat88 = None
+        for i, (blk, cout) in enumerate(zip(params["blocks"], self.block_channels)):
+            cin = y.shape[-1]
+            stride = 2 if i in self.downsample_blocks else 1
+            t = conv((blk["dw_kernel"], blk["dw_bias"]), y,
+                     stride=stride, groups=cin)
+            t = conv((blk["pw_kernel"], blk["pw_bias"]), t)
+            skip = y
+            if stride == 2:
+                skip = jax.lax.reduce_window(skip, -jnp.inf, jax.lax.max,
+                                             (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
+            if cout > cin:
+                skip = jnp.pad(skip, ((0, 0), (0, 0), (0, 0), (0, cout - cin)))
+            y = jax.nn.relu(t + skip)
+            if i == self.tap88_block:
+                feat88 = y
+        feat96 = y
+
+        B = x.shape[0]
+        cls_f = conv((params["cls_front"]["kernel"], params["cls_front"]["bias"]), feat88)
+        cls_b = conv((params["cls_back"]["kernel"], params["cls_back"]["bias"]), feat96)
+        loc_f = conv((params["loc_front"]["kernel"], params["loc_front"]["bias"]), feat88)
+        loc_b = conv((params["loc_back"]["kernel"], params["loc_back"]["bias"]), feat96)
+
+        scores = jnp.concatenate(
+            [cls_f.reshape(B, -1), cls_b.reshape(B, -1)], axis=1)
+        loc = jnp.concatenate(
+            [loc_f.reshape(B, -1, 16), loc_b.reshape(B, -1, 16)], axis=1)
+        return {"feat88": feat88, "feat96": feat96,
+                "scores": scores, "loc": loc}
+
+
+BLAZEFACE_FRONT = BlazeFace()
+
+
+def blazeface_from_h5(path: str) -> tuple[BlazeFace, Params]:
+    """Import backbone + SSD head weights from a reference unified H5
+    (BlazePoser/UnifiedModels/*.h5) into the native parameter pytree."""
+    from ..core.h5io import read_model
+
+    md = read_model(path)
+
+    def w(layer: str) -> dict[str, np.ndarray]:
+        return md.layers[layer].weights
+
+    spec = BLAZEFACE_FRONT
+    params: Params = {"stem": {"kernel": jnp.asarray(w("conv2d")["kernel"]),
+                               "bias": jnp.asarray(w("conv2d")["bias"])}}
+    blocks = []
+    for i in range(len(spec.block_channels)):
+        dw = w(f"depthwise_conv2d_{i}" if i else "depthwise_conv2d")
+        pw = w(f"conv2d_{i + 1}")
+        dwk = np.asarray(dw["depthwise_kernel"])  # (3,3,Cin,1) → (3,3,1,Cin)
+        blocks.append({
+            "dw_kernel": jnp.asarray(dwk.reshape(3, 3, 1, dwk.shape[2])),
+            "dw_bias": jnp.asarray(dw["bias"]),
+            "pw_kernel": jnp.asarray(pw["kernel"]),
+            "pw_bias": jnp.asarray(pw["bias"]),
+        })
+    params["blocks"] = blocks
+    for name, layer in [("cls_front", "conv2d_17"), ("cls_back", "conv2d_18"),
+                        ("loc_front", "conv2d_19"), ("loc_back", "conv2d_20")]:
+        params[name] = {"kernel": jnp.asarray(w(layer)["kernel"]),
+                        "bias": jnp.asarray(w(layer)["bias"])}
+    return spec, params

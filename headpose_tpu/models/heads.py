@@ -1,0 +1,408 @@
+"""Native pose-regression head zoo (TPU-first).
+
+The reference defines all of its heads as stacks of 1x1 convolutions over
+(B, H, W, C) feature maps (Model-88/attention_model.py, Model-88/train_88.py:66-253,
+Model-96/train_96.py:65-110).  A 1x1 conv over an HxW map *is* a matmul over
+H·W·B rows — so the native implementation collapses every head to dense
+matmul chains on (..., C) arrays, which map straight onto the MXU, batched
+and fusion-friendly.  The same parameters therefore serve
+  * per-face feature vectors (N, C)         — training/eval datasets
+  * full feature maps (B, H, W, C)          — pose-map outputs of the
+    unified detector (JoinModels.py:65-66)
+with no input-shape surgery: the reference's InputShapeConvertor exists only
+because Keras bakes input shapes into its graphs; functional JAX heads are
+shape-polymorphic by construction.
+
+Head families (reference architecture → here):
+  * mlp          — any 1x1-conv chain: train_96 create_model (96→F tanh→3),
+                   train_88 create_model / bestmodelV1 (88→F softsign→3),
+                   the trivial 88→3 head, stoqa9pt, hrchr82r, …
+  * residual_mlp — create_model_complex: projection + N residual blocks
+                   (softsign) + bottleneck + linear out (train_88 default)
+  * skip_mlp     — create_model_skip_fc: encoder/decoder with one skip add
+  * se_mlp       — create_modelC: SE channel gating + 1x1 conv head
+  * se_transformer — se_transformer_regr_head: SE gating + spatial-token MHA
+                   block + FFN + conv head (attention_model.py:16-80)
+
+All initializers are Glorot-uniform to match the reference's training setup.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "MLPHead", "ResidualMLPHead", "SkipMLPHead", "SEMLPHead",
+    "SETransformerHead", "head_from_h5", "mlp_head_from_modeldef",
+    "HEAD_REGISTRY",
+]
+
+Params = dict[str, Any]
+
+_ACT: dict[str, Callable] = {
+    "linear": lambda x: x,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "softsign": jax.nn.soft_sign,
+    "elu": jax.nn.elu,
+    "selu": jax.nn.selu,
+    "softplus": jax.nn.softplus,
+    "swish": jax.nn.swish,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.3),
+}
+
+
+def _glorot(key, cin: int, cout: int, dtype=jnp.float32):
+    limit = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), dtype, -limit, limit)
+
+
+def _dense_init(key, cin: int, cout: int) -> Params:
+    return {"w": _glorot(key, cin, cout), "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _dense(p: Params, x, act: str):
+    return _ACT[act](x @ p["w"] + p["b"])
+
+
+def _spatial_dropout(key, x, rate: float):
+    """SpatialDropout2D semantics: drop whole channels.  Works on (..., C)."""
+    if rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# MLP head — the workhorse family (every shipped production head is one)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MLPHead:
+    """A chain of (features, activation) dense layers over the channel axis.
+
+    E.g. the production reg2 head hrchr82r is
+    ``MLPHead(96, ((32, 'tanh'), (16, 'tanh'), (3, 'linear')))`` and reg1
+    stoqa9pt is ``MLPHead(88, ((64, 'softsign'), (3, 'linear')))``.
+    """
+
+    in_features: int
+    layers: tuple[tuple[int, str], ...]
+    dropout_rate: float = 0.0  # applied after every layer, train mode only
+
+    def init(self, key) -> Params:
+        params = []
+        cin = self.in_features
+        for i, (cout, _) in enumerate(self.layers):
+            params.append(_dense_init(jax.random.fold_in(key, i), cin, cout))
+            cin = cout
+        return {"layers": params}
+
+    def apply(self, params: Params, x, *, train: bool = False, rng=None):
+        for i, (p, (_, act)) in enumerate(zip(params["layers"], self.layers)):
+            x = _dense(p, x, act)
+            if train and self.dropout_rate > 0.0:
+                x = _spatial_dropout(jax.random.fold_in(rng, i), x, self.dropout_rate)
+        return x
+
+    def l2_penalty(self, params: Params, rate: float):
+        """Keras-style l2 kernel+bias regularization (loss-added, not decoupled)."""
+        if rate == 0.0:
+            return 0.0
+        return rate * sum(jnp.sum(jnp.square(p["w"])) + jnp.sum(jnp.square(p["b"]))
+                          for p in params["layers"])
+
+
+# ---------------------------------------------------------------------------
+# Residual softsign head — train_88's production family (create_model_complex)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ResidualMLPHead:
+    """Projection → N residual (2-layer softsign) blocks with relu after the
+    add → bottleneck → linear output.  Mirrors Model-88/attention_model.py:97-169."""
+
+    in_features: int = 88
+    width: int = 16
+    num_blocks: int = 3
+    bottleneck: int = 8
+    out_features: int = 3
+    activation: str = "softsign"
+    dropout_rate: float = 0.0
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 2 + 2 * self.num_blocks + 1)
+        params: Params = {"proj": _dense_init(ks[0], self.in_features, self.width)}
+        blocks = []
+        for b in range(self.num_blocks):
+            blocks.append({
+                "fc1": _dense_init(ks[1 + 2 * b], self.width, self.width),
+                "fc2": _dense_init(ks[2 + 2 * b], self.width, self.width),
+            })
+        params["blocks"] = blocks
+        params["bottleneck"] = _dense_init(ks[-2], self.width, self.bottleneck)
+        params["out"] = _dense_init(ks[-1], self.bottleneck, self.out_features)
+        return params
+
+    def apply(self, params: Params, x, *, train: bool = False, rng=None):
+        act = self.activation
+        dr = self.dropout_rate if train else 0.0
+
+        def drop(i, v):
+            return _spatial_dropout(jax.random.fold_in(rng, i), v, dr) if dr else v
+
+        x = drop(0, _dense(params["proj"], x, act))
+        for b, blk in enumerate(params["blocks"]):
+            y = drop(10 + 2 * b, _dense(blk["fc1"], x, act))
+            y = drop(11 + 2 * b, _dense(blk["fc2"], y, act))
+            x = jax.nn.relu(x + y)
+        x = drop(1, _dense(params["bottleneck"], x, act))
+        return _dense(params["out"], x, "linear")
+
+    def l2_penalty(self, params: Params, rate: float):
+        if rate == 0.0:
+            return 0.0
+        leaves = jax.tree_util.tree_leaves(
+            {k: v for k, v in params.items()})
+        # reference regularizes kernels only here (attention_model.py:113-166)
+        kernels = [params["proj"]["w"], params["bottleneck"]["w"], params["out"]["w"]]
+        kernels += [blk[k]["w"] for blk in params["blocks"] for k in ("fc1", "fc2")]
+        del leaves
+        return rate * sum(jnp.sum(jnp.square(w)) for w in kernels)
+
+
+# ---------------------------------------------------------------------------
+# Skip head — train_88 create_model_skip_fc (163-223)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SkipMLPHead:
+    in_features: int = 88
+    enc1: int = 32
+    enc2: int = 64
+    out_features: int = 3
+    activation: str = "softsign"
+    dropout_rate: float = 0.0
+
+    def init(self, key) -> Params:
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "enc1": _dense_init(k1, self.in_features, self.enc1),
+            "enc2": _dense_init(k2, self.enc1, self.enc2),
+            "dec": _dense_init(k3, self.enc2, self.enc1),
+            "out": _dense_init(k4, self.enc1, self.out_features),
+        }
+
+    def apply(self, params: Params, x, *, train: bool = False, rng=None):
+        a = self.activation
+        x1 = _dense(params["enc1"], x, a)
+        x2 = _dense(params["enc2"], x1, a)
+        x3 = _dense(params["dec"], x2, a) + x1
+        return _dense(params["out"], x3, "linear")
+
+    def l2_penalty(self, params: Params, rate: float):
+        if rate == 0.0:
+            return 0.0
+        return rate * sum(jnp.sum(jnp.square(params[k]["w"]))
+                          for k in ("enc1", "enc2", "dec", "out"))
+
+
+# ---------------------------------------------------------------------------
+# SE heads — channel gating (create_modelC) and the SE-Transformer head
+# ---------------------------------------------------------------------------
+
+def _se_init(key, channels: int, reduction: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    mid = channels // reduction
+    return {"fc1": _dense_init(k1, channels, mid),
+            "fc2": _dense_init(k2, mid, channels)}
+
+
+def _se_apply(p: Params, x):
+    """Squeeze-and-excitation over the channel axis.
+
+    x is (B, H, W, C) or (N, C); the squeeze averages all non-channel,
+    non-batch axes (GlobalAveragePooling2D in the reference)."""
+    axes = tuple(range(1, x.ndim - 1))
+    s = jnp.mean(x, axis=axes) if axes else x
+    s = _dense(p["fc1"], s, "relu")
+    s = _dense(p["fc2"], s, "sigmoid")
+    s = s.reshape(s.shape[:1] + (1,) * len(axes) + s.shape[-1:])
+    return x * s
+
+
+@dataclasses.dataclass(frozen=True)
+class SEMLPHead:
+    """SE gate + 1x1-conv head: Model-88/attention_model.py:82-95 (create_modelC)."""
+
+    in_features: int = 88
+    reduction: int = 8
+    hidden: int = 42
+    out_features: int = 3
+
+    def init(self, key) -> Params:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "se": _se_init(k1, self.in_features, self.reduction),
+            "fc": _dense_init(k2, self.in_features, self.hidden),
+            "out": _dense_init(k3, self.hidden, self.out_features),
+        }
+
+    def apply(self, params: Params, x, *, train: bool = False, rng=None):
+        x = _se_apply(params["se"], x)
+        x = _dense(params["fc"], x, "relu")
+        return _dense(params["out"], x, "linear")
+
+    def l2_penalty(self, params, rate):
+        return 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SETransformerHead:
+    """SE gating + one Transformer encoder block over spatial tokens + conv head.
+
+    Mirrors se_transformer_regr_head (Model-88/attention_model.py:16-80): the
+    flatten/unflatten Lambda pair becomes plain reshapes, and the whole block
+    runs as fused matmuls — at 16x16=256 tokens this is one MXU-sized program,
+    the "fused Pallas matmul+attention kernel" target of BASELINE.json.
+    """
+
+    in_features: int = 88
+    reduction: int = 16
+    num_heads: int = 4
+    key_dim: int = 16
+    ff_dim: int = 64
+    hidden: int = 128
+    out_features: int = 3
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 10)
+        C, H, D = self.in_features, self.num_heads, self.key_dim
+        lim_qkv = math.sqrt(6.0 / (C + H * D))
+        lim_out = math.sqrt(6.0 / (H * D + C))
+
+        def qkv(k):
+            return {"w": jax.random.uniform(k, (C, H, D), jnp.float32, -lim_qkv, lim_qkv),
+                    "b": jnp.zeros((H, D), jnp.float32)}
+
+        return {
+            "se": _se_init(ks[0], C, self.reduction),
+            "query": qkv(ks[1]), "key": qkv(ks[2]), "value": qkv(ks[3]),
+            "attn_out": {
+                "w": jax.random.uniform(ks[4], (H, D, C), jnp.float32, -lim_out, lim_out),
+                "b": jnp.zeros((C,), jnp.float32)},
+            "ln1": {"g": jnp.ones((C,)), "b": jnp.zeros((C,))},
+            "ff1": _dense_init(ks[5], C, self.ff_dim),
+            "ff2": _dense_init(ks[6], self.ff_dim, C),
+            "ln2": {"g": jnp.ones((C,)), "b": jnp.zeros((C,))},
+            "fc": _dense_init(ks[7], C, self.hidden),
+            "out": _dense_init(ks[8], self.hidden, self.out_features),
+        }
+
+    @staticmethod
+    def _layernorm(p, x, eps=1e-3):  # Keras LayerNormalization default epsilon
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+    def apply(self, params: Params, x, *, train: bool = False, rng=None):
+        # accept (N, C) by treating each row as a 1x1 map
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[:, None, None, :]
+        B, H, W, C = x.shape
+        g = _se_apply(params["se"], x)
+        t = g.reshape(B, H * W, C)
+
+        q = jnp.einsum("btc,chd->bthd", t, params["query"]["w"]) + params["query"]["b"]
+        k = jnp.einsum("bsc,chd->bshd", t, params["key"]["w"]) + params["key"]["b"]
+        v = jnp.einsum("bsc,chd->bshd", t, params["value"]["w"]) + params["value"]["b"]
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
+            jnp.asarray(self.key_dim, t.dtype))
+        attn = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", attn, v)
+        o = jnp.einsum("bthd,hdc->btc", o, params["attn_out"]["w"]) + params["attn_out"]["b"]
+
+        t = self._layernorm(params["ln1"], t + o)
+        f = _dense(params["ff1"], t, "relu")
+        f = _dense(params["ff2"], f, "linear")
+        t = self._layernorm(params["ln2"], t + f)
+
+        y = t.reshape(B, H, W, C)
+        y = _dense(params["fc"], y, "relu")
+        y = _dense(params["out"], y, "linear")
+        return y[:, 0, 0, :] if squeeze else y
+
+    def l2_penalty(self, params, rate):
+        return 0.0
+
+
+HEAD_REGISTRY = {
+    "mlp": MLPHead,
+    "residual_mlp": ResidualMLPHead,
+    "skip_mlp": SkipMLPHead,
+    "se_mlp": SEMLPHead,
+    "se_transformer": SETransformerHead,
+}
+
+
+# ---------------------------------------------------------------------------
+# Import shipped reference heads into the native MLP family
+# ---------------------------------------------------------------------------
+
+def head_from_h5(path: str) -> tuple[MLPHead, Params]:
+    """Load a reference 1x1-conv-chain head H5 as a native MLPHead.
+
+    Covers the entire shipped production zoo (Trained-Models-88/*,
+    Trained-Models-96*/*): Conv2D(1x1) chains with optional SpatialDropout2D
+    and Flatten, in any input-shape variant — making the reference's
+    InputShapeConvertor workflow (fixed 1x1 → dynamic HxW) unnecessary here.
+    Raises ValueError for non-chain architectures (use core.load_graph_model
+    for those).
+    """
+    from ..core.h5io import read_model
+
+    return mlp_head_from_modeldef(read_model(path))
+
+
+def mlp_head_from_modeldef(md) -> tuple[MLPHead, Params]:
+    """Convert a parsed 1x1-conv-chain ModelDef (possibly a nested submodel of
+    a unified model) into (MLPHead spec, params)."""
+    path = md.name
+    layers: list[tuple[int, str]] = []
+    params: list[Params] = []
+    in_features = None
+    for name in md.order:
+        layer = md.layers[name]
+        cls = layer.class_name
+        if cls == "InputLayer":
+            shape = layer.config.get("batch_input_shape")
+            in_features = int(shape[-1])
+        elif cls == "Conv2D":
+            k = np.asarray(layer.weights["kernel"])
+            if k.shape[0] != 1 or k.shape[1] != 1:
+                raise ValueError(f"{path}: non-1x1 conv in head ({k.shape})")
+            params.append({"w": jnp.asarray(k[0, 0]),
+                           "b": jnp.asarray(layer.weights["bias"])})
+            layers.append((k.shape[-1], layer.config.get("activation") or "linear"))
+        elif cls == "Dense":
+            params.append({"w": jnp.asarray(layer.weights["kernel"]),
+                           "b": jnp.asarray(layer.weights["bias"])})
+            layers.append((params[-1]["w"].shape[-1],
+                           layer.config.get("activation") or "linear"))
+        elif cls in ("SpatialDropout2D", "Dropout", "Flatten", "Reshape"):
+            continue  # identity at inference / shape bookkeeping only
+        else:
+            raise ValueError(f"{path}: layer {cls} is not part of an MLP chain")
+    if in_features is None:
+        raise ValueError(f"{path}: no InputLayer found")
+    spec = MLPHead(in_features=in_features, layers=tuple(layers))
+    return spec, {"layers": params}

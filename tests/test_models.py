@@ -1,0 +1,137 @@
+"""Native model tests: anchors, head zoo, BlazeFace backbone, unified model."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from headpose_tpu.models import (
+    AnchorConfig, generate_anchors,
+    MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead, SETransformerHead,
+    BLAZEFACE_FRONT, head_from_h5, unified_from_h5,
+)
+
+from conftest import REFERENCE_ROOT, has_reference
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+needs_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference artifacts not mounted")
+
+
+class TestAnchors:
+    def test_front_config_matches_reference(self):
+        """Bit-exact vs the captured gen_anchors table (blazeFaceUtils.py:59-127)."""
+        golden = np.load(os.path.join(GOLDEN, "anchors.npz"))["anchors"]
+        ours = generate_anchors()
+        assert ours.shape == (896, 4)
+        np.testing.assert_array_equal(ours, golden)
+
+    def test_structure(self):
+        a = generate_anchors()
+        # 512 anchors on the 16x16 stride-8 grid, 2 per cell; 384 on 8x8, 6 per cell
+        assert (a[:512, 2:] == 1.0).all() and (a[512:, 2:] == 1.0).all()
+        assert np.isclose(a[0, 0], 0.5 / 16) and np.isclose(a[0, 1], 0.5 / 16)
+        assert np.isclose(a[512, 0], 0.5 / 8)
+
+    def test_variable_size_anchors(self):
+        a = generate_anchors(AnchorConfig(fixed_anchor_size=False))
+        assert a.shape == (896, 4)
+        assert not (a[:, 2:] == 1.0).all()
+
+
+class TestHeadZoo:
+    """Every head family: init → apply on both (N, C) and (B, H, W, C)."""
+
+    @pytest.mark.parametrize("spec", [
+        MLPHead(96, ((32, "tanh"), (16, "tanh"), (3, "linear"))),
+        MLPHead(88, ((3, "linear"),)),
+        ResidualMLPHead(in_features=88),
+        SkipMLPHead(in_features=88),
+        SEMLPHead(in_features=88),
+        SETransformerHead(in_features=88),
+    ])
+    def test_shapes(self, spec):
+        key = jax.random.PRNGKey(0)
+        params = spec.init(key)
+        c = spec.in_features
+        y = spec.apply(params, jnp.zeros((5, c)))
+        assert y.shape == (5, 3)
+        ym = spec.apply(params, jax.random.normal(key, (2, 4, 4, c)))
+        assert ym.shape == (2, 4, 4, 3)
+        assert np.isfinite(np.asarray(ym)).all()
+
+    def test_fully_convolutional_consistency(self):
+        """Per-cell outputs of a map must equal per-row outputs of the rows —
+        the property InputShapeConvertor existed to preserve."""
+        spec = MLPHead(96, ((32, "tanh"), (3, "linear")))
+        params = spec.init(jax.random.PRNGKey(1))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 96))
+        y_map = spec.apply(params, x)
+        y_rows = spec.apply(params, x.reshape(-1, 96)).reshape(2, 8, 8, 3)
+        np.testing.assert_allclose(np.asarray(y_map), np.asarray(y_rows), rtol=1e-6)
+
+    def test_dropout_train_vs_eval(self):
+        spec = MLPHead(96, ((32, "tanh"), (3, "linear")), dropout_rate=0.5)
+        params = spec.init(jax.random.PRNGKey(0))
+        x = jnp.ones((4, 96))
+        y_eval = spec.apply(params, x)
+        y_train = spec.apply(params, x, train=True, rng=jax.random.PRNGKey(3))
+        assert not np.allclose(np.asarray(y_eval), np.asarray(y_train))
+
+    def test_l2_penalty(self):
+        spec = MLPHead(96, ((32, "tanh"), (3, "linear")))
+        params = spec.init(jax.random.PRNGKey(0))
+        assert float(spec.l2_penalty(params, 1e-3)) > 0.0
+        assert spec.l2_penalty(params, 0.0) == 0.0
+
+
+@needs_reference
+class TestNativeImport:
+    def test_head_import_parity(self):
+        g = np.load(os.path.join(GOLDEN, "heads.npz"))
+        spec, params = head_from_h5(os.path.join(
+            REFERENCE_ROOT, "Model-96/Trained-Models-96-ReshapedInput-NoFlatten/hrchr82r.h5"))
+        assert spec.layers == ((32, "tanh"), (16, "tanh"), (3, "linear"))
+        y = np.asarray(spec.apply(params, g["x96"].reshape(16, 96)))
+        np.testing.assert_allclose(y, g["y96"].reshape(16, 3), rtol=1e-4, atol=1e-4)
+
+    def test_head_import_fixed_shape_variant(self):
+        """The pre-conversion (Flatten) artifact imports to the same head."""
+        spec, params = head_from_h5(os.path.join(
+            REFERENCE_ROOT, "Model-96/Trained-Models-96/model_runid_hrchr82r.h5"))
+        assert spec.layers == ((32, "tanh"), (16, "tanh"), (3, "linear"))
+
+    def test_unified_native_parity(self):
+        g = np.load(os.path.join(GOLDEN, "unified_forward.npz"))
+        model, params = unified_from_h5(os.path.join(
+            REFERENCE_ROOT, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+        outs = jax.jit(model.reference_outputs)(params, g["inputs"])
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(
+                np.asarray(o), g[f"out{i}"], rtol=1e-3, atol=2e-4,
+                err_msg=f"output {i}")
+
+    def test_backbone_batch_polymorphic(self):
+        model, params = unified_from_h5(os.path.join(
+            REFERENCE_ROOT, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+        for b in (1, 3):
+            out = model.apply(params, jnp.zeros((b, 128, 128, 3)))
+            assert out["scores"].shape == (b, 896)
+            assert out["loc"].shape == (b, 896, 16)
+            assert out["pose_front"].shape == (b, 16, 16, 3)
+            assert out["pose_back"].shape == (b, 8, 8, 3)
+
+    def test_bf16_activations_bounded(self):
+        """bfloat16 backbone is opt-in: measured divergence on random inputs is
+        up to ~1.3 degrees per pose-map cell (why f32 stays the accuracy-path
+        default; the MAE budget in BASELINE.md is 0.1 degrees)."""
+        g = np.load(os.path.join(GOLDEN, "unified_forward.npz"))
+        model, params = unified_from_h5(os.path.join(
+            REFERENCE_ROOT, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+        full = model.apply(params, g["inputs"])
+        bf = model.backbone.apply(params["backbone"], g["inputs"], dtype=jnp.bfloat16)
+        pose_f32 = np.asarray(full["pose_front"])
+        pose_bf = np.asarray(model.head88.apply(
+            params["head88"], bf["feat88"].astype(jnp.float32)))
+        assert np.abs(pose_f32 - pose_bf).max() < 3.0  # degrees, documented bound
