@@ -1,0 +1,80 @@
+"""Image preprocessing ops: TF-exact bicubic resize as MXU matmuls.
+
+The reference preprocesses with ``tf.image.resize(method='bicubic')``
+(BlazePoser/blazeFaceDetectorH5.py:254-263).  Generic resample ops are
+gather-heavy and TPU-hostile; because the target size is static, the resize
+here is precomputed as two dense interpolation matrices and applied as a pair
+of matmuls — the form the MXU likes, fusable with the surrounding normalize
+arithmetic into one XLA program.
+
+Kernel: Keys bicubic, A = -0.5, half-pixel centers; boundary taps that fall
+outside the image are dropped and the remaining weights renormalized.  This
+reproduces TF's behaviour bit-for-bit in f32 (verified ≤ 3.3e-7 against
+tests/golden/resize_bicubic.npz).  Note ``jax.image.resize(method='cubic')``
+does NOT match: it antialiases when downsampling.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bicubic_matrix", "resize_bicubic", "preprocess"]
+
+
+def _keys_cubic(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    t = np.abs(t)
+    return np.where(
+        t <= 1.0, (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * (t**3 - 5.0 * t**2 + 8.0 * t - 4.0), 0.0))
+
+
+@functools.lru_cache(maxsize=64)
+def bicubic_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) interpolation matrix for one axis (float32)."""
+    scale = src / dst
+    x = (np.arange(dst) + 0.5) * scale - 0.5
+    i0 = np.floor(x).astype(np.int64)
+    m = np.zeros((dst, src), np.float64)
+    rows = np.arange(dst)
+    for k in range(-1, 3):
+        idx = i0 + k
+        w = _keys_cubic(x - idx) * ((idx >= 0) & (idx < src))
+        np.add.at(m, (rows, np.clip(idx, 0, src - 1)), w)
+    m /= m.sum(axis=1, keepdims=True)
+    return m.astype(np.float32)
+
+
+def resize_bicubic(images: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Resize (B, H, W, C) [or (H, W, C)] to (B, h, w, C), TF-bicubic-exact."""
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[None]
+    _, H, W, _ = images.shape
+    rh = jnp.asarray(bicubic_matrix(H, out_hw[0]))
+    rw = jnp.asarray(bicubic_matrix(W, out_hw[1]))
+    y = jnp.einsum("oh,bhwc->bowc", rh, images)
+    y = jnp.einsum("pw,bowc->bopc", rw, y)
+    return y[0] if squeeze else y
+
+
+def preprocess(images: jax.Array, input_size: int = 128,
+               channel_order: str = "bgr") -> jax.Array:
+    """Full detector preprocessing (blazeFaceDetectorH5.py:247-269):
+    BGR→RGB, scale to [0,1], bicubic resize to input_size², then map to [-1,1].
+
+    images: (B, H, W, 3) or (H, W, 3), uint8 or float in [0, 255].
+    Returns (B, input_size, input_size, 3) float32 in [-1, 1].
+    """
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[None]
+    x = images.astype(jnp.float32)
+    if channel_order == "bgr":
+        x = x[..., ::-1]
+    x = x / 255.0
+    x = resize_bicubic(x, (input_size, input_size))
+    x = (x - 0.5) / 0.5
+    return x[0] if squeeze else x

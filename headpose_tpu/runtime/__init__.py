@@ -1,0 +1,9 @@
+"""Detection runtime: fused detect pipeline, results, temporal smoothing."""
+from .detector import FaceDetector
+from .results import Results, BatchResults
+from .smoothing import EmaState, ema_init, ema_update, smooth_sequence, TrackSmoother
+
+__all__ = [
+    "FaceDetector", "Results", "BatchResults",
+    "EmaState", "ema_init", "ema_update", "smooth_sequence", "TrackSmoother",
+]

@@ -1,0 +1,91 @@
+"""FaceDetector: the end-to-end detection + pose runtime.
+
+Equivalent surface to the reference's blazeFaceDetector
+(BlazePoser/blazeFaceDetectorH5.py:80-364), rebuilt as ONE fused XLA program:
+preprocess (bicubic resize + normalize) → backbone + SSD + pose heads →
+decode → NMS → pose gather all execute in a single jit, batched.  The
+reference runs this as 5 host/TF round trips at batch 1 (~48.6 ms/frame CPU,
+BASELINE.md); here a whole image batch stays on device end to end.
+
+Use:
+    det = FaceDetector.from_h5(".../reg1-stoqa9pt-reg2-hrchr82r-selected.h5")
+    batch = det.detect(images)          # (B, H, W, 3) BGR uint8 → BatchResults
+    results = batch.trim()              # ragged per-image, reference contract
+    res = det.detect_single(image)      # one image → Results
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.anchors import FRONT_CONFIG, generate_anchors
+from ..models.unified import UnifiedPoseModel, unified_from_h5
+from ..ops.detection import MAX_FACES, postprocess
+from ..ops.image import preprocess
+from .results import BatchResults, Results
+
+__all__ = ["FaceDetector"]
+
+
+class FaceDetector:
+    """Batched BlazeFace + head-pose detector on TPU.
+
+    Parameters mirror the reference constructor (score/iou thresholds,
+    blazeFaceDetectorH5.py:82); the model is a native UnifiedPoseModel
+    (see models.unified) rather than an opaque H5 graph.
+    """
+
+    def __init__(self, model: UnifiedPoseModel, params: Any,
+                 score_threshold: float = 0.4, iou_threshold: float = 0.3,
+                 max_faces: int = MAX_FACES, input_size: int = 128,
+                 channel_order: str = "bgr"):
+        self.model = model
+        self.params = params
+        self.score_threshold = float(score_threshold)
+        self.iou_threshold = float(iou_threshold)
+        self.max_faces = int(max_faces)
+        self.input_size = int(input_size)
+        self.channel_order = channel_order
+        self.anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
+
+    @classmethod
+    def from_h5(cls, path: str, **kwargs) -> "FaceDetector":
+        model, params = unified_from_h5(path)
+        return cls(model, params, **kwargs)
+
+    # ------------------------------------------------------------- pipeline
+    @functools.partial(jax.jit, static_argnums=0)
+    def _pipeline(self, params, images):
+        """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program."""
+        x = preprocess(images, self.input_size, self.channel_order)
+        out = self.model.apply(params, x)
+        post = jax.vmap(
+            lambda s, l, pf, pb: postprocess(
+                s, l, pf, pb, self.anchors,
+                score_threshold=self.score_threshold,
+                iou_threshold=self.iou_threshold,
+                input_size=self.input_size,
+                max_faces=self.max_faces))(
+            out["scores"], out["loc"], out["pose_front"], out["pose_back"])
+        return post
+
+    def detect(self, images) -> BatchResults:
+        """images: (B, H, W, 3) or (H, W, 3), uint8/float 0-255, BGR by default."""
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        post = self._pipeline(self.params, images)
+        return BatchResults(boxes=post["boxes"], keypoints=post["keypoints"],
+                            scores=post["scores"], poses=post["poses"],
+                            valid=post["valid"])
+
+    def detect_single(self, image) -> Results:
+        return self.detect(image).trim()[0]
+
+    def warmup(self, shape: tuple[int, ...] = (1, 480, 480, 3)) -> None:
+        """Trigger compilation for a given input shape."""
+        self.detect(np.zeros(shape, np.uint8))

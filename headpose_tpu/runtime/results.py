@@ -1,0 +1,67 @@
+"""Detection results containers.
+
+The reference returns ragged per-image numpy arrays in a Results object
+(BlazePoser/blazeFaceDetectorH5.py:359-364).  On TPU the batched pipeline
+produces fixed-size slabs with a validity mask (static shapes); this module
+provides both views: the padded device-side pytree and a host-side trim to
+the reference's ragged contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+__all__ = ["Results", "BatchResults"]
+
+
+@dataclasses.dataclass
+class Results:
+    """Per-image detections, ragged (N = number of faces found).
+
+    boxes      (N, 4)  [x1, y1, x2, y2] normalized
+    keypoints  (N, 6, 2) normalized
+    scores     (N,)
+    poses      (N, 3)  yaw/pitch/roll in degrees
+    """
+
+    boxes: np.ndarray
+    keypoints: np.ndarray
+    scores: np.ndarray
+    poses: np.ndarray
+
+    def __len__(self) -> int:
+        return int(self.scores.shape[0])
+
+
+@dataclasses.dataclass
+class BatchResults:
+    """Batched fixed-size detections (device-side, jit-friendly).
+
+    All arrays padded to max_faces with valid (B, F) bool marking real rows.
+    """
+
+    boxes: jax.Array      # (B, F, 4)
+    keypoints: jax.Array  # (B, F, 6, 2)
+    scores: jax.Array     # (B, F)
+    poses: jax.Array      # (B, F, 3)
+    valid: jax.Array      # (B, F)
+
+    @property
+    def counts(self) -> jax.Array:
+        return self.valid.sum(axis=-1)
+
+    def trim(self) -> list[Results]:
+        """Host-side conversion to the reference's ragged per-image contract."""
+        boxes = np.asarray(self.boxes)
+        keypoints = np.asarray(self.keypoints)
+        scores = np.asarray(self.scores)
+        poses = np.asarray(self.poses)
+        valid = np.asarray(self.valid)
+        out = []
+        for b in range(valid.shape[0]):
+            m = valid[b]
+            out.append(Results(boxes=boxes[b][m], keypoints=keypoints[b][m],
+                               scores=scores[b][m], poses=poses[b][m]))
+        return out

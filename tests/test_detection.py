@@ -1,0 +1,146 @@
+"""Parity tests for preprocessing + detection post-processing + e2e runtime
+against goldens captured from the reference pipeline."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from headpose_tpu.models.anchors import generate_anchors
+from headpose_tpu.ops import resize_bicubic, preprocess, postprocess, pairwise_iou
+from headpose_tpu.runtime import smooth_sequence, TrackSmoother
+
+from conftest import REFERENCE_ROOT, has_reference
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+needs_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference artifacts not mounted")
+
+
+class TestResize:
+    def test_bicubic_matches_tf(self):
+        """Pixel-exact vs tf.image.resize(method='bicubic') — the hard parity
+        risk called out in SURVEY.md §7."""
+        g = np.load(os.path.join(GOLDEN, "resize_bicubic.npz"))
+        for i in range(3):
+            out = np.asarray(resize_bicubic(jnp.asarray(g[f"img{i}"]), (128, 128)))
+            np.testing.assert_allclose(out, g[f"resized{i}"], atol=1e-5)
+
+    def test_batched(self):
+        imgs = np.random.default_rng(0).uniform(size=(3, 77, 99, 3)).astype(np.float32)
+        out = np.asarray(resize_bicubic(jnp.asarray(imgs), (128, 128)))
+        single = np.asarray(resize_bicubic(jnp.asarray(imgs[1]), (128, 128)))
+        np.testing.assert_allclose(out[1], single, atol=1e-6)
+
+    def test_preprocess_range(self):
+        img = np.random.default_rng(0).integers(0, 256, (240, 320, 3)).astype(np.uint8)
+        x = np.asarray(preprocess(jnp.asarray(img)))
+        assert x.shape == (128, 128, 3)
+        # Keys bicubic overshoots slightly (negative lobes); the reference
+        # doesn't clip either — parity means we don't clip.
+        assert x.min() >= -1.5 and x.max() <= 1.5
+
+
+class TestPostprocess:
+    def _run_case(self, g, case, score_threshold):
+        anchors = jnp.asarray(generate_anchors(), jnp.float32)
+        post = jax.jit(lambda s, l, pf, pb: postprocess(
+            s, l, pf, pb, anchors, score_threshold=score_threshold))(
+            jnp.asarray(g[f"cls{case}"]), jnp.asarray(g[f"loc{case}"]),
+            jnp.asarray(g[f"pose_front{case}"]), jnp.asarray(g[f"pose_back{case}"]))
+        valid = np.asarray(post["valid"])
+        n = int(valid.sum())
+        # our outputs are score-descending and dense in the first n slots
+        assert valid[:n].all() and not valid[n:].any()
+        return {k: np.asarray(v)[:n] for k, v in post.items()}, n
+
+    @pytest.mark.parametrize("case", [0, 1, 2])
+    def test_parity_with_reference(self, case):
+        """Same surviving detections, boxes, keypoints, scores, and poses as
+        the reference decode + tf NMS + pose lookup (goldens captured by
+        driving the reference's own methods on synthetic raw outputs)."""
+        g = np.load(os.path.join(GOLDEN, "postprocess.npz"))
+        ours, n = self._run_case(g, case, score_threshold=0.4)
+        ref_scores = g[f"scores{case}"]
+        assert n == len(ref_scores)
+        np.testing.assert_allclose(ours["scores"], ref_scores, atol=1e-5)
+        np.testing.assert_allclose(ours["boxes"], g[f"boxes{case}"], atol=1e-5)
+        np.testing.assert_allclose(ours["keypoints"], g[f"keypoints{case}"], atol=1e-5)
+        np.testing.assert_allclose(ours["poses"], g[f"poses{case}"], atol=1e-5)
+
+    def test_no_detections(self):
+        anchors = jnp.asarray(generate_anchors(), jnp.float32)
+        post = postprocess(jnp.full((896,), -10.0), jnp.zeros((896, 16)),
+                           jnp.zeros((16, 16, 3)), jnp.zeros((8, 8, 3)), anchors)
+        assert int(np.asarray(post["valid"]).sum()) == 0
+
+    def test_iou(self):
+        boxes = jnp.asarray([[0, 0, 1, 1], [0, 0, 1, 1], [0.5, 0.5, 1.5, 1.5],
+                             [2, 2, 3, 3]], jnp.float32)
+        iou = np.asarray(pairwise_iou(boxes))
+        assert np.isclose(iou[0, 1], 1.0)
+        assert np.isclose(iou[0, 2], 0.25 / 1.75)
+        assert iou[0, 3] == 0.0
+
+
+@needs_reference
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def detector(self):
+        from headpose_tpu.runtime import FaceDetector
+        return FaceDetector.from_h5(
+            os.path.join(REFERENCE_ROOT,
+                         "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"),
+            score_threshold=0.05)  # matches the e2e golden capture threshold
+
+    @pytest.mark.parametrize("case", [0, 1])
+    def test_detect_parity(self, detector, case):
+        """Full image → Results parity with the reference detectFaces path."""
+        g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+        res = detector.detect_single(g[f"img{case}"])
+        ref_n = len(g[f"scores{case}"])
+        assert len(res) == ref_n
+        np.testing.assert_allclose(res.scores, g[f"scores{case}"], atol=1e-4)
+        np.testing.assert_allclose(res.boxes, g[f"boxes{case}"], atol=1e-4)
+        np.testing.assert_allclose(res.keypoints, g[f"keypoints{case}"], atol=1e-4)
+        np.testing.assert_allclose(res.poses, g[f"poses{case}"], atol=5e-4)
+
+    def test_batched_detect(self, detector):
+        g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+        imgs = np.stack([g["img0"], g["img0"]])
+        batch = detector.detect(imgs)
+        assert batch.boxes.shape[0] == 2
+        res = batch.trim()
+        np.testing.assert_allclose(res[0].scores, res[1].scores, atol=1e-6)
+
+
+class TestSmoothing:
+    def test_matches_scalar_ema(self):
+        """Same recurrence as the reference EMAFilter (y = αx + (1-α)y)."""
+        alpha = 0.15
+        xs = np.random.default_rng(0).normal(size=(20,)).astype(np.float32)
+        # scalar reference recurrence
+        y, out_ref = None, []
+        for x in xs:
+            y = x if y is None else alpha * x + (1 - alpha) * y
+            out_ref.append(y)
+        smoothed = np.asarray(smooth_sequence(jnp.asarray(xs)[:, None], alpha))[:, 0]
+        np.testing.assert_allclose(smoothed, out_ref, rtol=1e-5)
+
+    def test_per_slot_independence(self):
+        """Two face slots must smooth independently (the reference shared one
+        filter bank across faces — a bug SURVEY.md flags; we key per slot)."""
+        sm = TrackSmoother(alpha=0.5)
+        a = jnp.asarray([[1.0], [100.0]])
+        out1 = sm(a)
+        out2 = np.asarray(sm(jnp.asarray([[2.0], [200.0]])))
+        assert np.isclose(out2[0, 0], 1.5)
+        assert np.isclose(out2[1, 0], 150.0)
+        del out1
+
+    def test_invalid_slots_hold_state(self):
+        sm = TrackSmoother(alpha=0.5)
+        sm(jnp.asarray([[10.0]]), valid=jnp.asarray([True]))
+        out = np.asarray(sm(jnp.asarray([[999.0]]), valid=jnp.asarray([False])))
+        assert np.isclose(out[0, 0], 10.0)
