@@ -1,0 +1,98 @@
+"""Checkpoint / resume via Orbax.
+
+The reference only snapshots best-val-loss whole models through Keras
+ModelCheckpoint, with no optimizer state and no resume (SURVEY.md §5.3-5.4).
+Here checkpoints carry params + optimizer state + epoch counter + early-stop
+bookkeeping, so interrupted training resumes exactly.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "save_pytree", "restore_pytree"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save one pytree (e.g. best params) at path (replaces existing)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(path, tree)
+
+
+def restore_pytree(path: str, like: Any | None = None) -> Any:
+    """Restore a pytree.  Orbax round-trips containers as plain lists/dicts;
+    when ``like`` is given the restored leaves are re-imposed onto its typed
+    structure (NamedTuple optimizer states etc.)."""
+    restored = _checkpointer().restore(os.path.abspath(path))
+    if like is None:
+        return restored
+    treedef = jax.tree_util.tree_structure(like)
+    leaves = jax.tree_util.tree_leaves(restored)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(ckpt_dir: str, step: int, params: Any, opt_state: Any,
+                    extra: dict[str, Any] | None = None, keep: int = 3) -> None:
+    """Save a full training checkpoint at ckpt_dir/step_<N>; prune old ones."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    save_pytree(path, {"params": params, "opt_state": opt_state})
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step, **(extra or {})}, f, default=_to_py)
+    steps = sorted(_steps(ckpt_dir))
+    for old in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{old}"), ignore_errors=True)
+
+
+def _steps(ckpt_dir: str) -> list[int]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    steps = _steps(ckpt_dir)
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, like: Any | None = None
+                       ) -> tuple[int, Any, Any, dict] | None:
+    """Restore the newest checkpoint → (step, params, opt_state, meta), or None."""
+    step = latest_step(ckpt_dir)
+    if step is None:
+        return None
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    tree = restore_pytree(path, like)
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return step, tree["params"], tree["opt_state"], meta
+
+
+def _to_py(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if isinstance(v, jax.Array):
+        return np.asarray(v).item() if v.ndim == 0 else np.asarray(v).tolist()
+    return str(v)

@@ -1,0 +1,135 @@
+"""Metric logging / observability.
+
+The reference logs everything to wandb (per-epoch metrics, run summaries,
+angle-distribution images — SURVEY.md §5.5).  wandb is optional here: the
+always-available backend is a local JSONL run directory with the same logical
+schema (per-epoch log + final summary), and a WandbLogger activates when the
+package is importable.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Protocol
+
+import numpy as np
+
+__all__ = ["MetricLogger", "JsonlLogger", "WandbLogger", "MultiLogger",
+           "make_logger", "new_run_id", "angle_distribution_summary"]
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:8]
+
+
+class MetricLogger(Protocol):
+    def log(self, metrics: dict[str, Any], step: int | None = None) -> None: ...
+    def summary(self, values: dict[str, Any]) -> None: ...
+    def finish(self) -> None: ...
+
+
+class JsonlLogger:
+    """Local run directory: config.json + metrics.jsonl + summary.json."""
+
+    def __init__(self, run_dir: str, config: dict[str, Any] | None = None):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        if config is not None:
+            with open(os.path.join(run_dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+        self._f = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        self._summary: dict[str, Any] = {}
+
+    def log(self, metrics: dict[str, Any], step: int | None = None) -> None:
+        rec = {"_time": time.time()}
+        if step is not None:
+            rec["step"] = step
+        rec.update({k: _to_py(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def summary(self, values: dict[str, Any]) -> None:
+        self._summary.update({k: _to_py(v) for k, v in values.items()})
+        with open(os.path.join(self.run_dir, "summary.json"), "w") as f:
+            json.dump(self._summary, f, indent=2, default=str)
+
+    def finish(self) -> None:
+        self._f.close()
+
+
+class WandbLogger:
+    """wandb backend matching the reference's usage (project/config/tags at
+    init, per-epoch wandb.log, run summary).  Import-gated."""
+
+    def __init__(self, project: str, config: dict[str, Any] | None = None,
+                 tags: list[str] | None = None, notes: str = ""):
+        import wandb  # noqa: deferred, optional dependency
+
+        self._wandb = wandb
+        self.run = wandb.init(project=project, config=config, tags=tags, notes=notes)
+
+    def log(self, metrics: dict[str, Any], step: int | None = None) -> None:
+        self._wandb.log(metrics, step=step)
+
+    def summary(self, values: dict[str, Any]) -> None:
+        for k, v in values.items():
+            self.run.summary[k] = v
+
+    def finish(self) -> None:
+        self.run.finish()
+
+
+class MultiLogger:
+    def __init__(self, *loggers: MetricLogger):
+        self.loggers = [l for l in loggers if l is not None]
+
+    def log(self, metrics, step=None):
+        for l in self.loggers:
+            l.log(metrics, step)
+
+    def summary(self, values):
+        for l in self.loggers:
+            l.summary(values)
+
+    def finish(self):
+        for l in self.loggers:
+            l.finish()
+
+
+def make_logger(run_dir: str, config: dict[str, Any] | None = None,
+                wandb_project: str | None = None) -> MetricLogger:
+    """JSONL always; wandb stacked on top when requested AND importable."""
+    loggers: list[MetricLogger] = [JsonlLogger(run_dir, config)]
+    if wandb_project:
+        try:
+            loggers.append(WandbLogger(wandb_project, config))
+        except ImportError:
+            pass
+    return MultiLogger(*loggers) if len(loggers) > 1 else loggers[0]
+
+
+def angle_distribution_summary(poses: np.ndarray) -> dict[str, Any]:
+    """Numeric counterpart of the reference's angle-distribution histograms
+    (Model-88/utilities.py:46-91): dedup, then per-angle histogram stats."""
+    unique = np.unique(poses, axis=0)
+    out: dict[str, Any] = {"num_unique": int(unique.shape[0])}
+    for i, name in enumerate(("yaw", "pitch", "roll")):
+        col = unique[:, i]
+        hist, edges = np.histogram(col, bins=50)
+        out[name] = {
+            "min": float(col.min()), "max": float(col.max()),
+            "mean": float(col.mean()), "std": float(col.std()),
+            "hist": hist.tolist(),
+            "bin_edges": [float(edges[0]), float(edges[-1])],
+        }
+    return out
+
+
+def _to_py(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
+        return v.item()
+    return v

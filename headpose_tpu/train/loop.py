@@ -1,0 +1,270 @@
+"""Training loop: whole epochs as single XLA programs.
+
+The reference trains with Keras model.fit — per-step Python dispatch, host
+batching (train_88.py:355-363, train_96.py:175-183).  Here an epoch is ONE
+jitted program: device-side shuffle (jax.random.permutation), lax.scan over
+batches, fused loss/grad/optimizer updates.  Early stopping, checkpointing,
+and logging run between epochs on host.
+
+Loss semantics match Keras exactly:
+  * MSE reduced over all element axes, then averaged over (optionally
+    sample-weighted) batch rows;
+  * L2 regularization added to the loss (Keras kernel/bias regularizers are
+    loss terms, NOT decoupled weight decay — matters for Adam);
+  * optimizer defaults match Keras (Adam/Adamax eps 1e-7).
+Early stopping mirrors keras.callbacks.EarlyStopping(patience, min_delta,
+restore_best_weights) on val_loss (train_96.py:159-164), and the best-epoch
+checkpoint mirrors ModelCheckpoint(save_best_only=True).
+
+Multi-chip: pass a jax.sharding.Mesh and the batch dimension is sharded over
+its 'data' axis (params replicated) — XLA inserts the gradient psum.  On one
+device this degrades to plain jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.datasets import Dataset
+from ..models.heads import HEAD_REGISTRY, MLPHead
+from .checkpoints import restore_checkpoint, save_checkpoint, save_pytree
+from .config import TrainConfig
+from .logging import MetricLogger, new_run_id
+
+__all__ = ["build_head", "make_optimizer", "fit", "TrainResult", "evaluate"]
+
+
+def build_head(cfg: TrainConfig):
+    """Instantiate a head spec from config (the model zoo switch of
+    train_88.py:309-322 / train_96.py:65-110, as data not commented-out code)."""
+    if cfg.head == "mlp":
+        return MLPHead(cfg.in_features,
+                       ((cfg.num_filters, cfg.activation), (3, "linear")),
+                       dropout_rate=cfg.dropout_rate)
+    cls = HEAD_REGISTRY[cfg.head]
+    kwargs: dict[str, Any] = {"in_features": cfg.in_features}
+    if cfg.head in ("residual_mlp", "skip_mlp"):
+        kwargs.update(activation=cfg.activation, dropout_rate=cfg.dropout_rate)
+    return cls(**kwargs)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Keras-matching optimizers (train_96.py:99-103, train_88.py:323)."""
+    lr = cfg.learning_rate
+    if cfg.optimizer == "sgd":
+        return optax.sgd(lr)
+    if cfg.optimizer == "adamax":
+        return optax.adamax(lr, eps=1e-7)
+    if cfg.optimizer == "adam":
+        return optax.adam(lr, eps=1e-7)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def _pad_dataset(ds: Dataset, multiple: int):
+    """Pad rows to a multiple of the batch size; mask marks real rows."""
+    n = len(ds)
+    n_pad = (-n) % multiple
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+    x = np.concatenate([ds.features, np.zeros((n_pad, ds.num_features), np.float32)])
+    y = np.concatenate([ds.poses, np.zeros((n_pad, 3), np.float32)])
+    w = mask.copy()
+    if ds.weights is not None:
+        w[:n] = ds.weights
+    return {"x": jnp.asarray(x), "y": jnp.asarray(y),
+            "w": jnp.asarray(w), "mask": jnp.asarray(mask)}
+
+
+def _loss_and_metrics(spec, params, batch, rng, reg_rate, train):
+    pred = spec.apply(params, batch["x"], train=train, rng=rng)
+    err = pred - batch["y"]
+    per_sample_mse = jnp.mean(jnp.square(err), axis=-1)
+    per_sample_mae = jnp.mean(jnp.abs(err), axis=-1)
+    w = batch["w"]
+    mask = batch["mask"]
+    denom_w = jnp.maximum(w.sum(), 1e-9)
+    denom_m = jnp.maximum(mask.sum(), 1e-9)
+    mse = (per_sample_mse * w).sum() / denom_w       # keras weighted loss
+    mae = (per_sample_mae * mask).sum() / denom_m    # keras metrics are unweighted
+    loss = mse + spec.l2_penalty(params, reg_rate)
+    return loss, {"loss": mse, "mae": mae}
+
+
+def _make_epoch_fn(spec, cfg: TrainConfig, optimizer, batch_size: int):
+    reg = cfg.regularizer_rate
+
+    def epoch_fn(params, opt_state, data, rng):
+        n = data["x"].shape[0]
+        n_batches = n // batch_size
+        perm_rng, drop_rng = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, n)
+
+        def shuffled(a):
+            return a[perm].reshape((n_batches, batch_size) + a.shape[1:])
+
+        batches = {k: shuffled(v) for k, v in data.items()}
+        batches["_step"] = jnp.arange(n_batches)
+
+        def step(carry, batch):
+            params, opt_state = carry
+            rng_step = jax.random.fold_in(drop_rng, batch.pop("_step"))
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: _loss_and_metrics(spec, p, batch, rng_step, reg, True),
+                has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            del loss
+            return (params, opt_state), metrics
+
+        (params, opt_state), ms = jax.lax.scan(step, (params, opt_state), batches)
+        mean_metrics = jax.tree_util.tree_map(jnp.mean, ms)
+        return params, opt_state, mean_metrics
+
+    return epoch_fn
+
+
+def _make_eval_fn(spec, cfg: TrainConfig):
+    def eval_fn(params, data):
+        _, metrics = _loss_and_metrics(spec, params, data, None,
+                                       cfg.regularizer_rate, False)
+        return metrics
+
+    return eval_fn
+
+
+def evaluate(spec, params, ds: Dataset) -> dict[str, float]:
+    """Unweighted loss (MSE) + MAE on a dataset, one jitted call."""
+    data = _pad_dataset(ds, 1)
+    fn = jax.jit(lambda p, d: _loss_and_metrics(spec, p, d, None, 0.0, False)[1])
+    m = fn(params, data)
+    return {k: float(v) for k, v in m.items()}
+
+
+@dataclasses.dataclass
+class TrainResult:
+    spec: Any
+    params: Any            # best (restored) parameters
+    history: list[dict[str, float]]
+    best_epoch: int
+    best_val_loss: float
+    test_metrics: dict[str, dict[str, float]]
+    run_dir: str | None = None
+
+
+def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
+        test_sets: dict[str, Dataset] | None = None,
+        logger: MetricLogger | None = None, spec=None, params=None,
+        mesh: jax.sharding.Mesh | None = None,
+        resume: bool = False,
+        progress_every: int = 0) -> TrainResult:
+    """Train a pose head.  Mirrors the reference train() flow
+    (train_96.py:113-209): split → callbacks → fit → test evals → summary."""
+    from ..data.datasets import train_val_split
+
+    if val_ds is None:
+        train_ds, val_ds = train_val_split(train_ds, cfg.val_fraction, cfg.split_seed)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    if spec is None:
+        spec = build_head(cfg)
+    if params is None:
+        params = spec.init(rng)
+
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    batch_size = min(cfg.batch_size, len(train_ds))
+    data = _pad_dataset(train_ds, batch_size)
+    val_data = _pad_dataset(val_ds, 1)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        row_sharded = NamedSharding(mesh, P(cfg.data_dim))
+        data = {k: jax.device_put(v, row_sharded) for k, v in data.items()}
+        val_data = {k: jax.device_put(v, row_sharded) for k, v in val_data.items()}
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    epoch_fn = jax.jit(_make_epoch_fn(spec, cfg, optimizer, batch_size),
+                       donate_argnums=(0, 1))
+    eval_fn = jax.jit(_make_eval_fn(spec, cfg))
+
+    run_id = cfg.run_name or new_run_id()
+    ckpt_dir = os.path.join(cfg.checkpoint_dir, run_id)
+    start_epoch = 0
+    best_val = float("inf")
+    best_epoch = -1
+    wait = 0
+    best_params = params
+    history: list[dict[str, float]] = []
+
+    if resume:
+        restored = restore_checkpoint(
+            ckpt_dir, like={"params": params, "opt_state": opt_state})
+        if restored is not None:
+            start_epoch, params, opt_state, meta = restored
+            best_val = meta.get("best_val", best_val)
+            best_epoch = meta.get("best_epoch", best_epoch)
+            wait = meta.get("wait", 0)
+            best_params = params
+
+    t0 = time.time()
+    epoch = start_epoch
+    for epoch in range(start_epoch, cfg.total_epochs):
+        rng, erng = jax.random.split(rng)
+        params, opt_state, train_m = epoch_fn(params, opt_state, data, erng)
+        val_m = eval_fn(params, val_data)
+        rec = {"epoch": epoch,
+               "train_loss": float(train_m["loss"]), "train_mae": float(train_m["mae"]),
+               "val_loss": float(val_m["loss"]), "val_mae": float(val_m["mae"])}
+        history.append(rec)
+        if logger is not None:
+            logger.log(rec, step=epoch)
+        if progress_every and epoch % progress_every == 0:
+            print(f"[{run_id}] epoch {epoch} "
+                  f"loss {rec['train_loss']:.4f} val {rec['val_loss']:.4f} "
+                  f"({time.time() - t0:.1f}s)")
+
+        # EarlyStopping + best-checkpoint semantics
+        if rec["val_loss"] < best_val - cfg.early_stopping_min_delta:
+            best_val = rec["val_loss"]
+            best_epoch = epoch
+            best_params = jax.tree_util.tree_map(lambda a: a.copy(), params)
+            wait = 0
+            save_checkpoint(ckpt_dir, epoch, params, opt_state,
+                            extra={"best_val": best_val, "best_epoch": best_epoch,
+                                   "wait": wait, "run_id": run_id})
+        else:
+            wait += 1
+            if wait >= cfg.early_stopping_patience:
+                break
+
+    final_params = best_params if cfg.restore_best_weights else params
+    save_pytree(os.path.join(ckpt_dir, "best"), final_params)
+
+    test_metrics: dict[str, dict[str, float]] = {}
+    for name, ds in (test_sets or {}).items():
+        test_metrics[name] = evaluate(spec, final_params, ds)
+
+    if logger is not None:
+        summary = {"best_epoch": best_epoch + 1, "best_val_loss": best_val,
+                   "total_parameters": sum(
+                       int(np.prod(a.shape))
+                       for a in jax.tree_util.tree_leaves(final_params)),
+                   "epochs_run": epoch + 1}
+        for name, m in test_metrics.items():
+            summary[f"test_{name}_loss"] = m["loss"]
+            summary[f"test_{name}_mae"] = m["mae"]
+        logger.summary(summary)
+
+    return TrainResult(spec=spec, params=final_params, history=history,
+                       best_epoch=best_epoch, best_val_loss=best_val,
+                       test_metrics=test_metrics, run_dir=ckpt_dir)
