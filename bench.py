@@ -1,0 +1,58 @@
+"""Benchmark: end-to-end detection+pose throughput on the flagship model.
+
+Measures the fused image→detections pipeline (preprocess → BlazeFace backbone
++ SSD + pose heads → decode → NMS → pose gather, ONE XLA program) on whatever
+accelerator jax selects (the driver runs this on a real TPU chip).
+
+Baseline (BASELINE.md): the reference processes 20.6 faces/sec — batch-1
+forward of the same unified model, 48.6 ms/frame on the container CPU, and it
+cannot batch at all (input hardwired [1,128,128,3]).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FACES_PER_SEC = 20.6  # BASELINE.md, measured reference CPU throughput
+
+
+def main() -> None:
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, (params, _) = ge.entry()
+    fn = jax.jit(fn)
+
+    batch = 256
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(batch, 128, 128, 3), dtype=np.int64
+                          ).astype(np.uint8)
+
+    # compile + warmup
+    out = fn(params, frames)
+    jax.block_until_ready(out)
+
+    # measure steady-state, including host→device transfer of the frames
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    frames_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "end-to-end detect+pose throughput",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/sec/chip (batch 256, 128x128 uint8 in, NMS'd results out)",
+        "vs_baseline": round(frames_per_sec / BASELINE_FACES_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

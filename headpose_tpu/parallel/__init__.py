@@ -1,0 +1,6 @@
+"""Parallelism: device meshes and sharding helpers (data + tensor parallel)."""
+from .mesh import (create_mesh, replicate, shard_rows, shard_batch,
+                   DATA_AXIS, MODEL_AXIS)
+
+__all__ = ["create_mesh", "replicate", "shard_rows", "shard_batch",
+           "DATA_AXIS", "MODEL_AXIS"]
