@@ -62,43 +62,46 @@ def pairwise_iou(boxes: jax.Array) -> jax.Array:
 
 
 def nms_static(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
-               max_out: int = MAX_FACES, iou_threshold: float = 0.3):
+               max_out: int = MAX_FACES, iou_threshold: float = 0.3,
+               candidate_cap: int = 448):
     """Greedy NMS with static output shape.
 
     boxes (A, 4), scores (A,), valid (A,) bool → (sel_idx (max_out,),
-    keep (max_out,) bool).  Semantics match tf.image.non_max_suppression:
-    ALL valid candidates participate (not just the top max_out — a candidate
-    far down the score order can survive), and the output is the top max_out
-    SURVIVORS, score-descending, compacted into a dense prefix.
+    keep (max_out,) bool).  Semantics match tf.image.non_max_suppression
+    whenever ≤ candidate_cap detections pass the score filter (anything more
+    is far beyond real scenes — the reference caps OUTPUT at 100): all those
+    candidates participate, and the output is the top max_out SURVIVORS,
+    score-descending, compacted into a dense prefix.
 
-    The greedy scan runs as a lax.while_loop that exits at the first invalid
-    candidate, so its trip count is the number of above-threshold detections
-    (tens), not the anchor count (896).
+    TPU cost shape: one top_k(A→C) instead of a full argsort, a C×C IoU tile
+    (C=256 → 64k elements, VMEM-resident) instead of A×A, and a greedy
+    lax.while_loop that exits at the first invalid candidate — trip count is
+    the number of above-threshold detections (tens), not C.
     """
     num = boxes.shape[0]
+    cap = min(candidate_cap, num)
     neg = jnp.asarray(-1e30, scores.dtype)
     masked = jnp.where(valid, scores, neg)
-    order = jnp.argsort(-masked)  # valid candidates first, score-descending
-    sorted_boxes = boxes[order]
-    sorted_valid = valid[order]
-    iou = pairwise_iou(sorted_boxes)
+    top_scores, cand_idx = jax.lax.top_k(masked, cap)  # score-descending
+    cand_valid = top_scores > neg * 0.5
+    iou = pairwise_iou(boxes[cand_idx])
 
     def cond(state):
         i, _ = state
-        return (i < num) & sorted_valid[jnp.minimum(i, num - 1)]
+        return (i < cap) & cand_valid[jnp.minimum(i, cap - 1)]
 
     def body(state):
         i, keep = state
-        before = jnp.arange(num) < i
+        before = jnp.arange(cap) < i
         suppressed = jnp.any(keep & before & (iou[:, i] > iou_threshold))
         return i + 1, keep.at[i].set(~suppressed)
 
-    _, keep = jax.lax.while_loop(cond, body, (0, jnp.zeros((num,), bool)))
+    _, keep = jax.lax.while_loop(cond, body, (0, jnp.zeros((cap,), bool)))
 
     # compact survivors into a dense score-ordered prefix of length max_out
-    pos = jnp.arange(num)
-    compact = jnp.argsort(jnp.where(keep, pos, pos + num))[:max_out]
-    return order[compact], keep[compact]
+    pos = jnp.arange(cap)
+    compact = jnp.argsort(jnp.where(keep, pos, pos + cap))[:max_out]
+    return cand_idx[compact], keep[compact]
 
 
 def gather_poses(sel_idx: jax.Array, pose_front: jax.Array,
@@ -122,23 +125,51 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
                 pose_front: jax.Array, pose_back: jax.Array,
                 anchors: jax.Array, *,
                 score_threshold: float = 0.4, iou_threshold: float = 0.3,
-                input_size: int = 128, max_faces: int = MAX_FACES):
+                input_size: int = 128, max_faces: int = MAX_FACES,
+                candidate_cap: int = 448):
     """Single-image post-process: (896,) logits, (896, 16) loc, pose maps →
     dict of fixed-size arrays {boxes (F,4), keypoints (F,6,2), scores (F,),
-    poses (F,3), valid (F,)}.  vmap over the batch dimension."""
-    logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
-    valid = scores_logits > logit_thr
-    boxes = decode_boxes(loc, anchors, input_size)
-    keypoints = decode_keypoints(loc, anchors, input_size)
-    probs = jax.nn.sigmoid(scores_logits)
+    poses (F,3), valid (F,)}.  vmap over the batch dimension.
 
-    sel_idx, keep = nms_static(boxes, probs, valid,
-                               max_out=max_faces, iou_threshold=iou_threshold)
+    Cost discipline: nothing is decoded for all 896 anchors.  Boxes are
+    decoded only for the candidate_cap score-filtered candidates (NMS needs
+    them), keypoints only for the max_faces survivors."""
+    logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
+    cap = min(candidate_cap, scores_logits.shape[0])
+    valid = scores_logits > logit_thr
+    masked = jnp.where(valid, scores_logits, -jnp.inf)
+    top_logits, cand_idx = jax.lax.top_k(masked, cap)
+    cand_valid = jnp.isfinite(top_logits)
+
+    cand_boxes = decode_boxes(loc[cand_idx], anchors[cand_idx], input_size)
+    iou = pairwise_iou(cand_boxes)
+
+    def cond(state):
+        i, _ = state
+        return (i < cap) & cand_valid[jnp.minimum(i, cap - 1)]
+
+    def body(state):
+        i, keep = state
+        before = jnp.arange(cap) < i
+        suppressed = jnp.any(keep & before & (iou[:, i] > iou_threshold))
+        return i + 1, keep.at[i].set(~suppressed)
+
+    _, kept = jax.lax.while_loop(cond, body, (0, jnp.zeros((cap,), bool)))
+
+    # compact survivors into a dense score-ordered prefix of length max_faces
+    pos = jnp.arange(cap)
+    compact = jnp.argsort(jnp.where(kept, pos, pos + cap))[:max_faces]
+    keep = kept[compact]
+    sel_idx = cand_idx[compact]
+
     z = jnp.where(keep, 1.0, 0.0)
+    sel_anchors = anchors[sel_idx]
+    sel_loc = loc[sel_idx]
     return {
-        "boxes": boxes[sel_idx] * z[:, None],
-        "keypoints": keypoints[sel_idx] * z[:, None, None],
-        "scores": probs[sel_idx] * z,
+        "boxes": decode_boxes(sel_loc, sel_anchors, input_size) * z[:, None],
+        "keypoints": decode_keypoints(sel_loc, sel_anchors, input_size)
+                     * z[:, None, None],
+        "scores": jax.nn.sigmoid(top_logits[compact]) * z,
         "poses": gather_poses(sel_idx, pose_front, pose_back) * z[:, None],
         "valid": keep,
     }
