@@ -9,5 +9,9 @@ training/eval/sweep stack for the pose-head model zoo.
 __version__ = "0.1.0"
 
 from . import core
+from . import models
+from . import ops
+from . import data
+from . import utils
 
-__all__ = ["core", "__version__"]
+__all__ = ["core", "models", "ops", "data", "utils", "__version__"]

@@ -38,8 +38,8 @@ import numpy as np
 
 __all__ = [
     "MLPHead", "ResidualMLPHead", "SkipMLPHead", "SEMLPHead",
-    "SETransformerHead", "head_from_h5", "mlp_head_from_modeldef",
-    "HEAD_REGISTRY",
+    "SETransformerHead", "head_from_h5", "head_from_keras_json",
+    "mlp_head_from_modeldef", "HEAD_REGISTRY",
 ]
 
 Params = dict[str, Any]
@@ -371,6 +371,41 @@ def head_from_h5(path: str) -> tuple[MLPHead, Params]:
     from ..core.h5io import read_model
 
     return mlp_head_from_modeldef(read_model(path))
+
+
+def head_from_keras_json(path: str, key=None) -> tuple[MLPHead, Params]:
+    """Architecture-only import of a Keras model.json (the reference's
+    load_model_from_json, Model-88/utilities.py:40-44): build the equivalent
+    native MLPHead spec and Glorot-initialize fresh params."""
+    import json
+
+    with open(path) as f:
+        cfg = json.load(f)
+    layers_cfg = cfg["config"]["layers"]
+    in_features = None
+    layers: list[tuple[int, str]] = []
+    dropout = 0.0
+    for l in layers_cfg:
+        cls, c = l["class_name"], l.get("config", {})
+        if cls == "InputLayer":
+            in_features = int(c["batch_input_shape"][-1])
+        elif cls == "Conv2D":
+            layers.append((int(c["filters"]), c.get("activation") or "linear"))
+        elif cls == "Dense":
+            layers.append((int(c["units"]), c.get("activation") or "linear"))
+        elif cls == "SpatialDropout2D":
+            dropout = max(dropout, float(c.get("rate", 0.0)))
+        elif cls in ("Dropout", "Flatten", "Reshape"):
+            continue
+        else:
+            raise ValueError(f"{path}: layer {cls} is not part of an MLP chain")
+    if in_features is None:
+        raise ValueError(f"{path}: no InputLayer found")
+    spec = MLPHead(in_features=in_features, layers=tuple(layers),
+                   dropout_rate=dropout)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return spec, spec.init(key)
 
 
 def mlp_head_from_modeldef(md) -> tuple[MLPHead, Params]:

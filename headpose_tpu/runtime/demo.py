@@ -1,0 +1,114 @@
+"""Live demo: camera/video → detect → smooth → draw → display/record.
+
+Capability parity with the reference webcam __main__
+(BlazePoser/blazeFaceDetectorH5.py:366-449): center-square crop, per-frame
+detection, EMA smoothing (alpha 0.15 — here per face slot, not one shared
+bank), axis/box/keypoint overlay, optional MP4 recording, 'q' to quit.
+Also supports --video for offline files and --frames N headless runs.
+
+    python -m headpose_tpu.runtime.demo --model path/to/unified.h5
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from .detector import FaceDetector
+from .smoothing import TrackSmoother
+from .viz import draw_detections
+from .results import Results
+from ..utils.profiling import FpsCounter
+
+__all__ = ["run_demo"]
+
+DEFAULT_MODEL = ("/root/reference/BlazePoser/UnifiedModels/"
+                 "reg1-stoqa9pt-reg2-hrchr82r-selected.h5")
+
+
+def _center_square(frame: np.ndarray) -> np.ndarray:
+    h, w = frame.shape[:2]
+    side = min(h, w)
+    y, x = (h - side) // 2, (w - side) // 2
+    return frame[y:y + side, x:x + side]
+
+
+def run_demo(model_path: str = DEFAULT_MODEL, source: int | str = 0,
+             record: bool = False, use_ema: bool = True, alpha: float = 0.15,
+             max_frames: int | None = None, display: bool = True) -> int:
+    """Run the live loop.  Returns the number of frames processed."""
+    import cv2
+
+    detector = FaceDetector.from_h5(model_path)
+    smoother = TrackSmoother(alpha)
+    fps = FpsCounter()
+
+    cap = cv2.VideoCapture(source)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open capture source {source!r}")
+
+    writer = None
+    frames = 0
+    try:
+        while max_frames is None or frames < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = _center_square(frame)
+
+            batch = detector.detect(frame)
+            if use_ema:
+                smoothed = smoother(
+                    {"poses": batch.poses, "boxes": batch.boxes,
+                     "keypoints": batch.keypoints},
+                    valid=batch.valid)
+                batch = type(batch)(boxes=smoothed["boxes"],
+                                    keypoints=smoothed["keypoints"],
+                                    scores=batch.scores,
+                                    poses=smoothed["poses"],
+                                    valid=batch.valid)
+            results: Results = batch.trim()[0]
+
+            out = draw_detections(frame, results, fps=fps.tick())
+            if record:
+                if writer is None:
+                    stamp = time.strftime("%Y%m%d-%H%M%S")
+                    writer = cv2.VideoWriter(
+                        f"{stamp}.mp4", cv2.VideoWriter_fourcc(*"mp4v"),
+                        20.0, (out.shape[1], out.shape[0]))
+                writer.write(out)
+            if display:
+                cv2.imshow("headpose_tpu", out)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            frames += 1
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.release()
+        if display:
+            cv2.destroyAllWindows()
+    return frames
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default=DEFAULT_MODEL)
+    p.add_argument("--camera", type=int, default=0)
+    p.add_argument("--video", default=None, help="video file instead of camera")
+    p.add_argument("--record", action="store_true")
+    p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--headless", action="store_true")
+    args = p.parse_args(argv)
+    n = run_demo(model_path=args.model,
+                 source=args.video if args.video else args.camera,
+                 record=args.record, use_ema=not args.no_ema,
+                 max_frames=args.frames, display=not args.headless)
+    print(f"processed {n} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,15 @@ class FaceDetector:
         model, params = unified_from_h5(path)
         return cls(model, params, **kwargs)
 
+    @classmethod
+    def from_native(cls, path: str, **kwargs) -> "FaceDetector":
+        """Load a native model directory saved by tools.export.save_model
+        (e.g. the output of tools.join_cli)."""
+        from ..tools.export import load_model
+
+        model, params = load_model(path)
+        return cls(model, params, **kwargs)
+
     # ------------------------------------------------------------- pipeline
     @functools.partial(jax.jit, static_argnums=0)
     def _pipeline(self, params, images):

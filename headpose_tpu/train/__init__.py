@@ -4,7 +4,8 @@ from .loop import build_head, make_optimizer, fit, TrainResult, evaluate
 from .checkpoints import (save_checkpoint, restore_checkpoint, latest_step,
                           save_pytree, restore_pytree)
 from .logging import (JsonlLogger, WandbLogger, MultiLogger, make_logger,
-                      new_run_id, angle_distribution_summary)
+                      new_run_id, angle_distribution_summary,
+                      learning_curve_summary, plot_learning_curves)
 from .sweep import SweepConfig, load_sweep_file, run_sweep, SweepResult
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "save_pytree", "restore_pytree",
     "JsonlLogger", "WandbLogger", "MultiLogger", "make_logger",
     "new_run_id", "angle_distribution_summary",
+    "learning_curve_summary", "plot_learning_curves",
     "SweepConfig", "load_sweep_file", "run_sweep", "SweepResult",
 ]

@@ -110,6 +110,42 @@ def make_logger(run_dir: str, config: dict[str, Any] | None = None,
     return MultiLogger(*loggers) if len(loggers) > 1 else loggers[0]
 
 
+def learning_curve_summary(history: list[dict[str, Any]]) -> dict[str, Any]:
+    """Numeric counterpart of log_learningcurves (Model-88/utilities.py:93-129):
+    the loss/MAE curves plus best-epoch markers, ready to plot or log."""
+    if not history:
+        return {}
+    keys = ("train_loss", "val_loss", "train_mae", "val_mae")
+    curves = {k: [float(h[k]) for h in history] for k in keys if k in history[0]}
+    best = int(np.argmin(curves.get("val_loss", [0.0])))
+    return {"curves": curves, "best_epoch": best + 1,
+            **{f"best_epoch_{k}": curves[k][best] for k in curves}}
+
+
+def plot_learning_curves(history: list[dict[str, Any]], path: str) -> str | None:
+    """Optional matplotlib rendering of the learning curves to a PNG."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    s = learning_curve_summary(history)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    for ax, pair in zip(axes, (("train_loss", "val_loss"),
+                               ("train_mae", "val_mae"))):
+        for k in pair:
+            if k in s["curves"]:
+                ax.plot(s["curves"][k], label=k)
+        ax.axvline(s["best_epoch"] - 1, ls="--", c="gray", lw=1)
+        ax.legend()
+        ax.set_xlabel("epoch")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def angle_distribution_summary(poses: np.ndarray) -> dict[str, Any]:
     """Numeric counterpart of the reference's angle-distribution histograms
     (Model-88/utilities.py:46-91): dedup, then per-angle histogram stats."""

@@ -181,8 +181,12 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
     opt_state = optimizer.init(params)
 
     batch_size = min(cfg.batch_size, len(train_ds))
+    data_devices = 1 if mesh is None else mesh.shape[cfg.data_dim]
+    # rows must divide evenly across the mesh data axis; with batch_size a
+    # multiple of it, padding to whole batches covers the training data too
+    batch_size = max(data_devices, batch_size - batch_size % data_devices)
     data = _pad_dataset(train_ds, batch_size)
-    val_data = _pad_dataset(val_ds, 1)
+    val_data = _pad_dataset(val_ds, data_devices)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

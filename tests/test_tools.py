@@ -1,0 +1,176 @@
+"""Tests for tools (convert/export/join), viz, demo, geometry, profiling."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from headpose_tpu.models import MLPHead, head_from_keras_json
+from headpose_tpu.tools import (convert_head, save_model, load_model,
+                                join_and_save, extract_id_from_path)
+from headpose_tpu.train import learning_curve_summary
+from headpose_tpu.utils import euler_to_matrix, pose_axes, FpsCounter, Timer
+
+from conftest import REFERENCE_ROOT, has_reference
+
+needs_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference artifacts not mounted")
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+class TestExport:
+    def test_round_trip(self, tmp_path):
+        spec = MLPHead(96, ((32, "tanh"), (3, "linear")))
+        params = spec.init(jax.random.PRNGKey(0))
+        save_model(str(tmp_path / "m"), spec, params, metadata={"note": "x"})
+        spec2, params2 = load_model(str(tmp_path / "m"))
+        assert spec2 == spec
+        x = np.random.default_rng(0).normal(size=(4, 96)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(spec.apply(params, x)),
+                                   np.asarray(spec2.apply(params2, x)),
+                                   rtol=1e-6)
+
+    def test_unified_spec_round_trip(self):
+        from headpose_tpu.models import BLAZEFACE_FRONT, UnifiedPoseModel
+        from headpose_tpu.tools import spec_to_dict, spec_from_dict
+        spec = UnifiedPoseModel(backbone=BLAZEFACE_FRONT,
+                                head88=MLPHead(88, ((3, "linear"),)),
+                                head96=MLPHead(96, ((3, "linear"),)))
+        assert spec_from_dict(spec_to_dict(spec)) == spec
+
+
+@needs_reference
+class TestConvert:
+    def test_convert_validates(self, tmp_path):
+        rep = convert_head(os.path.join(
+            REFERENCE_ROOT,
+            "Model-96/Trained-Models-96-ReshapedInput-NoFlatten/hrchr82r.h5"),
+            str(tmp_path))
+        assert rep.validated and rep.max_abs_error == 0.0
+        spec, params = load_model(rep.output)
+        assert spec.layers == ((32, "tanh"), (16, "tanh"), (3, "linear"))
+
+    def test_convert_fixed_shape_variant(self, tmp_path):
+        """The InputShapeConvertor use-case: fixed (1,1,96)+Flatten artifact →
+        shape-polymorphic native head, numerically equivalent."""
+        rep = convert_head(os.path.join(
+            REFERENCE_ROOT, "Model-96/Trained-Models-96/model_runid_hrchr82r.h5"),
+            str(tmp_path))
+        assert rep.validated
+
+    def test_convert_rejects_non_chain(self, tmp_path):
+        rep = convert_head(os.path.join(
+            REFERENCE_ROOT,
+            "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"),
+            str(tmp_path))
+        assert not rep.converted and rep.error
+
+
+@needs_reference
+class TestJoin:
+    def test_join_and_detect(self, tmp_path):
+        out = join_and_save(
+            os.path.join(REFERENCE_ROOT,
+                         "BlazePoser/UnifiedModels/reg1-4121t6zb-reg2-cl4obelj.h5"),
+            os.path.join(REFERENCE_ROOT, "Model-88/Trained-Models-88/stoqa9pt.h5"),
+            os.path.join(REFERENCE_ROOT,
+                         "Model-96/Trained-Models-96-ReshapedInput-NoFlatten/hrchr82r.h5"),
+            str(tmp_path))
+        assert os.path.basename(out) == "reg1-stoqa9pt-reg2-hrchr82r"
+        from headpose_tpu.runtime import FaceDetector
+        det = FaceDetector.from_native(out, score_threshold=0.05)
+        g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+        res = det.detect_single(g["img0"])
+        # same weights as the shipped selected unified model → same detections
+        np.testing.assert_allclose(res.scores, g["scores0"], atol=1e-4)
+
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            join_and_save("/nope.h5", "/nope.h5", "/nope.h5", str(tmp_path))
+
+    def test_extract_id(self):
+        assert extract_id_from_path("/a/b/stoqa9pt.h5") == "stoqa9pt"
+        assert extract_id_from_path("/a/b/mymodel/") == "mymodel"
+
+
+@needs_reference
+def test_keras_json_import():
+    spec, params = head_from_keras_json(
+        os.path.join(REFERENCE_ROOT, "Model-88", "model.json"))
+    assert spec.in_features == 88
+    assert spec.layers == ((64, "softsign"), (3, "linear"))
+    y = spec.apply(params, np.zeros((2, 88), np.float32))
+    assert y.shape == (2, 3)
+
+
+class TestGeometry:
+    def test_rotation_matrix_properties(self):
+        m = euler_to_matrix(10.0, -30.0, 45.0)
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-12)
+
+    def test_identity(self):
+        np.testing.assert_allclose(euler_to_matrix(0, 0, 0), np.eye(3))
+
+    def test_pose_axes_at_zero(self):
+        axes = pose_axes(0.0, 0.0, 0.0, 100.0, 100.0, size=50.0)
+        np.testing.assert_allclose(axes["x"], (150.0, 100.0))  # +x right
+        np.testing.assert_allclose(axes["y"], (100.0, 150.0))  # y down (image)
+        np.testing.assert_allclose(axes["z"], (100.0, 100.0), atol=1e-9)
+
+
+class TestVizAndDemo:
+    def test_draw_detections(self):
+        cv2 = pytest.importorskip("cv2")
+        from headpose_tpu.runtime import Results, draw_detections
+        img = np.zeros((240, 240, 3), np.uint8)
+        res = Results(boxes=np.array([[0.2, 0.2, 0.6, 0.6]], np.float32),
+                      keypoints=np.full((1, 6, 2), 0.4, np.float32),
+                      scores=np.array([0.9], np.float32),
+                      poses=np.array([[10.0, -5.0, 3.0]], np.float32))
+        out = draw_detections(img, res, fps=30.0)
+        assert out.sum() > 0  # something was drawn
+
+    @needs_reference
+    def test_demo_on_video_file(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        video = str(tmp_path / "in.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (160, 120))
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            w.write(rng.integers(0, 256, (120, 160, 3)).astype(np.uint8))
+        w.release()
+        from headpose_tpu.runtime.demo import run_demo
+        import os as _os
+        _os.chdir(tmp_path)  # demo records into cwd
+        n = run_demo(model_path=os.path.join(
+            REFERENCE_ROOT,
+            "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"),
+            source=video, display=False, record=True, max_frames=3)
+        assert n == 3
+        assert any(f.endswith(".mp4") and f != "in.mp4"
+                   for f in _os.listdir(tmp_path))
+
+
+class TestProfiling:
+    def test_fps_counter(self):
+        f = FpsCounter()
+        assert f.tick() >= 0.0
+
+    def test_timer(self):
+        t = Timer()
+        with t.section("a"):
+            pass
+        rep = t.report()
+        assert rep["a"]["count"] == 1
+
+
+def test_learning_curve_summary():
+    hist = [{"train_loss": 3.0, "val_loss": 2.0, "train_mae": 1.0, "val_mae": 1.0},
+            {"train_loss": 1.0, "val_loss": 0.5, "train_mae": 0.7, "val_mae": 0.6},
+            {"train_loss": 0.9, "val_loss": 0.8, "train_mae": 0.6, "val_mae": 0.7}]
+    s = learning_curve_summary(hist)
+    assert s["best_epoch"] == 2
+    assert s["best_epoch_val_loss"] == 0.5
+    assert len(s["curves"]["train_loss"]) == 3
