@@ -1,0 +1,62 @@
+"""Pallas kernel tests (interpret mode — CPU-runnable, numerics-exact).
+
+The same kernels were validated compiled on a real TPU v5e chip:
+  mlp_head_forward:        maxerr 0.0 vs XLA, 1.28 ms / 131k rows
+  se_transformer_forward:  maxerr 0.012 vs XLA (both default-precision MXU),
+                           2.40 ms / 256 16x16x88 maps
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from headpose_tpu.models import MLPHead, SETransformerHead
+from headpose_tpu.ops.pallas import mlp_head_forward, se_transformer_forward
+
+
+class TestMLPKernel:
+    @pytest.mark.parametrize("layers", [
+        ((32, "tanh"), (16, "tanh"), (3, "linear")),   # hrchr82r arch
+        ((64, "softsign"), (3, "linear")),              # stoqa9pt arch
+        ((3, "linear"),),                               # trivial head
+    ])
+    def test_matches_reference_apply(self, layers):
+        spec = MLPHead(96, layers)
+        params = spec.init(jax.random.PRNGKey(0))
+        x = np.random.default_rng(0).normal(size=(700, 96)).astype(np.float32)
+        y_ref = np.asarray(spec.apply(params, x))
+        y_pl = np.asarray(mlp_head_forward(spec, params, jnp.asarray(x),
+                                           interpret=True))
+        np.testing.assert_allclose(y_pl, y_ref, rtol=1e-6, atol=1e-6)
+
+    def test_ragged_rows(self):
+        """Row counts that don't divide the tile must pad+trim correctly."""
+        spec = MLPHead(88, ((8, "tanh"), (3, "linear")))
+        params = spec.init(jax.random.PRNGKey(1))
+        x = np.random.default_rng(1).normal(size=(513, 88)).astype(np.float32)
+        y = np.asarray(mlp_head_forward(spec, params, jnp.asarray(x),
+                                        tile=256, interpret=True))
+        assert y.shape == (513, 3)
+        y_ref = np.asarray(spec.apply(params, x))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-6, atol=1e-6)
+
+
+class TestSEAttentionKernel:
+    def test_matches_reference_apply(self):
+        spec = SETransformerHead(in_features=88)
+        params = spec.init(jax.random.PRNGKey(2))
+        x = np.random.default_rng(2).normal(size=(3, 16, 16, 88)).astype(np.float32)
+        y_ref = np.asarray(spec.apply(params, jnp.asarray(x)))
+        y_pl = np.asarray(se_transformer_forward(spec, params, jnp.asarray(x),
+                                                 interpret=True))
+        np.testing.assert_allclose(y_pl, y_ref, rtol=1e-4, atol=1e-5)
+
+    def test_8x8_maps(self):
+        spec = SETransformerHead(in_features=96, num_heads=2, key_dim=8)
+        params = spec.init(jax.random.PRNGKey(3))
+        x = np.random.default_rng(3).normal(size=(2, 8, 8, 96)).astype(np.float32)
+        y_ref = np.asarray(spec.apply(params, jnp.asarray(x)))
+        y_pl = np.asarray(se_transformer_forward(spec, params, jnp.asarray(x),
+                                                 interpret=True))
+        assert y_pl.shape == (2, 8, 8, 3)
+        np.testing.assert_allclose(y_pl, y_ref, rtol=1e-4, atol=1e-5)
