@@ -13,5 +13,10 @@ from . import models
 from . import ops
 from . import data
 from . import utils
+from . import runtime
+from . import train
+from . import parallel
+from . import tools
 
-__all__ = ["core", "models", "ops", "data", "utils", "__version__"]
+__all__ = ["core", "models", "ops", "data", "utils", "runtime", "train",
+           "parallel", "tools", "__version__"]

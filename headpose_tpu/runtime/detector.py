@@ -58,6 +58,17 @@ class FaceDetector:
         return cls(model, params, **kwargs)
 
     @classmethod
+    def from_h5_compat(cls, path: str, **kwargs) -> "FaceDetector":
+        """Load ANY reference-format unified H5 through the graph compiler —
+        works even when the grafted pose heads are not plain 1x1-conv chains
+        (SE-transformer variants etc.), at the cost of the compat layer's
+        generic execution."""
+        from ..core.graph import load_graph_model
+
+        gm = load_graph_model(path)
+        return cls(_GraphUnifiedAdapter(gm), gm.params, **kwargs)
+
+    @classmethod
     def from_native(cls, path: str, **kwargs) -> "FaceDetector":
         """Load a native model directory saved by tools.export.save_model
         (e.g. the output of tools.join_cli)."""
@@ -98,3 +109,23 @@ class FaceDetector:
     def warmup(self, shape: tuple[int, ...] = (1, 480, 480, 3)) -> None:
         """Trigger compilation for a given input shape."""
         self.detect(np.zeros(shape, np.uint8))
+
+
+class _GraphUnifiedAdapter:
+    """Adapts a compiled 6-output unified GraphModel (core.graph) to the
+    UnifiedPoseModel apply contract (dict with scores/loc/pose maps)."""
+
+    def __init__(self, graph_model):
+        self._gm = graph_model
+
+    def apply(self, params, x, **_):
+        cls_f, cls_b, loc_f, loc_b, pose_f, pose_b = self._gm.apply(params, x)
+        B = x.shape[0]
+        return {
+            "scores": jnp.concatenate(
+                [cls_f.reshape(B, -1), cls_b.reshape(B, -1)], axis=1),
+            "loc": jnp.concatenate(
+                [loc_f.reshape(B, -1, 16), loc_b.reshape(B, -1, 16)], axis=1),
+            "pose_front": pose_f,
+            "pose_back": pose_b,
+        }

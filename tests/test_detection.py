@@ -86,13 +86,10 @@ class TestPostprocess:
 
 @needs_reference
 class TestEndToEnd:
-    @pytest.fixture(scope="class")
-    def detector(self):
-        from headpose_tpu.runtime import FaceDetector
-        return FaceDetector.from_h5(
-            os.path.join(REFERENCE_ROOT,
-                         "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"),
-            score_threshold=0.05)  # matches the e2e golden capture threshold
+    @pytest.fixture()
+    def detector(self, production_detector):
+        # session-cached; thresholds match the e2e golden capture (0.05)
+        return production_detector
 
     @pytest.mark.parametrize("case", [0, 1])
     def test_detect_parity(self, detector, case):
@@ -144,3 +141,18 @@ class TestSmoothing:
         sm(jnp.asarray([[10.0]]), valid=jnp.asarray([True]))
         out = np.asarray(sm(jnp.asarray([[999.0]]), valid=jnp.asarray([False])))
         assert np.isclose(out[0, 0], 10.0)
+
+
+@needs_reference
+def test_from_h5_compat_matches_native(production_detector):
+    """The graph-compiler-backed detector (works for ANY unified H5) must
+    produce the same detections as the native import path."""
+    from headpose_tpu.runtime import FaceDetector
+    from conftest import UNIFIED_H5
+    det = FaceDetector.from_h5_compat(UNIFIED_H5, score_threshold=0.05)
+    g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+    res = det.detect_single(g["img0"])
+    ref = production_detector.detect_single(g["img0"])
+    assert len(res) == len(ref)
+    np.testing.assert_allclose(res.scores, ref.scores, atol=1e-5)
+    np.testing.assert_allclose(res.poses, ref.poses, atol=1e-3)

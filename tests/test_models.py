@@ -102,19 +102,17 @@ class TestNativeImport:
             REFERENCE_ROOT, "Model-96/Trained-Models-96/model_runid_hrchr82r.h5"))
         assert spec.layers == ((32, "tanh"), (16, "tanh"), (3, "linear"))
 
-    def test_unified_native_parity(self):
+    def test_unified_native_parity(self, unified_native):
         g = np.load(os.path.join(GOLDEN, "unified_forward.npz"))
-        model, params = unified_from_h5(os.path.join(
-            REFERENCE_ROOT, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+        model, params = unified_native
         outs = jax.jit(model.reference_outputs)(params, g["inputs"])
         for i, o in enumerate(outs):
             np.testing.assert_allclose(
                 np.asarray(o), g[f"out{i}"], rtol=1e-3, atol=2e-4,
                 err_msg=f"output {i}")
 
-    def test_backbone_batch_polymorphic(self):
-        model, params = unified_from_h5(os.path.join(
-            REFERENCE_ROOT, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+    def test_backbone_batch_polymorphic(self, unified_native):
+        model, params = unified_native
         for b in (1, 3):
             out = model.apply(params, jnp.zeros((b, 128, 128, 3)))
             assert out["scores"].shape == (b, 896)
@@ -122,13 +120,12 @@ class TestNativeImport:
             assert out["pose_front"].shape == (b, 16, 16, 3)
             assert out["pose_back"].shape == (b, 8, 8, 3)
 
-    def test_bf16_activations_bounded(self):
+    def test_bf16_activations_bounded(self, unified_native):
         """bfloat16 backbone is opt-in: measured divergence on random inputs is
         up to ~1.3 degrees per pose-map cell (why f32 stays the accuracy-path
         default; the MAE budget in BASELINE.md is 0.1 degrees)."""
         g = np.load(os.path.join(GOLDEN, "unified_forward.npz"))
-        model, params = unified_from_h5(os.path.join(
-            REFERENCE_ROOT, "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"))
+        model, params = unified_native
         full = model.apply(params, g["inputs"])
         bf = model.backbone.apply(params["backbone"], g["inputs"], dtype=jnp.bfloat16)
         pose_f32 = np.asarray(full["pose_front"])
