@@ -125,51 +125,61 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
                 pose_front: jax.Array, pose_back: jax.Array,
                 anchors: jax.Array, *,
                 score_threshold: float = 0.4, iou_threshold: float = 0.3,
-                input_size: int = 128, max_faces: int = MAX_FACES,
-                candidate_cap: int = 448):
+                input_size: int = 128, max_faces: int = MAX_FACES):
     """Single-image post-process: (896,) logits, (896, 16) loc, pose maps →
     dict of fixed-size arrays {boxes (F,4), keypoints (F,6,2), scores (F,),
     poses (F,3), valid (F,)}.  vmap over the batch dimension.
 
-    Cost discipline: nothing is decoded for all 896 anchors.  Boxes are
-    decoded only for the candidate_cap score-filtered candidates (NMS needs
-    them), keypoints only for the max_faces survivors."""
+    NMS runs as SELECTION-based greedy: iteratively argmax the remaining
+    scores, emit that box, and suppress its >IoU-threshold neighbours on the
+    fly.  This is exactly tf.image.non_max_suppression's result (greedy by
+    descending score over ALL candidates, ties broken by lower index) with
+    no sort, no top-k, no pairwise-IoU matrix, and no candidate cap — the
+    while_loop trip count is the number of SURVIVORS (≤ max_faces, typically
+    the number of faces in frame).  Keypoints are decoded only for survivors.
+    """
     logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
-    cap = min(candidate_cap, scores_logits.shape[0])
-    valid = scores_logits > logit_thr
-    masked = jnp.where(valid, scores_logits, -jnp.inf)
-    top_logits, cand_idx = jax.lax.top_k(masked, cap)
-    cand_valid = jnp.isfinite(top_logits)
+    num = scores_logits.shape[0]
+    neg = -jnp.inf
+    remaining = jnp.where(scores_logits > logit_thr, scores_logits, neg)
 
-    cand_boxes = decode_boxes(loc[cand_idx], anchors[cand_idx], input_size)
-    iou = pairwise_iou(cand_boxes)
+    boxes = decode_boxes(loc, anchors, input_size)          # (A, 4) elementwise
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    idx_range = jnp.arange(num)
 
     def cond(state):
-        i, _ = state
-        return (i < cap) & cand_valid[jnp.minimum(i, cap - 1)]
+        remaining, _, count = state
+        return (count < max_faces) & jnp.isfinite(jnp.max(remaining))
 
     def body(state):
-        i, keep = state
-        before = jnp.arange(cap) < i
-        suppressed = jnp.any(keep & before & (iou[:, i] > iou_threshold))
-        return i + 1, keep.at[i].set(~suppressed)
+        remaining, sel, count = state
+        i = jnp.argmax(remaining)
+        # IoU of the selected box against all anchors, computed on the fly
+        ix1 = jnp.maximum(x1, x1[i])
+        iy1 = jnp.maximum(y1, y1[i])
+        ix2 = jnp.minimum(x2, x2[i])
+        iy2 = jnp.minimum(y2, y2[i])
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = area + area[i] - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+        remaining = jnp.where((iou > iou_threshold) | (idx_range == i),
+                              neg, remaining)
+        sel = sel.at[count].set(i)
+        return remaining, sel, count + 1
 
-    _, kept = jax.lax.while_loop(cond, body, (0, jnp.zeros((cap,), bool)))
+    _, sel_idx, count = jax.lax.while_loop(
+        cond, body, (remaining, jnp.zeros((max_faces,), jnp.int32), 0))
 
-    # compact survivors into a dense score-ordered prefix of length max_faces
-    pos = jnp.arange(cap)
-    compact = jnp.argsort(jnp.where(kept, pos, pos + cap))[:max_faces]
-    keep = kept[compact]
-    sel_idx = cand_idx[compact]
-
+    keep = jnp.arange(max_faces) < count
     z = jnp.where(keep, 1.0, 0.0)
     sel_anchors = anchors[sel_idx]
     sel_loc = loc[sel_idx]
     return {
-        "boxes": decode_boxes(sel_loc, sel_anchors, input_size) * z[:, None],
+        "boxes": boxes[sel_idx] * z[:, None],
         "keypoints": decode_keypoints(sel_loc, sel_anchors, input_size)
                      * z[:, None, None],
-        "scores": jax.nn.sigmoid(top_logits[compact]) * z,
+        "scores": jax.nn.sigmoid(scores_logits[sel_idx]) * z,
         "poses": gather_poses(sel_idx, pose_front, pose_back) * z[:, None],
         "valid": keep,
     }
