@@ -107,3 +107,24 @@ def test_artifact_zoo_loads():
             x = rng.normal(size=in_shape).astype(np.float32)
             y = np.asarray(m(x))
             assert np.isfinite(y).all(), fn
+
+
+@needs_reference
+@pytest.mark.slow
+def test_entire_artifact_zoo_loads_and_runs():
+    """Every one of the ~688 shipped H5 artifacts compiles and runs batched.
+    (Marked slow: ~3 minutes on the container CPU; run with -m slow.)"""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REFERENCE_ROOT, "**", "*.h5"),
+                             recursive=True))
+    assert len(files) > 600
+    for f in files:
+        m = load_graph_model(f)
+        md = m.definition
+        in_layer = md.layers[md.inputs[0][0]]
+        shape = in_layer.config.get("batch_input_shape")
+        shape = [2] + [int(s) if s else 4 for s in shape[1:]]
+        y = m(np.zeros(shape, np.float32))
+        leaves = y if isinstance(y, tuple) else (y,)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), f
