@@ -170,12 +170,9 @@ class ResidualMLPHead:
     def l2_penalty(self, params: Params, rate: float):
         if rate == 0.0:
             return 0.0
-        leaves = jax.tree_util.tree_leaves(
-            {k: v for k, v in params.items()})
         # reference regularizes kernels only here (attention_model.py:113-166)
         kernels = [params["proj"]["w"], params["bottleneck"]["w"], params["out"]["w"]]
         kernels += [blk[k]["w"] for blk in params["blocks"] for k in ("fc1", "fc2")]
-        del leaves
         return rate * sum(jnp.sum(jnp.square(w)) for w in kernels)
 
 

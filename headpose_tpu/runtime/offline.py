@@ -1,0 +1,129 @@
+"""Offline video processing: batched detection over whole files.
+
+The reference can only process video frame-by-frame through its batch-1 model
+(webcam loop, blazeFaceDetectorH5.py:366-449).  This pipeline reads a video,
+runs detection in large device batches, applies EMA smoothing as a lax.scan
+over the whole timeline (runtime.smoothing.smooth_sequence), and optionally
+writes the annotated video — the high-throughput path for processing recorded
+footage.
+
+    python -m headpose_tpu.runtime.offline in.mp4 --model unified.h5 --out annotated.mp4
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from .detector import FaceDetector
+from .results import BatchResults
+from .smoothing import smooth_sequence
+
+__all__ = ["process_video", "process_frames"]
+
+
+@dataclasses.dataclass
+class VideoResults:
+    """Per-frame detection slabs for a whole clip (T frames)."""
+
+    boxes: np.ndarray      # (T, F, 4)
+    keypoints: np.ndarray  # (T, F, 6, 2)
+    scores: np.ndarray     # (T, F)
+    poses: np.ndarray      # (T, F, 3)
+    valid: np.ndarray      # (T, F)
+
+
+def process_frames(detector: FaceDetector, frames: np.ndarray,
+                   batch_size: int = 64, smooth_alpha: float | None = 0.15
+                   ) -> VideoResults:
+    """frames (T, H, W, 3) BGR → VideoResults, detection batched on device,
+    smoothing as one scan over the timeline."""
+    chunks = []
+    for start in range(0, len(frames), batch_size):
+        chunk = frames[start:start + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:  # keep one compiled shape
+            chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
+        batch = detector.detect(chunk)
+        chunks.append((batch, batch_size - pad))
+
+    def cat(field):
+        return np.concatenate([np.asarray(getattr(b, field))[:n]
+                               for b, n in chunks])
+
+    out = VideoResults(boxes=cat("boxes"), keypoints=cat("keypoints"),
+                       scores=cat("scores"), poses=cat("poses"),
+                       valid=cat("valid"))
+    if smooth_alpha is not None:
+        smoothed = smooth_sequence(
+            {"poses": out.poses, "boxes": out.boxes, "keypoints": out.keypoints},
+            smooth_alpha, valid=out.valid)
+        out.poses = np.asarray(smoothed["poses"])
+        out.boxes = np.asarray(smoothed["boxes"])
+        out.keypoints = np.asarray(smoothed["keypoints"])
+    return out
+
+
+def process_video(detector: FaceDetector, path: str, out_path: str | None = None,
+                  batch_size: int = 64, smooth_alpha: float | None = 0.15,
+                  max_frames: int | None = None) -> VideoResults:
+    """Read a video file, detect over all frames, optionally write an
+    annotated copy.  Needs cv2 for IO/drawing."""
+    import cv2
+
+    from .results import Results
+    from .viz import draw_detections
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video {path!r}")
+    frames = []
+    while max_frames is None or len(frames) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 20.0
+    cap.release()
+    if not frames:
+        raise RuntimeError(f"no frames in {path!r}")
+    frames = np.stack(frames)
+
+    results = process_frames(detector, frames, batch_size, smooth_alpha)
+
+    if out_path:
+        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (frames.shape[2], frames.shape[1]))
+        for t in range(len(frames)):
+            m = results.valid[t]
+            res = Results(boxes=results.boxes[t][m],
+                          keypoints=results.keypoints[t][m],
+                          scores=results.scores[t][m],
+                          poses=results.poses[t][m])
+            writer.write(draw_detections(frames[t], res))
+        writer.release()
+    return results
+
+
+def main(argv=None) -> None:
+    from .demo import DEFAULT_MODEL
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("video")
+    p.add_argument("--model", default=DEFAULT_MODEL)
+    p.add_argument("--out", default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--no_smooth", action="store_true")
+    p.add_argument("--max_frames", type=int, default=None)
+    args = p.parse_args(argv)
+    det = FaceDetector.from_h5(args.model)
+    res = process_video(det, args.video, args.out, args.batch_size,
+                        None if args.no_smooth else 0.15, args.max_frames)
+    counts = res.valid.sum(axis=1)
+    print(f"{len(counts)} frames, faces/frame min {counts.min()} "
+          f"max {counts.max()} mean {counts.mean():.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -201,13 +201,18 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
                        donate_argnums=(0, 1))
     eval_fn = jax.jit(_make_eval_fn(spec, cfg))
 
+    def _copy(tree):
+        # epoch_fn donates its param/opt buffers — anything retained across
+        # epochs (best weights, rollback state) must be an owning copy
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a).copy(), tree)
+
     run_id = cfg.run_name or new_run_id()
     ckpt_dir = os.path.join(cfg.checkpoint_dir, run_id)
     start_epoch = 0
     best_val = float("inf")
     best_epoch = -1
     wait = 0
-    best_params = params
+    best_params = _copy(params)
     history: list[dict[str, float]] = []
 
     if resume:
@@ -218,10 +223,11 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
             best_val = meta.get("best_val", best_val)
             best_epoch = meta.get("best_epoch", best_epoch)
             wait = meta.get("wait", 0)
-            best_params = params
+            best_params = _copy(params)
 
     t0 = time.time()
     epoch = start_epoch
+    nan_recoveries = 0
     for epoch in range(start_epoch, cfg.total_epochs):
         rng, erng = jax.random.split(rng)
         params, opt_state, train_m = epoch_fn(params, opt_state, data, erng)
@@ -229,6 +235,20 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
         rec = {"epoch": epoch,
                "train_loss": float(train_m["loss"]), "train_mae": float(train_m["mae"]),
                "val_loss": float(val_m["loss"]), "val_mae": float(val_m["mae"])}
+
+        # failure detection: a non-finite loss (divergence/overflow) rolls the
+        # run back to the best weights with a fresh optimizer — the reference
+        # had no such guard (SURVEY.md §5.3); a NaN there poisons the run
+        if not (np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])):
+            nan_recoveries += 1
+            if nan_recoveries > 3:
+                break
+            params = _copy(best_params)
+            opt_state = optimizer.init(params)
+            if logger is not None:
+                logger.log({"epoch": epoch, "nan_recovery": nan_recoveries},
+                           step=epoch)
+            continue
         history.append(rec)
         if logger is not None:
             logger.log(rec, step=epoch)
@@ -241,7 +261,7 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
         if rec["val_loss"] < best_val - cfg.early_stopping_min_delta:
             best_val = rec["val_loss"]
             best_epoch = epoch
-            best_params = jax.tree_util.tree_map(lambda a: a.copy(), params)
+            best_params = _copy(params)
             wait = 0
             save_checkpoint(ckpt_dir, epoch, params, opt_state,
                             extra={"best_val": best_val, "best_epoch": best_epoch,

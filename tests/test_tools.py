@@ -174,3 +174,67 @@ def test_learning_curve_summary():
     assert s["best_epoch"] == 2
     assert s["best_epoch_val_loss"] == 0.5
     assert len(s["curves"]["train_loss"]) == 3
+
+
+class TestBackfill:
+    def test_backfill_updates_summaries(self, tmp_path):
+        """The test.py:71-122 workflow: re-evaluate historical runs' best
+        checkpoints and write the metric into their summaries."""
+        import jax
+        from headpose_tpu.data import Dataset
+        from headpose_tpu.train import config_96, fit, JsonlLogger
+        from headpose_tpu.tools.backfill import backfill_runs
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(128, 8)).astype(np.float32)
+        ds = Dataset(x, x @ rng.normal(size=(8, 3)).astype(np.float32))
+        runs = tmp_path / "runs"
+        for name in ("r1", "r2"):
+            cfg = config_96(in_features=8, num_filters=4, total_epochs=3,
+                            checkpoint_dir=str(tmp_path / "ckpt"), run_name=name)
+            logger = JsonlLogger(str(runs / name), cfg.to_dict())
+            fit(cfg, ds, logger=logger)
+            logger.finish()
+
+        dsfile = str(tmp_path / "eval.npz")
+        np.savez(dsfile, features=ds.features, poses=ds.poses)
+        results = backfill_runs(str(runs), dsfile, verbose=False)
+        assert set(results) == {"r1", "r2"}
+        assert all(v is not None for v in results.values())
+        summary = json.load(open(runs / "r1" / "summary.json"))
+        assert "test_AFLW2000_mae" in summary
+
+
+class TestOffline:
+    @needs_reference
+    def test_process_video(self, tmp_path, production_detector):
+        cv2 = pytest.importorskip("cv2")
+        video = str(tmp_path / "in.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (128, 128))
+        rng = np.random.default_rng(0)
+        for _ in range(9):
+            w.write(rng.integers(0, 256, (128, 128, 3)).astype(np.uint8))
+        w.release()
+        from headpose_tpu.runtime.offline import process_video
+        out = str(tmp_path / "out.mp4")
+        res = process_video(production_detector, video, out, batch_size=4)
+        assert res.boxes.shape[0] == 9
+        assert os.path.exists(out)
+
+
+def test_nan_guard_recovers(tmp_path):
+    """Training failure detection: a diverging run (huge lr) must either
+    recover via rollback or stop cleanly — never emit NaN history rows."""
+    import numpy as np
+    from headpose_tpu.data import Dataset
+    from headpose_tpu.train import config_96, fit
+
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(256, 8)) * 1e3).astype(np.float32)
+    ds = Dataset(x, (x @ rng.normal(size=(8, 3))).astype(np.float32))
+    cfg = config_96(in_features=8, num_filters=4, total_epochs=30,
+                    learning_rate=1e18, checkpoint_dir=str(tmp_path),
+                    early_stopping_patience=50)
+    res = fit(cfg, ds)
+    assert all(np.isfinite(h["train_loss"]) for h in res.history)
