@@ -2,10 +2,11 @@
 from .detector import FaceDetector
 from .results import Results, BatchResults
 from .smoothing import EmaState, ema_init, ema_update, smooth_sequence, TrackSmoother
+from .streaming import detect_stream
 from .viz import draw_detections
 
 __all__ = [
     "FaceDetector", "Results", "BatchResults",
     "EmaState", "ema_init", "ema_update", "smooth_sequence", "TrackSmoother",
-    "draw_detections",
+    "draw_detections", "detect_stream",
 ]

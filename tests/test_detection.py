@@ -156,3 +156,19 @@ def test_from_h5_compat_matches_native(production_detector):
     assert len(res) == len(ref)
     np.testing.assert_allclose(res.scores, ref.scores, atol=1e-5)
     np.testing.assert_allclose(res.poses, ref.poses, atol=1e-3)
+
+
+@needs_reference
+def test_detect_stream_order_and_parity(production_detector):
+    """Streaming wrapper yields in-order results identical to direct detect."""
+    from headpose_tpu.runtime.streaming import detect_stream
+    g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+    b0 = np.stack([g["img0"], g["img0"]])
+    b1 = np.stack([g["img1"][:256, :256], g["img1"][:256, :256]])
+    outs = list(detect_stream(production_detector, [b0, b1, b0], prefetch=2))
+    assert len(outs) == 3
+    direct = production_detector.detect(b0)
+    np.testing.assert_allclose(np.asarray(outs[0].scores),
+                               np.asarray(direct.scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[2].scores),
+                               np.asarray(direct.scores), atol=1e-6)
