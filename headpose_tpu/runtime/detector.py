@@ -42,7 +42,7 @@ class FaceDetector:
     def __init__(self, model: UnifiedPoseModel, params: Any,
                  score_threshold: float = 0.4, iou_threshold: float = 0.3,
                  max_faces: int = MAX_FACES, input_size: int = 128,
-                 channel_order: str = "bgr"):
+                 channel_order: str = "bgr", precision: str = "highest"):
         self.model = model
         self.params = params
         self.score_threshold = float(score_threshold)
@@ -50,6 +50,10 @@ class FaceDetector:
         self.max_faces = int(max_faces)
         self.input_size = int(input_size)
         self.channel_order = channel_order
+        # 'highest' pins exact-f32 matmuls/convs — on TPU the default bf16
+        # passes cost ~1 degree on pose maps, blowing the 0.1-degree parity
+        # budget (BASELINE.md).  Set 'default' to trade accuracy for speed.
+        self.precision = precision
         self.anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
 
     @classmethod
@@ -81,8 +85,9 @@ class FaceDetector:
     @functools.partial(jax.jit, static_argnums=0)
     def _pipeline(self, params, images):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program."""
-        x = preprocess(images, self.input_size, self.channel_order)
-        out = self.model.apply(params, x)
+        with jax.default_matmul_precision(self.precision):
+            x = preprocess(images, self.input_size, self.channel_order)
+            out = self.model.apply(params, x)
         post = jax.vmap(
             lambda s, l, pf, pb: postprocess(
                 s, l, pf, pb, self.anchors,
