@@ -1,0 +1,41 @@
+"""Pretrained models shipped with the framework.
+
+`pretrained/unified-stoqa9pt-hrchr82r` is the production unified model
+(BlazeFace backbone + SSD heads + reg1 stoqa9pt + reg2 hrchr82r, 110,964
+params) imported from the reference's selected H5
+(BlazePoser/blazeFaceDetectorH5.py:102) into the native format — forward
+parity ≤2e-4, reproduces the measured BASELINE.md MAE.  With it the framework
+is fully standalone: no reference mount needed to detect, demo, or benchmark.
+"""
+from __future__ import annotations
+
+import os
+
+__all__ = ["PRETRAINED_DIR", "FLAGSHIP", "flagship_path", "load_flagship",
+           "flagship_detector"]
+
+PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "..", "pretrained")
+FLAGSHIP = "unified-stoqa9pt-hrchr82r"
+
+
+def flagship_path() -> str | None:
+    path = os.path.join(PRETRAINED_DIR, FLAGSHIP)
+    return path if os.path.isdir(path) else None
+
+
+def load_flagship():
+    """(UnifiedPoseModel, params) for the shipped production model."""
+    from .tools.export import load_model
+
+    path = flagship_path()
+    if path is None:
+        raise FileNotFoundError(f"pretrained model missing: {PRETRAINED_DIR}/{FLAGSHIP}")
+    return load_model(path)
+
+
+def flagship_detector(**kwargs):
+    """A ready-to-use FaceDetector on the shipped production model."""
+    from .runtime.detector import FaceDetector
+
+    model, params = load_flagship()
+    return FaceDetector(model, params, **kwargs)

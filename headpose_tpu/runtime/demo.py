@@ -35,13 +35,21 @@ def _center_square(frame: np.ndarray) -> np.ndarray:
     return frame[y:y + side, x:x + side]
 
 
-def run_demo(model_path: str = DEFAULT_MODEL, source: int | str = 0,
+def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
              max_frames: int | None = None, display: bool = True) -> int:
-    """Run the live loop.  Returns the number of frames processed."""
+    """Run the live loop.  Returns the number of frames processed.
+    model_path: H5 file, native model dir, or None for the shipped flagship."""
     import cv2
 
-    detector = FaceDetector.from_h5(model_path)
+    if model_path is None:
+        from ..pretrained import flagship_detector
+
+        detector = flagship_detector()
+    elif os.path.isdir(model_path):
+        detector = FaceDetector.from_native(model_path)
+    else:
+        detector = FaceDetector.from_h5(model_path)
     smoother = TrackSmoother(alpha)
     fps = FpsCounter()
 
@@ -95,7 +103,7 @@ def run_demo(model_path: str = DEFAULT_MODEL, source: int | str = 0,
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default=DEFAULT_MODEL)
+    p.add_argument("--model", default=None, help="H5 or native model dir; default: shipped flagship")
     p.add_argument("--camera", type=int, default=0)
     p.add_argument("--video", default=None, help="video file instead of camera")
     p.add_argument("--record", action="store_true")

@@ -107,17 +107,17 @@ def process_video(detector: FaceDetector, path: str, out_path: str | None = None
 
 
 def main(argv=None) -> None:
-    from .demo import DEFAULT_MODEL
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("video")
-    p.add_argument("--model", default=DEFAULT_MODEL)
+    p.add_argument("--model", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no_smooth", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
     args = p.parse_args(argv)
-    det = FaceDetector.from_h5(args.model)
+    det = (FaceDetector.from_h5(args.model) if args.model
+           else __import__("headpose_tpu.pretrained", fromlist=["flagship_detector"]).flagship_detector())
     res = process_video(det, args.video, args.out, args.batch_size,
                         None if args.no_smooth else 0.15, args.max_frames)
     counts = res.valid.sum(axis=1)
