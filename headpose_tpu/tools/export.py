@@ -72,9 +72,15 @@ def save_model(path: str, spec: Any, params: Any,
 
 
 def load_model(path: str) -> tuple[Any, Any]:
-    """Load a native model directory → (spec, params)."""
+    """Load a native model directory → (spec, params).  Params are committed
+    to the default device — host-resident numpy params would re-transfer on
+    every jitted call."""
+    import jax
+    import jax.numpy as jnp
+
     with open(os.path.join(path, "spec.json")) as f:
         doc = json.load(f)
     spec = spec_from_dict(doc["spec"])
     params = restore_pytree(os.path.join(path, "params"))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     return spec, params

@@ -34,10 +34,22 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def restore_pytree(path: str, like: Any | None = None) -> Any:
-    """Restore a pytree.  Orbax round-trips containers as plain lists/dicts;
-    when ``like`` is given the restored leaves are re-imposed onto its typed
+    """Restore a pytree as host numpy arrays (device/backend-agnostic — a
+    checkpoint written under one jax backend restores under any other; plain
+    restore would try to materialize the saved shardings and fail across
+    backends).  Orbax round-trips containers as plain lists/dicts; when
+    ``like`` is given the restored leaves are re-imposed onto its typed
     structure (NamedTuple optimizer states etc.)."""
-    restored = _checkpointer().restore(os.path.abspath(path))
+    import orbax.checkpoint as ocp
+
+    ckptr = _checkpointer()
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path).item_metadata
+    meta_tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree,
+        is_leaf=lambda x: hasattr(x, "shape"))
+    restored = ckptr.restore(path, restore_args=restore_args)
     if like is None:
         return restored
     treedef = jax.tree_util.tree_structure(like)

@@ -128,3 +128,17 @@ def test_entire_artifact_zoo_loads_and_runs():
         y = m(np.zeros(shape, np.float32))
         leaves = y if isinstance(y, tuple) else (y,)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves), f
+
+
+@needs_reference
+def test_zoo_sample_numeric_parity():
+    """12 randomly sampled zoo heads (4 per artifact family) match their
+    tf-keras outputs (goldens in tests/golden/zoo_heads.npz)."""
+    g = np.load(os.path.join(GOLDEN, "zoo_heads.npz"))
+    for tag in g["names"]:
+        path = str(g[f"path_{tag}"])
+        m = load_graph_model(path)
+        y = np.asarray(m(g[f"x_{tag}"]))
+        ref = g[f"y_{tag}"]
+        np.testing.assert_allclose(y.reshape(ref.shape), ref,
+                                   rtol=1e-4, atol=1e-4, err_msg=tag)
