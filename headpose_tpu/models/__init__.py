@@ -3,7 +3,8 @@ from .anchors import AnchorConfig, FRONT_CONFIG, generate_anchors
 from .blazeface import BlazeFace, BLAZEFACE_FRONT, blazeface_from_h5
 from .heads import (
     MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead, SETransformerHead,
-    head_from_h5, head_from_keras_json, mlp_head_from_modeldef, HEAD_REGISTRY,
+    head_from_h5, head_from_keras_json, se_transformer_from_h5,
+    mlp_head_from_modeldef, HEAD_REGISTRY,
 )
 from .unified import UnifiedPoseModel, unified_from_h5, join_models
 
@@ -12,6 +13,7 @@ __all__ = [
     "BlazeFace", "BLAZEFACE_FRONT", "blazeface_from_h5",
     "MLPHead", "ResidualMLPHead", "SkipMLPHead", "SEMLPHead",
     "SETransformerHead", "head_from_h5", "head_from_keras_json",
+    "se_transformer_from_h5",
     "mlp_head_from_modeldef", "HEAD_REGISTRY",
     "UnifiedPoseModel", "unified_from_h5", "join_models",
 ]

@@ -38,7 +38,7 @@ import numpy as np
 
 __all__ = [
     "MLPHead", "ResidualMLPHead", "SkipMLPHead", "SEMLPHead",
-    "SETransformerHead", "head_from_h5", "head_from_keras_json",
+    "SETransformerHead", "head_from_h5", "head_from_keras_json", "se_transformer_from_h5",
     "mlp_head_from_modeldef", "HEAD_REGISTRY",
 ]
 
@@ -403,6 +403,70 @@ def head_from_keras_json(path: str, key=None) -> tuple[MLPHead, Params]:
     if key is None:
         key = jax.random.PRNGKey(0)
     return spec, spec.init(key)
+
+
+def se_transformer_from_h5(path: str) -> tuple[SETransformerHead, Params]:
+    """Import a reference SE-Transformer head H5 into the native head.
+
+    Notable: the reference's own toolchain cannot load these artifacts in a
+    modern environment — their Lambda layers carry Python-version-pinned
+    marshal bytecode that tf-keras fails to deserialize ('bad marshal data').
+    The native import reads weights directly and maps them onto
+    SETransformerHead, whose reshapes replace the Lambdas.
+    """
+    from ..core.h5io import read_model
+
+    md = read_model(path)
+    dense, convs, lns, mha = [], [], [], None
+    in_features = None
+    for name in md.order:
+        layer = md.layers[name]
+        cls = layer.class_name
+        if cls == "InputLayer":
+            in_features = int(layer.config["batch_input_shape"][-1])
+        elif cls == "Dense":
+            dense.append((layer.weights["kernel"], layer.weights["bias"],
+                          layer.config.get("activation")))
+        elif cls == "Conv2D":
+            k = np.asarray(layer.weights["kernel"])
+            convs.append((k[0, 0], layer.weights["bias"]))
+        elif cls == "LayerNormalization":
+            lns.append((layer.weights["gamma"], layer.weights["beta"]))
+        elif cls == "MultiHeadAttention":
+            mha = layer.weights
+    if mha is None or len(dense) != 4 or len(convs) != 2 or len(lns) != 2:
+        raise ValueError(f"{path}: not an SE-Transformer head "
+                         f"(dense={len(dense)}, convs={len(convs)}, lns={len(lns)})")
+
+    qk = np.asarray(mha["query/kernel"])  # (C, H, D)
+    C, Hn, D = qk.shape
+    se1, se2, ff1, ff2 = dense
+    spec = SETransformerHead(
+        in_features=in_features,
+        reduction=in_features // se1[0].shape[1],
+        num_heads=Hn, key_dim=D,
+        ff_dim=ff1[0].shape[1],
+        hidden=convs[0][0].shape[1],
+        out_features=convs[1][0].shape[1])
+
+    def dn(w, b):
+        return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+    params: Params = {
+        "se": {"fc1": dn(se1[0], se1[1]), "fc2": dn(se2[0], se2[1])},
+        "query": dn(mha["query/kernel"], mha["query/bias"]),
+        "key": dn(mha["key/kernel"], mha["key/bias"]),
+        "value": dn(mha["value/kernel"], mha["value/bias"]),
+        "attn_out": dn(mha["attention_output/kernel"],
+                       mha["attention_output/bias"]),
+        "ln1": {"g": jnp.asarray(lns[0][0]), "b": jnp.asarray(lns[0][1])},
+        "ff1": dn(ff1[0], ff1[1]),
+        "ff2": dn(ff2[0], ff2[1]),
+        "ln2": {"g": jnp.asarray(lns[1][0]), "b": jnp.asarray(lns[1][1])},
+        "fc": dn(*convs[0]),
+        "out": dn(*convs[1]),
+    }
+    return spec, params
 
 
 def mlp_head_from_modeldef(md) -> tuple[MLPHead, Params]:

@@ -132,3 +132,25 @@ class TestNativeImport:
         pose_bf = np.asarray(model.head88.apply(
             params["head88"], bf["feat88"].astype(jnp.float32)))
         assert np.abs(pose_f32 - pose_bf).max() < 3.0  # degrees, documented bound
+
+
+@needs_reference
+def test_se_transformer_import_three_way_agreement():
+    """The 7 shipped SE-Transformer artifacts cannot be loaded by tf-keras in
+    a modern environment (their Lambda layers carry Python-version-pinned
+    marshal bytecode).  Our three independent implementations — the graph
+    compiler, the native head, and the Pallas kernel — must agree on them."""
+    from headpose_tpu.models import se_transformer_from_h5
+    from headpose_tpu.core import load_graph_model
+    from headpose_tpu.ops.pallas import se_transformer_forward
+
+    path = os.path.join(REFERENCE_ROOT, "Model-88/Trained-Models-88/ker7z9mv.h5")
+    spec, params = se_transformer_from_h5(path)
+    assert spec.in_features == 88 and spec.num_heads == 1
+    gm = load_graph_model(path)
+    xm = np.random.default_rng(11).normal(size=(2, 16, 16, 88)).astype(np.float32)
+    y_graph = np.asarray(gm(xm))
+    y_native = np.asarray(spec.apply(params, xm))
+    y_pallas = np.asarray(se_transformer_forward(spec, params, xm, interpret=True))
+    np.testing.assert_allclose(y_native, y_graph, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y_pallas, y_graph, rtol=1e-4, atol=1e-4)
