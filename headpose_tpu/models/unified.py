@@ -22,7 +22,7 @@ from typing import Any
 import jax
 
 from .blazeface import BlazeFace, BLAZEFACE_FRONT, blazeface_from_h5
-from .heads import MLPHead, mlp_head_from_modeldef
+from .heads import mlp_head_from_modeldef
 
 __all__ = ["UnifiedPoseModel", "unified_from_h5", "join_models"]
 

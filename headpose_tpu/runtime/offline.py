@@ -17,7 +17,6 @@ import dataclasses
 import numpy as np
 
 from .detector import FaceDetector
-from .results import BatchResults
 from .smoothing import smooth_sequence
 
 __all__ = ["process_video", "process_frames"]

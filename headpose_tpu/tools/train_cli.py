@@ -18,7 +18,7 @@ import json
 import os
 import sys
 
-from ..data import standard_splits, train_val_split
+from ..data import standard_splits
 from ..train import (TrainConfig, config_88, config_96, fit, make_logger,
                      new_run_id, angle_distribution_summary,
                      load_sweep_file, run_sweep)

@@ -23,10 +23,10 @@ device this degrades to plain jit.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 import os
 import time
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
