@@ -60,3 +60,26 @@ class TestSEAttentionKernel:
                                                  interpret=True))
         assert y_pl.shape == (2, 8, 8, 3)
         np.testing.assert_allclose(y_pl, y_ref, rtol=1e-4, atol=1e-5)
+
+
+class TestFusedBackbone:
+    @pytest.mark.skipif(
+        __import__("os").path.isdir("/root/reference") is False,
+        reason="needs pretrained flagship")
+    def test_matches_xla_backbone(self):
+        """The fully-fused backbone kernel (all 17 layers VMEM-resident)
+        matches the XLA backbone at f32 within float accumulation noise."""
+        from headpose_tpu.pretrained import load_flagship
+        from headpose_tpu.ops.pallas.backbone import backbone_forward
+
+        model, params = load_flagship()
+        bb = model.backbone
+        x = np.random.default_rng(0).uniform(-1, 1, (5, 128, 128, 3)).astype(np.float32)
+        with jax.default_matmul_precision("highest"):
+            ref = bb.apply(params["backbone"], x)
+        f88, f96 = backbone_forward(bb, params["backbone"], x, tile=4,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(f88), np.asarray(ref["feat88"]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f96), np.asarray(ref["feat96"]),
+                                   rtol=1e-4, atol=1e-5)
