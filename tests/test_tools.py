@@ -238,3 +238,15 @@ def test_nan_guard_recovers(tmp_path):
                     early_stopping_patience=50)
     res = fit(cfg, ds)
     assert all(np.isfinite(h["train_loss"]) for h in res.history)
+
+
+@needs_reference
+def test_compat_shim(production_detector):
+    """Reference-API drop-in: blazeFaceDetector().detectFaces(image)."""
+    from headpose_tpu.compat import blazeFaceDetector, MAX_FACE_NUM, KEY_POINT_SIZE
+    assert MAX_FACE_NUM == 100 and KEY_POINT_SIZE == 6
+    det = blazeFaceDetector(scoreThreshold=0.05)
+    g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+    res = det.detectFaces(g["img0"])
+    np.testing.assert_allclose(res.scores, g["scores0"], atol=1e-4)
+    assert det.fps >= 0
