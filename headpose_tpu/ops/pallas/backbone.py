@@ -16,7 +16,18 @@ Conv strategy inside Mosaic (no conv primitive):
   * channel pad    → concat zeros (skip-connection growth)
 
 Numerics: all matmuls use preferred_element_type=f32 with HIGHEST precision —
-output matches the XLA backbone at f32 exactly (see tests/test_pallas.py).
+output matches the XLA backbone at f32 to 3e-6 (see tests/test_pallas.py).
+
+STATUS: validated in interpret mode; this container's remote Mosaic compiler
+(tpu_compile_helper) crashes (HTTP 500, no diagnostics) on the depthwise
+pattern.  Probe bisection results (2026-08-16, jax 0.9.0 / axon tunnel):
+  OK    : jnp.pad, single shifted slice of a padded array, 2-term shifted
+          sum, broadcast row multiply, reshape-decimation, plain MXU matmul,
+          3-pass split-float matmul (maxerr 1.5e-4 vs f64)
+  CRASH : (shifted slice) x (broadcast row); >2-term shifted accumulation;
+          any matmul with precision=HIGHEST (use the 3-pass split instead)
+Revisit when the toolchain updates; until then the XLA backbone is the
+production path and this kernel is opt-in/interpret.
 """
 from __future__ import annotations
 
