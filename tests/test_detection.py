@@ -172,3 +172,13 @@ def test_detect_stream_order_and_parity(production_detector):
                                np.asarray(direct.scores), atol=1e-6)
     np.testing.assert_allclose(np.asarray(outs[2].scores),
                                np.asarray(direct.scores), atol=1e-6)
+
+
+@needs_reference
+def test_detect_accepts_float_and_uint8(production_detector):
+    """uint8 and float 0-255 inputs give identical detections."""
+    g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+    r1 = production_detector.detect_single(g["img0"])
+    r2 = production_detector.detect_single(g["img0"].astype(np.float32))
+    assert len(r1) == len(r2)
+    np.testing.assert_allclose(r1.scores, r2.scores, atol=1e-5)

@@ -154,3 +154,14 @@ def test_se_transformer_import_three_way_agreement():
     y_pallas = np.asarray(se_transformer_forward(spec, params, xm, interpret=True))
     np.testing.assert_allclose(y_native, y_graph, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(y_pallas, y_graph, rtol=1e-4, atol=1e-4)
+
+
+def test_back_camera_anchor_config():
+    """The back-camera anchor table (256 input, strides 16/32/32/32 —
+    blazeFaceDetectorH5.py INPUT_BACK) also yields 896 anchors on the same
+    grid structure."""
+    from headpose_tpu.models.anchors import BACK_CONFIG
+    a = generate_anchors(BACK_CONFIG)
+    assert a.shape == (896, 4)
+    assert np.isclose(a[0, 0], 0.5 / 16)   # 16x16 grid, 2/cell
+    assert np.isclose(a[512, 0], 0.5 / 8)  # 8x8 grid, 6/cell
