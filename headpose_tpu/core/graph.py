@@ -31,7 +31,7 @@ import numpy as np
 
 from .h5io import LayerDef, ModelDef, read_model
 
-__all__ = ["GraphModel", "load_graph_model", "compile_model"]
+__all__ = ["GraphModel", "TrainableGraphHead", "load_graph_model", "compile_model"]
 
 Params = dict[str, Any]
 
@@ -317,6 +317,46 @@ class GraphModel:
     def param_count(self) -> int:
         return sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(self.params))
+
+
+class TrainableGraphHead:
+    """Adapts a compiled graph HEAD to the training-loop spec contract
+    (apply(params, x, train=..., rng=...) + l2_penalty), so ANY reference H5
+    pose head — including architectures with no native equivalent — can be
+    fine-tuned directly with headpose_tpu.train.fit:
+
+        gm = load_graph_model("some_head.h5")
+        spec = TrainableGraphHead(gm, in_features=96)
+        result = fit(cfg, dataset, spec=spec, params=gm.params)
+
+    Inference semantics (dropout = identity) are used for both train and eval
+    passes; L2 regularization applies to every 'kernel' leaf.
+    """
+
+    def __init__(self, graph_model: GraphModel, in_features: int):
+        self._gm = graph_model
+        self.in_features = in_features
+
+    def apply(self, params, x, *, train: bool = False, rng=None):
+        del train, rng
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[:, None, None, :]
+        y = self._gm.apply(params, x)
+        if isinstance(y, tuple):
+            raise ValueError("head graphs must have a single output")
+        return y.reshape(y.shape[0], -1) if squeeze else y
+
+    def l2_penalty(self, params, rate: float):
+        if rate == 0.0:
+            return 0.0
+        total = 0.0
+        for layer in params.values():
+            if isinstance(layer, dict):
+                for name, w in layer.items():
+                    if "kernel" in name:
+                        total = total + jnp.sum(jnp.square(w))
+        return rate * total
 
 
 def compile_model(model_def: ModelDef, **kwargs) -> GraphModel:

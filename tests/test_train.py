@@ -182,3 +182,21 @@ class TestEvaluator:
                          "FeatureMaps-Datasets/BIWI_Test_Enlarged_features_88_0.7_1.npz"),
             verbose=False)
         np.testing.assert_allclose(m["MAE"]["average"], 3.446, atol=0.01)
+
+
+@needs_reference
+def test_finetune_any_h5_artifact(tmp_path):
+    """Any reference H5 head fine-tunes directly with fit() via
+    TrainableGraphHead — incl. architectures with no native equivalent."""
+    from headpose_tpu.core import load_graph_model, TrainableGraphHead
+
+    gm = load_graph_model(os.path.join(
+        REFERENCE_ROOT, "Model-88/Trained-Models-88/ker7z9mv.h5"))  # SE-transformer
+    spec = TrainableGraphHead(gm, in_features=88)
+    ds = synthetic_dataset(128, 88)
+    cfg = config_96(in_features=88, total_epochs=6, batch_size=64,
+                    learning_rate=1e-3, checkpoint_dir=str(tmp_path),
+                    early_stopping_patience=50)
+    res = fit(cfg, ds, spec=spec, params=gm.params)
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+    assert float(spec.l2_penalty(res.params, 1e-3)) > 0.0
