@@ -34,6 +34,12 @@ class TrainConfig:
     early_stopping_min_delta: float = 1e-3
     monitor_metric: str = "val_loss"
     restore_best_weights: bool = True
+    # plateau LR schedule (the ReduceLROnPlateau both reference trainers
+    # carry commented out — train_88.py:346-351, train_96.py:166-171)
+    reduce_lr_on_plateau: bool = False
+    reduce_lr_factor: float = 0.5
+    reduce_lr_patience: int = 10
+    min_lr: float = 1e-6
     # data
     val_fraction: float = 0.2
     split_seed: int = 42

@@ -57,15 +57,22 @@ def build_head(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Keras-matching optimizers (train_96.py:99-103, train_88.py:323)."""
-    lr = cfg.learning_rate
-    if cfg.optimizer == "sgd":
-        return optax.sgd(lr)
-    if cfg.optimizer == "adamax":
-        return optax.adamax(lr, eps=1e-7)
-    if cfg.optimizer == "adam":
-        return optax.adam(lr, eps=1e-7)
-    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    """Keras-matching optimizers (train_96.py:99-103, train_88.py:323).
+    With reduce_lr_on_plateau the learning rate becomes an injected
+    hyperparameter so fit() can lower it between epochs."""
+    factories = {
+        "sgd": optax.sgd,
+        "adamax": lambda lr: optax.adamax(lr, eps=1e-7),
+        "adam": lambda lr: optax.adam(lr, eps=1e-7),
+    }
+    if cfg.optimizer not in factories:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    factory = factories[cfg.optimizer]
+    if cfg.reduce_lr_on_plateau:
+        return optax.inject_hyperparams(
+            lambda learning_rate: factory(learning_rate))(
+            learning_rate=cfg.learning_rate)
+    return factory(cfg.learning_rate)
 
 
 def _pad_dataset(ds: Dataset, multiple: int):
@@ -270,6 +277,17 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
             wait += 1
             if wait >= cfg.early_stopping_patience:
                 break
+            # ReduceLROnPlateau (train_88.py:346-351 semantics)
+            if (cfg.reduce_lr_on_plateau
+                    and wait > 0 and wait % cfg.reduce_lr_patience == 0):
+                cur = float(opt_state.hyperparams["learning_rate"])
+                new_lr = max(cur * cfg.reduce_lr_factor, cfg.min_lr)
+                if new_lr < cur:
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                        new_lr, jnp.float32)
+                    if logger is not None:
+                        logger.log({"epoch": epoch, "learning_rate": new_lr},
+                                   step=epoch)
 
     final_params = best_params if cfg.restore_best_weights else params
     save_pytree(os.path.join(ckpt_dir, "best"), final_params)

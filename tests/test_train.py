@@ -200,3 +200,22 @@ def test_finetune_any_h5_artifact(tmp_path):
     res = fit(cfg, ds, spec=spec, params=gm.params)
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
     assert float(spec.l2_penalty(res.params, 1e-3)) > 0.0
+
+
+def test_reduce_lr_on_plateau(tmp_path):
+    """The ReduceLROnPlateau schedule (reference carried it commented out)
+    lowers the injected lr when val_loss stops improving."""
+    ds = synthetic_dataset()
+    cfg = config_96(in_features=16, num_filters=8, total_epochs=30,
+                    learning_rate=1e-8,  # negligible → plateaus immediately
+                    early_stopping_patience=25,
+                    reduce_lr_on_plateau=True, reduce_lr_patience=3,
+                    reduce_lr_factor=0.5, min_lr=1e-9,
+                    checkpoint_dir=str(tmp_path), run_name="lr")
+    logger = JsonlLogger(str(tmp_path / "run"))
+    fit(cfg, ds, logger=logger)
+    logger.finish()
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path / "run"), "metrics.jsonl"))]
+    lrs = [r["learning_rate"] for r in recs if "learning_rate" in r]
+    assert len(lrs) >= 2 and lrs[1] < lrs[0]
