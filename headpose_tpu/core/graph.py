@@ -254,6 +254,15 @@ def _compile(model: ModelDef) -> Callable:
 
     input_names = [ref[0] for ref in model.inputs]
 
+    # the executor maps each layer to ONE call node; a layer invoked at
+    # several graph positions (weight sharing) would silently compute wrong
+    # values, so reject it loudly (none of the 688 reference artifacts do this)
+    for layer in model.layers.values():
+        if len(layer.inbound) > 1:
+            raise NotImplementedError(
+                f"layer {layer.name!r} has {len(layer.inbound)} call nodes; "
+                "multi-call (shared) layers are not supported")
+
     def apply_fn(params: Params, inputs: list) -> list:
         values: dict[str, Any] = {}
         for name, x in zip(input_names, inputs):

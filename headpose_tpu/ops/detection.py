@@ -61,47 +61,56 @@ def pairwise_iou(boxes: jax.Array) -> jax.Array:
     return jnp.where(union > 0.0, inter / union, 0.0)
 
 
-def nms_static(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
-               max_out: int = MAX_FACES, iou_threshold: float = 0.3,
-               candidate_cap: int = 448):
-    """Greedy NMS with static output shape.
+def _selection_nms(remaining: jax.Array, x1, y1, x2, y2,
+                   max_out: int, iou_threshold: float):
+    """Core selection-based greedy NMS: iteratively argmax `remaining`
+    (masked scores, -inf = ineligible), emit that box, suppress its
+    IoU>threshold neighbours on the fly.  Exactly
+    tf.image.non_max_suppression's result (greedy by descending score over
+    ALL candidates, lower-index tie-break) with no sort and no pairwise-IoU
+    matrix; the while_loop trip count is the number of SURVIVORS.
 
-    boxes (A, 4), scores (A,), valid (A,) bool → (sel_idx (max_out,),
-    keep (max_out,) bool).  Semantics match tf.image.non_max_suppression
-    whenever ≤ candidate_cap detections pass the score filter (anything more
-    is far beyond real scenes — the reference caps OUTPUT at 100): all those
-    candidates participate, and the output is the top max_out SURVIVORS,
-    score-descending, compacted into a dense prefix.
-
-    TPU cost shape: one top_k(A→C) instead of a full argsort, a C×C IoU tile
-    (C=256 → 64k elements, VMEM-resident) instead of A×A, and a greedy
-    lax.while_loop that exits at the first invalid candidate — trip count is
-    the number of above-threshold detections (tens), not C.
-    """
-    num = boxes.shape[0]
-    cap = min(candidate_cap, num)
-    neg = jnp.asarray(-1e30, scores.dtype)
-    masked = jnp.where(valid, scores, neg)
-    top_scores, cand_idx = jax.lax.top_k(masked, cap)  # score-descending
-    cand_valid = top_scores > neg * 0.5
-    iou = pairwise_iou(boxes[cand_idx])
+    Returns (sel (max_out,) int32 score-descending, count)."""
+    num = remaining.shape[0]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    idx_range = jnp.arange(num)
 
     def cond(state):
-        i, _ = state
-        return (i < cap) & cand_valid[jnp.minimum(i, cap - 1)]
+        remaining, _, count = state
+        return (count < max_out) & jnp.isfinite(jnp.max(remaining))
 
     def body(state):
-        i, keep = state
-        before = jnp.arange(cap) < i
-        suppressed = jnp.any(keep & before & (iou[:, i] > iou_threshold))
-        return i + 1, keep.at[i].set(~suppressed)
+        remaining, sel, count = state
+        i = jnp.argmax(remaining)
+        ix1 = jnp.maximum(x1, x1[i])
+        iy1 = jnp.maximum(y1, y1[i])
+        ix2 = jnp.minimum(x2, x2[i])
+        iy2 = jnp.minimum(y2, y2[i])
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = area + area[i] - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+        remaining = jnp.where((iou > iou_threshold) | (idx_range == i),
+                              -jnp.inf, remaining)
+        sel = sel.at[count].set(i)
+        return remaining, sel, count + 1
 
-    _, keep = jax.lax.while_loop(cond, body, (0, jnp.zeros((cap,), bool)))
+    _, sel, count = jax.lax.while_loop(
+        cond, body, (remaining, jnp.zeros((max_out,), jnp.int32), 0))
+    return sel, count
 
-    # compact survivors into a dense score-ordered prefix of length max_out
-    pos = jnp.arange(cap)
-    compact = jnp.argsort(jnp.where(keep, pos, pos + cap))[:max_out]
-    return cand_idx[compact], keep[compact]
+
+def nms_static(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
+               max_out: int = MAX_FACES, iou_threshold: float = 0.3):
+    """Greedy NMS with static output shape.
+
+    boxes (A, 4) corner boxes, scores (A,), valid (A,) bool →
+    (sel_idx (max_out,) score-descending, keep (max_out,) bool dense prefix).
+    tf.image.non_max_suppression semantics over ALL valid candidates."""
+    remaining = jnp.where(valid, scores, -jnp.inf)
+    sel, count = _selection_nms(remaining, boxes[:, 0], boxes[:, 1],
+                                boxes[:, 2], boxes[:, 3],
+                                max_out, iou_threshold)
+    return sel, jnp.arange(max_out) < count
 
 
 def gather_poses(sel_idx: jax.Array, pose_front: jax.Array,
@@ -139,37 +148,12 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
     the number of faces in frame).  Keypoints are decoded only for survivors.
     """
     logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
-    num = scores_logits.shape[0]
-    neg = -jnp.inf
-    remaining = jnp.where(scores_logits > logit_thr, scores_logits, neg)
+    remaining = jnp.where(scores_logits > logit_thr, scores_logits, -jnp.inf)
 
     boxes = decode_boxes(loc, anchors, input_size)          # (A, 4) elementwise
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    idx_range = jnp.arange(num)
-
-    def cond(state):
-        remaining, _, count = state
-        return (count < max_faces) & jnp.isfinite(jnp.max(remaining))
-
-    def body(state):
-        remaining, sel, count = state
-        i = jnp.argmax(remaining)
-        # IoU of the selected box against all anchors, computed on the fly
-        ix1 = jnp.maximum(x1, x1[i])
-        iy1 = jnp.maximum(y1, y1[i])
-        ix2 = jnp.minimum(x2, x2[i])
-        iy2 = jnp.minimum(y2, y2[i])
-        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-        union = area + area[i] - inter
-        iou = jnp.where(union > 0.0, inter / union, 0.0)
-        remaining = jnp.where((iou > iou_threshold) | (idx_range == i),
-                              neg, remaining)
-        sel = sel.at[count].set(i)
-        return remaining, sel, count + 1
-
-    _, sel_idx, count = jax.lax.while_loop(
-        cond, body, (remaining, jnp.zeros((max_faces,), jnp.int32), 0))
+    sel_idx, count = _selection_nms(
+        remaining, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3],
+        max_faces, iou_threshold)
 
     keep = jnp.arange(max_faces) < count
     z = jnp.where(keep, 1.0, 0.0)
