@@ -61,7 +61,7 @@ def pairwise_iou(boxes: jax.Array) -> jax.Array:
     return jnp.where(union > 0.0, inter / union, 0.0)
 
 
-def _selection_nms(remaining: jax.Array, x1, y1, x2, y2,
+def _selection_nms(remaining: jax.Array, boxes: jax.Array,
                    max_out: int, iou_threshold: float):
     """Core selection-based greedy NMS: iteratively argmax `remaining`
     (masked scores, -inf = ineligible), emit that box, suppress its
@@ -72,12 +72,16 @@ def _selection_nms(remaining: jax.Array, x1, y1, x2, y2,
 
     Returns (sel (max_out,) int32 score-descending, count)."""
     num = remaining.shape[0]
+    # robustness to pathological scores: NaN never wins an argmax nor stops
+    # the loop; +inf behaves as the top candidate instead of aborting
+    remaining = jnp.where(jnp.isnan(remaining), -jnp.inf, remaining)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
     idx_range = jnp.arange(num)
 
     def cond(state):
         remaining, _, count = state
-        return (count < max_out) & jnp.isfinite(jnp.max(remaining))
+        return (count < max_out) & (jnp.max(remaining) > -jnp.inf)
 
     def body(state):
         remaining, sel, count = state
@@ -107,9 +111,7 @@ def nms_static(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     (sel_idx (max_out,) score-descending, keep (max_out,) bool dense prefix).
     tf.image.non_max_suppression semantics over ALL valid candidates."""
     remaining = jnp.where(valid, scores, -jnp.inf)
-    sel, count = _selection_nms(remaining, boxes[:, 0], boxes[:, 1],
-                                boxes[:, 2], boxes[:, 3],
-                                max_out, iou_threshold)
+    sel, count = _selection_nms(remaining, boxes, max_out, iou_threshold)
     return sel, jnp.arange(max_out) < count
 
 
@@ -151,9 +153,7 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
     remaining = jnp.where(scores_logits > logit_thr, scores_logits, -jnp.inf)
 
     boxes = decode_boxes(loc, anchors, input_size)          # (A, 4) elementwise
-    sel_idx, count = _selection_nms(
-        remaining, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3],
-        max_faces, iou_threshold)
+    sel_idx, count = _selection_nms(remaining, boxes, max_faces, iou_threshold)
 
     keep = jnp.arange(max_faces) < count
     z = jnp.where(keep, 1.0, 0.0)

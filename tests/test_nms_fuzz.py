@@ -78,3 +78,20 @@ def test_saturation_at_max_faces():
                        jnp.zeros((16, 16, 3)), jnp.zeros((8, 8, 3)),
                        jnp.asarray(ANCHORS))
     assert int(np.asarray(post["valid"]).sum()) == 100
+
+
+def test_nonfinite_scores_do_not_poison_nms():
+    """A NaN or +inf score must not abort NMS or drop finite detections."""
+    cls = np.full((896,), -10.0, np.float32)
+    cls[5] = 3.0
+    loc = np.zeros((896, 16), np.float32)
+    loc[:, 2:4] = 4.0
+    for bad in (np.nan, np.inf):
+        c = cls.copy()
+        c[700] = bad
+        post = postprocess(jnp.asarray(c), jnp.asarray(loc),
+                           jnp.zeros((16, 16, 3)), jnp.zeros((8, 8, 3)),
+                           jnp.asarray(ANCHORS))
+        valid = np.asarray(post["valid"])
+        n = int(valid.sum())
+        assert n >= 1, f"finite detection lost with score={bad}"
