@@ -273,7 +273,12 @@ def _compile(model: ModelDef) -> Callable:
                 continue
             if not layer.inbound:
                 continue
-            xs = [values[ref[0]] for ref in layer.inbound[0]]
+            xs = []
+            for ref in layer.inbound[0]:
+                v = values[ref[0]]
+                # multi-output producers (nested submodels) store a list;
+                # honor the ref's tensor_index instead of passing the list
+                xs.append(v[ref[2]] if isinstance(v, (list, tuple)) else v)
             if layer.submodel is not None:
                 outs = sub_fns[name](params.get(name, {}), xs)
                 values[name] = outs[0] if len(outs) == 1 else outs
@@ -360,11 +365,10 @@ class TrainableGraphHead:
         if rate == 0.0:
             return 0.0
         total = 0.0
-        for layer in params.values():
-            if isinstance(layer, dict):
-                for name, w in layer.items():
-                    if "kernel" in name:
-                        total = total + jnp.sum(jnp.square(w))
+        # walk the full pytree (nested submodels included) by key path
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            if any("kernel" in getattr(k, "key", "") for k in path):
+                total = total + jnp.sum(jnp.square(leaf))
         return rate * total
 
 

@@ -120,11 +120,15 @@ def _weight_key(path_parts: list[str]) -> str:
 
 
 def _route_weight(model: ModelDef, parts: list[str], arr: np.ndarray) -> None:
-    """Attach one weight array, descending through nested submodels by path."""
+    """Attach one weight array, descending through nested submodels by path.
+    Unroutable weights raise — silently dropping one (e.g. a bias) would load
+    a model that runs but computes wrong values."""
     lname = parts[0]
     layer = model.layers.get(lname)
     if layer is None:
-        return
+        raise ValueError(
+            f"weight path {'/'.join(parts)!r} does not match any layer of "
+            f"model {model.name!r}")
     if layer.submodel is not None and len(parts) > 2:
         _route_weight(layer.submodel, parts[1:], arr)
     else:

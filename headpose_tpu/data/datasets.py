@@ -43,8 +43,18 @@ class Dataset:
                        np.concatenate([self.poses, other.poses]), w)
 
 
+def _read_npz(path: str) -> dict:
+    """Read an npz via the native C++ loader when built (bit-identical to
+    np.load, GIL-free for threaded multi-file loads), else numpy."""
+    from .native import native_available, load_npz_native
+
+    if native_available():
+        return load_npz_native(path)
+    return dict(np.load(path))
+
+
 def load_dataset(path: str) -> Dataset:
-    data = np.load(path)
+    data = _read_npz(path)
     return Dataset(np.asarray(data["features"], np.float32),
                    np.asarray(data["poses"], np.float32))
 

@@ -57,6 +57,8 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
         lib.npz_entry_bytes.restype = ctypes.c_long
         lib.npz_entry_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.npz_entry_fortran.restype = ctypes.c_int
+        lib.npz_entry_fortran.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.npz_read.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
         lib.npz_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -87,7 +89,9 @@ def load_npz_native(path: str) -> dict[str, np.ndarray]:
             ndim = ctypes.c_int(16)
             lib.npz_entry_info(handle, i, dtype_buf, shape, ctypes.byref(ndim))
             dt = np.dtype(dtype_buf.value.decode())
-            arr = np.empty([shape[d] for d in range(ndim.value)], dtype=dt)
+            order = "F" if lib.npz_entry_fortran(handle, i) else "C"
+            arr = np.empty([shape[d] for d in range(ndim.value)], dtype=dt,
+                           order=order)
             if lib.npz_read(handle, i,
                             arr.ctypes.data_as(ctypes.c_void_p)) != 0:
                 raise OSError(f"native read failed for {name} in {path}")

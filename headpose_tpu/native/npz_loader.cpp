@@ -240,6 +240,10 @@ long npz_entry_bytes(void* h, int i) {
   return static_cast<long>(static_cast<Archive*>(h)->entries[i].array_bytes);
 }
 
+int npz_entry_fortran(void* h, int i) {
+  return static_cast<Archive*>(h)->entries[i].fortran ? 1 : 0;
+}
+
 int npz_read(void* h, int i, void* dst) {
   Archive* a = static_cast<Archive*>(h);
   const Entry& e = a->entries[i];

@@ -1,6 +1,6 @@
 """Pretrained models shipped with the framework.
 
-`pretrained/unified-stoqa9pt-hrchr82r` is the production unified model
+`headpose_tpu/pretrained_models/unified-stoqa9pt-hrchr82r` is the production unified model
 (BlazeFace backbone + SSD heads + reg1 stoqa9pt + reg2 hrchr82r, 110,964
 params) imported from the reference's selected H5
 (BlazePoser/blazeFaceDetectorH5.py:102) into the native format — forward
@@ -14,7 +14,7 @@ import os
 __all__ = ["PRETRAINED_DIR", "FLAGSHIP", "flagship_path", "load_flagship",
            "flagship_detector"]
 
-PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "..", "pretrained")
+PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained_models")
 FLAGSHIP = "unified-stoqa9pt-hrchr82r"
 
 

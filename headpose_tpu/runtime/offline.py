@@ -67,8 +67,10 @@ def process_frames(detector: FaceDetector, frames: np.ndarray,
 def process_video(detector: FaceDetector, path: str, out_path: str | None = None,
                   batch_size: int = 64, smooth_alpha: float | None = 0.15,
                   max_frames: int | None = None) -> VideoResults:
-    """Read a video file, detect over all frames, optionally write an
-    annotated copy.  Needs cv2 for IO/drawing."""
+    """Read a video file chunk by chunk (bounded host memory — an hour of
+    1080p would not fit RAM whole), detect per chunk, optionally write the
+    annotated copy as it goes.  Detection slabs for the full timeline are
+    returned; smoothing runs as one scan over them at the end.  Needs cv2."""
     import cv2
 
     from .results import Results
@@ -77,32 +79,61 @@ def process_video(detector: FaceDetector, path: str, out_path: str | None = None
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise RuntimeError(f"cannot open video {path!r}")
-    frames = []
-    while max_frames is None or len(frames) < max_frames:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        frames.append(frame)
     fps = cap.get(cv2.CAP_PROP_FPS) or 20.0
-    cap.release()
-    if not frames:
+
+    writer = None
+    chunks: list[VideoResults] = []
+    ema_state = None
+    total = 0
+    try:
+        while max_frames is None or total < max_frames:
+            frames = []
+            budget = batch_size if max_frames is None else min(
+                batch_size, max_frames - total)
+            while len(frames) < budget:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(frame)
+            if not frames:
+                break
+            chunk = np.stack(frames)
+            total += len(frames)
+            res = process_frames(detector, chunk, batch_size, smooth_alpha=None)
+            if smooth_alpha is not None:
+                # EMA state carries across chunks — identical to one big scan
+                smoothed, ema_state = smooth_sequence(
+                    {"poses": res.poses, "boxes": res.boxes,
+                     "keypoints": res.keypoints},
+                    smooth_alpha, valid=res.valid,
+                    state=ema_state, return_state=True)
+                res = VideoResults(boxes=np.asarray(smoothed["boxes"]),
+                                   keypoints=np.asarray(smoothed["keypoints"]),
+                                   scores=res.scores,
+                                   poses=np.asarray(smoothed["poses"]),
+                                   valid=res.valid)
+            chunks.append(res)
+
+            if out_path:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                        (chunk.shape[2], chunk.shape[1]))
+                for t in range(len(frames)):
+                    m = res.valid[t]
+                    writer.write(draw_detections(chunk[t], Results(
+                        boxes=res.boxes[t][m], keypoints=res.keypoints[t][m],
+                        scores=res.scores[t][m], poses=res.poses[t][m])))
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.release()
+    if not chunks:
         raise RuntimeError(f"no frames in {path!r}")
-    frames = np.stack(frames)
 
-    results = process_frames(detector, frames, batch_size, smooth_alpha)
-
-    if out_path:
-        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                                 fps, (frames.shape[2], frames.shape[1]))
-        for t in range(len(frames)):
-            m = results.valid[t]
-            res = Results(boxes=results.boxes[t][m],
-                          keypoints=results.keypoints[t][m],
-                          scores=results.scores[t][m],
-                          poses=results.poses[t][m])
-            writer.write(draw_detections(frames[t], res))
-        writer.release()
-    return results
+    return VideoResults(**{f: np.concatenate([getattr(c, f) for c in chunks])
+                           for f in ("boxes", "keypoints", "scores", "poses",
+                                     "valid")})
 
 
 def main(argv=None) -> None:

@@ -67,11 +67,17 @@ def ema_update(state: EmaState, measurement: Any, alpha: float,
     return new_state, new_state.value
 
 
-def smooth_sequence(measurements: Any, alpha: float, valid: Any = None) -> Any:
+def smooth_sequence(measurements: Any, alpha: float, valid: Any = None,
+                    state: EmaState | None = None,
+                    return_state: bool = False) -> Any:
     """Smooth a time-major pytree (T, ...) in one lax.scan — offline sequences
-    (e.g. recorded video) smooth on device without a Python loop."""
-    example = jax.tree_util.tree_map(lambda a: a[0], measurements)
-    state0 = ema_init(example)
+    (e.g. recorded video) smooth on device without a Python loop.
+
+    Pass the returned state back in (with return_state=True) to smooth a long
+    timeline chunk by chunk with identical results to one big scan."""
+    if state is None:
+        example = jax.tree_util.tree_map(lambda a: a[0], measurements)
+        state = ema_init(example)
 
     def step(state, inp):
         if valid is None:
@@ -81,8 +87,8 @@ def smooth_sequence(measurements: Any, alpha: float, valid: Any = None) -> Any:
         return ema_update(state, x, alpha, ok)
 
     xs = measurements if valid is None else (measurements, valid)
-    _, smoothed = jax.lax.scan(step, state0, xs)
-    return smoothed
+    final_state, smoothed = jax.lax.scan(step, state, xs)
+    return (smoothed, final_state) if return_state else smoothed
 
 
 class TrackSmoother:

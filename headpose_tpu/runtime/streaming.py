@@ -37,14 +37,16 @@ def detect_stream(detector: FaceDetector, batches: Iterable,
         except StopIteration:
             return False
 
-    for _ in range(max(prefetch, 1)):
+    depth = max(prefetch, 1)
+    for _ in range(depth):
         if not stage_next():
             break
 
     pending: deque = deque()
     while staged or pending:
-        # issue compute for everything staged, keeping the pipe full
-        while staged:
+        # keep at most `depth` dispatches in flight, then yield the oldest —
+        # bounded memory and incremental results even for unbounded streams
+        while staged and len(pending) < depth:
             pending.append(detector.detect(staged.popleft()))
             stage_next()
         yield pending.popleft()

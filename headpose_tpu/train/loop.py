@@ -147,8 +147,12 @@ def _make_eval_fn(spec, cfg: TrainConfig):
 
 
 def evaluate(spec, params, ds: Dataset) -> dict[str, float]:
-    """Unweighted loss (MSE) + MAE on a dataset, one jitted call."""
-    data = _pad_dataset(ds, 1)
+    """Unweighted loss (MSE) + MAE on a dataset, one jitted call.
+
+    Sample weights are intentionally ignored here: test metrics must stay
+    comparable across weighted/unweighted training runs and match the
+    reference evaluator (Model-96/test.py:41-54)."""
+    data = _pad_dataset(Dataset(ds.features, ds.poses), 1)
     fn = jax.jit(lambda p, d: _loss_and_metrics(spec, p, d, None, 0.0, False)[1])
     m = fn(params, data)
     return {k: float(v) for k, v in m.items()}

@@ -95,22 +95,36 @@ def run_sweep(sweep: SweepConfig,
     else:
         plan = None
 
+    space = 1
+    for v in sweep.parameters.values():
+        space *= len(v)
+
     for i in range(sweep.num_runs):
         if plan is not None:
             if i >= len(plan):
                 break
             assignment = plan[i]
-        elif (sweep.method == "bayes" and i >= sweep.warmup and runs
-              and rng.random() > 0.3):
-            top = sorted(runs, key=lambda r: r["objective"])[:3]
-            assignment = _mutate(rng, rng.choice(top)["params"], sweep.parameters)
         else:
-            assignment = _sample_random(rng, sweep.parameters)
+            # draw until unseen (bounded) — duplicate configurations would
+            # burn a full training run each; stop early if the grid is spent
+            if len(seen) >= space:
+                break
+            assignment = None
+            for _ in range(64):
+                if (sweep.method == "bayes" and i >= sweep.warmup and runs
+                        and rng.random() > 0.3):
+                    top = sorted(runs, key=lambda r: r["objective"])[:3]
+                    cand = _mutate(rng, rng.choice(top)["params"],
+                                   sweep.parameters)
+                else:
+                    cand = _sample_random(rng, sweep.parameters)
+                if tuple(sorted(cand.items())) not in seen:
+                    assignment = cand
+                    break
+            if assignment is None:
+                continue  # couldn't find a fresh config this round
 
         key = tuple(sorted(assignment.items()))
-        if key in seen and sweep.method != "grid":
-            assignment = _sample_random(rng, sweep.parameters)
-            key = tuple(sorted(assignment.items()))
         seen.add(key)
 
         metrics = objective_fn(assignment)

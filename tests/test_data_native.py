@@ -57,3 +57,13 @@ def test_load_many(tmp_path):
 def test_missing_file():
     with pytest.raises(OSError):
         load_npz_native("/does/not/exist.npz")
+
+
+def test_fortran_order_member(tmp_path):
+    """F-contiguous arrays round-trip correctly (fortran_order npy flag)."""
+    a = np.asfortranarray(np.arange(24, dtype=np.float32).reshape(4, 6))
+    p = str(tmp_path / "f.npz")
+    np.savez(p, f=a, c=np.ascontiguousarray(a))
+    out = load_npz_native(p)
+    np.testing.assert_array_equal(out["f"], a)
+    np.testing.assert_array_equal(out["c"], a)

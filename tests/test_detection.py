@@ -182,3 +182,24 @@ def test_detect_accepts_float_and_uint8(production_detector):
     r2 = production_detector.detect_single(g["img0"].astype(np.float32))
     assert len(r1) == len(r2)
     np.testing.assert_allclose(r1.scores, r2.scores, atol=1e-5)
+
+
+@needs_reference
+def test_detect_stream_is_incremental(production_detector):
+    """The streaming wrapper must yield results before consuming the whole
+    (potentially unbounded) source, holding at most `prefetch` in flight."""
+    from headpose_tpu.runtime.streaming import detect_stream
+    g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+    b = np.stack([g["img0"][:128, :128]] * 2)
+    consumed = []
+
+    def source():
+        for i in range(6):
+            consumed.append(i)
+            yield b
+
+    gen = detect_stream(production_detector, source(), prefetch=2)
+    next(gen)
+    # after one yield: at most 1 (yielded) + 2 (in flight) + 2 (staged) drawn
+    assert len(consumed) <= 5, f"stream over-consumed: {len(consumed)}"
+    assert len(list(gen)) == 5

@@ -132,7 +132,10 @@ class TestSweep:
 
         sw = SweepConfig(parameters=grids, metric="m", num_runs=12, warmup=4)
         res = run_sweep(sw, obj)
-        assert len(res.runs) == 12
+        # 4x2 grid: duplicates are never re-trained, so the sweep covers the
+        # whole space exactly once and stops
+        assert len(res.runs) == 8
+        assert len({tuple(sorted(r["params"].items())) for r in res.runs}) == 8
         assert res.best["params"]["a"] == 2
 
     def test_grid(self):
