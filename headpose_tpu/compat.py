@@ -16,6 +16,8 @@ explicit, jit-friendly).
 """
 from __future__ import annotations
 
+import os
+
 from .runtime.results import Results
 from .utils.profiling import FpsCounter
 
@@ -44,7 +46,7 @@ class blazeFaceDetector:  # noqa: N801 — reference-compatible name
             self._detector = flagship_detector(
                 score_threshold=scoreThreshold, iou_threshold=iouThreshold)
         else:
-            loader = (FaceDetector.from_native if _is_dir(model_path)
+            loader = (FaceDetector.from_native if os.path.isdir(model_path)
                       else FaceDetector.from_h5)
             self._detector = loader(model_path, score_threshold=scoreThreshold,
                                     iou_threshold=iouThreshold)
@@ -61,8 +63,3 @@ class blazeFaceDetector:  # noqa: N801 — reference-compatible name
 
         return draw_detections(img, results, fps=self.fps)
 
-
-def _is_dir(path: str) -> bool:
-    import os
-
-    return os.path.isdir(path)

@@ -1,0 +1,35 @@
+"""Activation functions shared by the graph compiler and the native model zoo.
+
+One canonical table for the Keras activation names appearing across the
+reference artifact zoo (linear/tanh/softsign/elu/relu/sigmoid/selu/softplus/
+swish/leaky_relu/gelu) — Keras semantics (leaky_relu alpha 0.3).
+"""
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ACTIVATIONS", "get_activation"]
+
+ACTIVATIONS: dict[str, Callable] = {
+    "linear": lambda x: x,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "softsign": jax.nn.soft_sign,
+    "elu": jax.nn.elu,
+    "selu": jax.nn.selu,
+    "softplus": jax.nn.softplus,
+    "swish": jax.nn.swish,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.3),
+    "gelu": jax.nn.gelu,
+}
+
+
+def get_activation(name: str | None) -> Callable:
+    if not name:
+        return ACTIVATIONS["linear"]
+    try:
+        return ACTIVATIONS[name]
+    except KeyError:
+        raise NotImplementedError(f"activation {name!r}")

@@ -29,34 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .activations import get_activation as _activation
 from .h5io import LayerDef, ModelDef, read_model
 
 __all__ = ["GraphModel", "TrainableGraphHead", "load_graph_model", "compile_model"]
 
 Params = dict[str, Any]
-
-_ACTIVATIONS: dict[str, Callable] = {
-    "linear": lambda x: x,
-    "relu": jax.nn.relu,
-    "tanh": jnp.tanh,
-    "sigmoid": jax.nn.sigmoid,
-    "softsign": jax.nn.soft_sign,
-    "elu": jax.nn.elu,
-    "selu": jax.nn.selu,
-    "softplus": jax.nn.softplus,
-    "swish": jax.nn.swish,
-    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.3),  # Keras default alpha
-    "gelu": jax.nn.gelu,
-}
-
-
-def _activation(name: str | None) -> Callable:
-    if not name:
-        return _ACTIVATIONS["linear"]
-    try:
-        return _ACTIVATIONS[name]
-    except KeyError:
-        raise NotImplementedError(f"activation {name!r}")
 
 
 def _padding(cfg: dict) -> str:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -44,18 +44,7 @@ __all__ = [
 
 Params = dict[str, Any]
 
-_ACT: dict[str, Callable] = {
-    "linear": lambda x: x,
-    "relu": jax.nn.relu,
-    "tanh": jnp.tanh,
-    "sigmoid": jax.nn.sigmoid,
-    "softsign": jax.nn.soft_sign,
-    "elu": jax.nn.elu,
-    "selu": jax.nn.selu,
-    "softplus": jax.nn.softplus,
-    "swish": jax.nn.swish,
-    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.3),
-}
+from ..core.activations import ACTIVATIONS as _ACT
 
 
 def _glorot(key, cin: int, cout: int, dtype=jnp.float32):

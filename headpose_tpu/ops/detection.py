@@ -27,7 +27,6 @@ __all__ = ["decode_boxes", "decode_keypoints", "pairwise_iou",
 MAX_FACES = 100          # blazeFaceDetectorH5.py:9
 KEYPOINTS = 6            # :8
 NUM_ANCHORS_FRONT = 512  # 16x16 grid * 2 anchors/cell
-NUM_ANCHORS = 896
 
 
 def decode_boxes(loc: jax.Array, anchors: jax.Array, input_size: int) -> jax.Array:

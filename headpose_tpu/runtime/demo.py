@@ -24,9 +24,6 @@ from ..utils.profiling import FpsCounter
 
 __all__ = ["run_demo"]
 
-DEFAULT_MODEL = ("/root/reference/BlazePoser/UnifiedModels/"
-                 "reg1-stoqa9pt-reg2-hrchr82r-selected.h5")
-
 
 def _center_square(frame: np.ndarray) -> np.ndarray:
     h, w = frame.shape[:2]
