@@ -180,6 +180,66 @@ def capture_e2e(model):
     print("e2e goldens captured")
 
 
+def capture_zoo_sample():
+    """12 random heads (4 per artifact family) for graph-compiler parity."""
+    import random
+
+    rng = np.random.default_rng(7)
+    random.seed(7)
+    dirs = {
+        "88": (os.path.join(REF, "Model-88/Trained-Models-88"), 88),
+        "96nf": (os.path.join(
+            REF, "Model-96/Trained-Models-96-ReshapedInput-NoFlatten"), 96),
+        "96orig": (os.path.join(REF, "Model-96/Trained-Models-96"), 96),
+    }
+    fixtures, names = {}, []
+    for key, (d, c) in dirs.items():
+        for fn in random.sample(sorted(os.listdir(d)), 4):
+            m = keras.models.load_model(os.path.join(d, fn), compile=False)
+            x = rng.normal(size=(3, 1, 1, c)).astype(np.float32) * 2
+            tag = f"{key}_{fn.replace('.h5', '').replace('model_runid_', '')}"
+            fixtures[f"x_{tag}"] = x
+            fixtures[f"y_{tag}"] = np.asarray(m(x))
+            fixtures[f"path_{tag}"] = np.array(os.path.join(d, fn))
+            names.append(tag)
+    np.savez_compressed(os.path.join(OUT, "zoo_heads.npz"),
+                        names=np.array(names), **fixtures)
+    print("zoo sample captured:", len(names))
+
+
+def capture_keras_train_trajectory():
+    """Keras fit() loss/MAE trajectories with fixed weights, full batch,
+    shuffle-free — the training-semantics parity oracle
+    (tests/test_train_parity.py).  Each capture draws a fresh Glorot init but
+    stores it in the fixture, so any regenerated npz is self-consistent."""
+    rng = np.random.default_rng(5)
+    n, cin, hidden = 64, 96, 8
+    x = rng.normal(size=(n, 1, 1, cin)).astype(np.float32)
+    y = rng.normal(size=(n, 1, 1, 3)).astype(np.float32) * 10
+
+    inputs = keras.Input(shape=(None, None, cin))
+    h = keras.layers.Conv2D(hidden, 1, activation="tanh",
+                            kernel_regularizer=keras.regularizers.l2(1e-3),
+                            bias_regularizer=keras.regularizers.l2(1e-3))(inputs)
+    out = keras.layers.Conv2D(3, 1, activation=None,
+                              kernel_regularizer=keras.regularizers.l2(1e-3),
+                              bias_regularizer=keras.regularizers.l2(1e-3))(h)
+    m = keras.Model(inputs, out)
+    w0 = [np.asarray(w) for w in m.get_weights()]
+    results = {}
+    for opt_name, opt in (("sgd", keras.optimizers.SGD(0.01)),
+                          ("adam", keras.optimizers.Adam(0.01))):
+        m.set_weights([w.copy() for w in w0])
+        m.compile(optimizer=opt, loss="mse", metrics=["mae"])
+        hist = m.fit(x, y, batch_size=n, epochs=6, shuffle=False, verbose=0)
+        results[f"loss_{opt_name}"] = np.asarray(hist.history["loss"], np.float64)
+        results[f"mae_{opt_name}"] = np.asarray(hist.history["mae"], np.float64)
+    np.savez_compressed(os.path.join(OUT, "keras_train_traj.npz"),
+                        x=x, y=y, w0_k0=w0[0], w0_b0=w0[1],
+                        w0_k1=w0[2], w0_b1=w0[3], **results)
+    print("keras training trajectory captured")
+
+
 if __name__ == "__main__":
     capture_anchors()
     capture_resize()
@@ -187,4 +247,6 @@ if __name__ == "__main__":
     model = capture_unified_forward()
     capture_postprocess(model)
     capture_e2e(model)
+    capture_zoo_sample()
+    capture_keras_train_trajectory()
     print("all goldens written to", os.path.abspath(OUT))
