@@ -5,7 +5,8 @@ from .checkpoints import (save_checkpoint, restore_checkpoint, latest_step,
                           save_pytree, restore_pytree)
 from .logging import (JsonlLogger, WandbLogger, MultiLogger, make_logger,
                       new_run_id, angle_distribution_summary,
-                      learning_curve_summary, plot_learning_curves)
+                      learning_curve_summary, plot_learning_curves,
+                      plot_angle_distributions)
 from .sweep import SweepConfig, load_sweep_file, run_sweep, SweepResult
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     "JsonlLogger", "WandbLogger", "MultiLogger", "make_logger",
     "new_run_id", "angle_distribution_summary",
     "learning_curve_summary", "plot_learning_curves",
+    "plot_angle_distributions",
     "SweepConfig", "load_sweep_file", "run_sweep", "SweepResult",
 ]

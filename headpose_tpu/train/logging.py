@@ -146,6 +146,36 @@ def plot_learning_curves(history: list[dict[str, Any]], path: str) -> str | None
     return path
 
 
+def plot_angle_distributions(train_poses: np.ndarray, test_poses: np.ndarray,
+                             path: str) -> str | None:
+    """2x3 histogram grid of yaw/pitch/roll for train and test sets — the
+    image artifact of analyze_angle_distributions (Model-88/utilities.py:80-125),
+    written to a PNG instead of wandb.  Returns the path, or None without
+    matplotlib."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    fig, axes = plt.subplots(2, 3, figsize=(15, 10))
+    fig.suptitle("Angle Distributions in Train and Test Sets", fontsize=16)
+    for row, (poses, label, color) in enumerate(
+            ((np.unique(train_poses, axis=0), "Train", "blue"),
+             (np.unique(test_poses, axis=0), "Test", "red"))):
+        for idx, name in enumerate(("Yaw", "Pitch", "Roll")):
+            ax = axes[row][idx]
+            ax.hist(poses[:, idx], bins=50, alpha=0.5, label=label, color=color)
+            ax.set_title(f"{name} Distribution")
+            ax.set_xlabel("Angle (degrees)")
+            ax.set_ylabel("Count")
+            ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def angle_distribution_summary(poses: np.ndarray) -> dict[str, Any]:
     """Numeric counterpart of the reference's angle-distribution histograms
     (Model-88/utilities.py:46-91): dedup, then per-angle histogram stats."""

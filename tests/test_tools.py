@@ -250,3 +250,19 @@ def test_compat_shim(production_detector):
     res = det.detectFaces(g["img0"])
     np.testing.assert_allclose(res.scores, g["scores0"], atol=1e-4)
     assert det.fps >= 0
+
+
+def test_plot_artifacts(tmp_path):
+    """The image artifacts of the reference's wandb logging (angle
+    distributions, learning curves) render to PNGs."""
+    pytest.importorskip("matplotlib")
+    from headpose_tpu.train import plot_angle_distributions, plot_learning_curves
+    rng = np.random.default_rng(0)
+    p1 = plot_angle_distributions(rng.uniform(-60, 60, (50, 3)),
+                                  rng.uniform(-60, 60, (30, 3)),
+                                  str(tmp_path / "ang.png"))
+    assert p1 and os.path.getsize(p1) > 0
+    hist = [{"train_loss": 2.0, "val_loss": 2.1, "train_mae": 1.0, "val_mae": 1.1},
+            {"train_loss": 1.0, "val_loss": 1.2, "train_mae": 0.8, "val_mae": 0.9}]
+    p2 = plot_learning_curves(hist, str(tmp_path / "lc.png"))
+    assert p2 and os.path.getsize(p2) > 0
