@@ -203,3 +203,18 @@ def test_detect_stream_is_incremental(production_detector):
     # after one yield: at most 1 (yielded) + 2 (in flight) + 2 (staged) drawn
     assert len(consumed) <= 5, f"stream over-consumed: {len(consumed)}"
     assert len(list(gen)) == 5
+
+
+@needs_reference
+def test_detect_parity_production_threshold():
+    """E2E parity at the PRODUCTION score threshold (0.4) on an adversarially
+    synthesized detection-rich image (gradient ascent on the detector score —
+    captured from the reference pipeline, tests/golden/e2e_production.npz)."""
+    from headpose_tpu.pretrained import flagship_detector
+    g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+    det = flagship_detector()  # default thresholds = production (0.4 / 0.3)
+    res = det.detect_single(g["img"])
+    assert len(res) == len(g["scores"]) > 0
+    np.testing.assert_allclose(res.scores, g["scores"], atol=1e-4)
+    np.testing.assert_allclose(res.boxes, g["boxes"], atol=1e-4)
+    np.testing.assert_allclose(res.poses, g["poses"], atol=5e-4)
