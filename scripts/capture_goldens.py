@@ -240,6 +240,40 @@ def capture_keras_train_trajectory():
     print("keras training trajectory captured")
 
 
+def capture_e2e_production(model):
+    """E2E golden at the production threshold (0.4) on a detection-rich image.
+
+    Noise never crosses 0.4, so the image is synthesized by gradient ascent on
+    the detector score (run separately with jax — see the snippet in
+    tests/golden provenance / git history of e2e_production.npz); this
+    function re-captures the reference outputs for an existing image."""
+    import time
+
+    import blazeFaceDetectorH5 as bfd
+
+    prod = np.load(os.path.join(OUT, "e2e_production.npz"))
+    img = prod["img"]
+    det = bfd.blazeFaceDetector.__new__(bfd.blazeFaceDetector)
+    det.scoreThreshold = 0.4
+    det.iouThreshold = 0.3
+    det.sigmoidScoreThreshold = np.log(0.4 / 0.6)
+    det.inputWidth = det.inputHeight = 128
+    det.channels = 3
+    det.fps = 0
+    det.timeLastPrediction = time.time()
+    det.frameCounter = 0
+    det.interpreter = model
+    det.generateAnchors()
+    res = det.detectFaces(img)
+    np.savez_compressed(
+        os.path.join(OUT, "e2e_production.npz"),
+        img=img, boxes=np.asarray(res.boxes, np.float32),
+        keypoints=np.asarray(res.keypoints, np.float32),
+        scores=np.asarray(res.scores, np.float32),
+        poses=np.asarray(res.poses, np.float32))
+    print(f"e2e production golden captured ({len(res.scores)} detections)")
+
+
 if __name__ == "__main__":
     capture_anchors()
     capture_resize()
@@ -247,6 +281,7 @@ if __name__ == "__main__":
     model = capture_unified_forward()
     capture_postprocess(model)
     capture_e2e(model)
+    capture_e2e_production(model)
     capture_zoo_sample()
     capture_keras_train_trajectory()
     print("all goldens written to", os.path.abspath(OUT))
