@@ -37,8 +37,10 @@ class UnifiedPoseModel:
     head88: Any = None  # pose head consuming feat88 (16x16x88)
     head96: Any = None  # pose head consuming feat96 (8x8x96)
 
-    def apply(self, params: Params, x, *, dtype=None) -> dict[str, jax.Array]:
-        out = self.backbone.apply(params["backbone"], x, dtype=dtype)
+    def apply(self, params: Params, x, *, dtype=None,
+              dense: bool = False) -> dict[str, jax.Array]:
+        out = self.backbone.apply(params["backbone"], x, dtype=dtype,
+                                  dense=dense)
         if self.head88 is not None:
             out["pose_front"] = self.head88.apply(params["head88"], out["feat88"])
         if self.head96 is not None:

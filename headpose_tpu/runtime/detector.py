@@ -51,8 +51,12 @@ class FaceDetector:
         self.input_size = int(input_size)
         self.channel_order = channel_order
         # 'highest' pins exact-f32 matmuls/convs — on TPU the default bf16
-        # passes cost ~1 degree on pose maps, blowing the 0.1-degree parity
-        # budget (BASELINE.md).  Set 'default' to trade accuracy for speed.
+        # passes cost ~20 degrees on pose maps (errors compound through the
+        # un-normalized conv stack), blowing the 0.1-degree parity budget
+        # (BASELINE.md).  'fast' runs the backbone as dense-composed 3x3
+        # convs at 3-pass 'high' precision: ~25% higher throughput at
+        # ~0.003 degree pose error (docs/BENCH.md) — still 30x inside the
+        # budget.  Postprocess selection stays at HIGHEST in every mode.
         self.precision = precision
         self.anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
 
@@ -85,9 +89,13 @@ class FaceDetector:
     @functools.partial(jax.jit, static_argnums=0)
     def _pipeline(self, params, images):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program."""
-        with jax.default_matmul_precision(self.precision):
+        fast = self.precision == "fast"
+        with jax.default_matmul_precision("high" if fast else self.precision):
             x = preprocess(images, self.input_size, self.channel_order)
-            out = self.model.apply(params, x)
+            try:
+                out = self.model.apply(params, x, dense=fast)
+            except TypeError:  # graph-compiled adapters take no dense flag
+                out = self.model.apply(params, x)
         post = jax.vmap(
             lambda s, l, pf, pb: postprocess(
                 s, l, pf, pb, self.anchors,
