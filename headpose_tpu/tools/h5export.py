@@ -1,0 +1,292 @@
+"""Native → Keras-2 H5 exporter (the reverse of core/h5io.py).
+
+The reference ecosystem's artifact contract is the Keras-2 HDF5 file: heads
+are consumed by JoinModels.py:29-31 via tf.keras.models.load_model, shape
+conversion validates through InputShapeConvertor.py:129-218, and the demo
+loads the unified 6-output model (blazeFaceDetectorH5.py:96-102).  This
+module writes that format directly with h5py — no Keras dependency — so a
+head trained HERE can be consumed by the reference toolchain unmodified:
+
+  * save_head_h5:    MLPHead → fully-convolutional 1x1-conv Keras model with
+    dynamic (None, None, C) input (the reference's "NoFlatten" convention).
+  * save_unified_h5: UnifiedPoseModel → the full BlazeFace graph (stem,
+    depthwise/pointwise blocks, maxpool + channel-Pad skips, SSD heads,
+    anchor-major output reshapes, grafted pose heads) with the reference's
+    6-output signature (JoinModels.py:152-158) — batch-polymorphic, unlike
+    the reference's own hardwired batch-1 export.
+
+Format notes (verified against the shipped artifacts): root attrs
+model_config/keras_version/backend; model_weights/<layer> groups carrying a
+weight_names attr with 'layer/kernel:0'-style paths.  Keras rebuilds layers
+from the config JSON and then overwrites parameters from model_weights, so
+initializer configs can stay generic.
+"""
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import h5py
+import numpy as np
+
+__all__ = ["save_head_h5", "save_unified_h5"]
+
+_KERAS_VERSION = "2.15.0"
+
+
+def _init(cls: str = "GlorotUniform") -> dict:
+    return {"module": "keras.initializers", "class_name": cls,
+            "config": {}, "registered_name": None}
+
+
+class _Graph:
+    """Accumulates Keras-2 functional-graph layers and their weights."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.layers: list[dict] = []
+        self.weights: dict[str, dict[str, np.ndarray]] = {}
+
+    def add(self, class_name: str, name: str, config: dict,
+            inbound: list[str] | None,
+            weights: dict[str, np.ndarray] | None = None) -> str:
+        config = {"name": name, "trainable": True, "dtype": "float32",
+                  **config}
+        node = [] if inbound is None else [[[n, 0, 0, {}] for n in inbound]]
+        self.layers.append({"class_name": class_name, "config": config,
+                            "name": name, "inbound_nodes": node})
+        if weights:
+            self.weights[name] = {f"{name}/{k}:0": np.asarray(v, np.float32)
+                                  for k, v in weights.items()}
+        return name
+
+    def input(self, name: str, shape: tuple) -> str:
+        # InputLayer rejects the trainable/dtype boilerplate other layers get
+        self.layers.append({"class_name": "InputLayer",
+                            "config": {"batch_input_shape": list(shape),
+                                       "dtype": "float32", "sparse": False,
+                                       "ragged": False, "name": name},
+                            "name": name, "inbound_nodes": []})
+        return name
+
+    def conv2d(self, name: str, prev: str, kernel: np.ndarray,
+               bias: np.ndarray, *, strides=(1, 1), activation="linear",
+               padding="same") -> str:
+        kernel = np.asarray(kernel, np.float32)
+        return self.add("Conv2D", name, {
+            "filters": int(kernel.shape[3]),
+            "kernel_size": list(kernel.shape[:2]),
+            "strides": list(strides), "padding": padding,
+            "data_format": "channels_last", "dilation_rate": [1, 1],
+            "groups": 1, "activation": activation, "use_bias": True,
+            "kernel_initializer": _init(), "bias_initializer": _init("Zeros"),
+            "kernel_regularizer": None, "bias_regularizer": None,
+            "activity_regularizer": None, "kernel_constraint": None,
+            "bias_constraint": None,
+        }, [prev], {"kernel": kernel, "bias": bias})
+
+    def depthwise2d(self, name: str, prev: str, kernel: np.ndarray,
+                    bias: np.ndarray, *, strides=(1, 1)) -> str:
+        kernel = np.asarray(kernel, np.float32)
+        return self.add("DepthwiseConv2D", name, {
+            "kernel_size": list(kernel.shape[:2]),
+            "strides": list(strides), "padding": "same",
+            "data_format": "channels_last", "dilation_rate": [1, 1],
+            "groups": 1, "activation": "linear", "use_bias": True,
+            "depth_multiplier": 1,
+            "depthwise_initializer": _init(), "bias_initializer": _init("Zeros"),
+            "depthwise_regularizer": None, "bias_regularizer": None,
+            "activity_regularizer": None, "depthwise_constraint": None,
+            "bias_constraint": None,
+        }, [prev], {"depthwise_kernel": kernel, "bias": bias})
+
+    def relu(self, name: str, prev: str) -> str:
+        return self.add("ReLU", name, {"max_value": None,
+                                       "negative_slope": 0.0,
+                                       "threshold": 0.0}, [prev])
+
+    def maxpool(self, name: str, prev: str) -> str:
+        return self.add("MaxPooling2D", name, {
+            "pool_size": [2, 2], "padding": "same", "strides": [2, 2],
+            "data_format": "channels_last"}, [prev])
+
+    def add_layer(self, name: str, a: str, b: str) -> str:
+        return self.add("Add", name, {}, [a, b])
+
+    def channel_pad(self, name: str, prev: str, pad: int) -> str:
+        """Zero-pad the channel axis via a TensorFlowOpLayer Pad node (the
+        construct the reference backbone uses for its growing skips)."""
+        return self.add("TensorFlowOpLayer", f"tf_op_layer_{name}", {
+            "name": name,
+            "node_def": {"name": name, "op": "Pad",
+                         "input": [f"{prev}/output", f"{name}/paddings"],
+                         "attr": {"T": {"type": "DT_FLOAT"},
+                                  "Tpaddings": {"type": "DT_INT32"}}},
+            "constants": {"1": [[0, 0], [0, 0], [0, 0], [0, int(pad)]]},
+        }, [prev])
+
+    def reshape(self, name: str, prev: str, target_shape: tuple) -> str:
+        return self.add("Reshape", name,
+                        {"target_shape": list(target_shape)}, [prev])
+
+    def _keras_layer_order(self, outputs: list[str]) -> list[str]:
+        """Replicate tf-keras Functional._map_graph_network's model.layers
+        order (depth-sorted, ties by DFS-from-outputs traversal index).  The
+        legacy H5 weight loader pairs `layer_names` with `model.layers`
+        POSITIONALLY, so the stored order must match what Keras rebuilds —
+        config order is not it."""
+        inbound = {l["name"]: [ref[0] for call in l["inbound_nodes"]
+                               for ref in call] for l in self.layers}
+        post_order: list[str] = []
+        indices: dict[str, int] = {}
+        finished: set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in finished:
+                return
+            if name not in indices:
+                indices[name] = len(indices)
+            for parent in inbound[name]:
+                visit(parent)
+            finished.add(name)
+            post_order.append(name)
+
+        for out in outputs:
+            visit(out)
+        depths: dict[str, int] = {}
+        for name in reversed(post_order):
+            d = depths.setdefault(name, 0)
+            for parent in inbound[name]:
+                depths[parent] = max(d + 1, depths.get(parent, 0))
+        return sorted(post_order, key=lambda n: (-depths[n], indices[n]))
+
+    def save(self, path: str, outputs: list[str], inputs: list[str]) -> None:
+        cfg = {"class_name": "Functional",
+               "config": {"name": self.name, "layers": self.layers,
+                          "input_layers": [[n, 0, 0] for n in inputs],
+                          "output_layers": [[n, 0, 0] for n in outputs]}}
+        with h5py.File(path, "w") as f:
+            f.attrs["model_config"] = json.dumps(cfg)
+            f.attrs["keras_version"] = _KERAS_VERSION
+            f.attrs["backend"] = "tensorflow"
+            mw = f.create_group("model_weights")
+            mw.attrs["backend"] = "tensorflow"
+            mw.attrs["keras_version"] = _KERAS_VERSION
+            order = self._keras_layer_order(outputs)
+            mw.attrs["layer_names"] = np.array(
+                [n.encode() for n in order], dtype="S64")
+            for lname in order:
+                g = mw.create_group(lname)
+                wts = self.weights.get(lname, {})
+                g.attrs["weight_names"] = np.array(
+                    [k.encode() for k in wts], dtype="S96")
+                for wpath, arr in wts.items():
+                    grp, ds = wpath.rsplit("/", 1)
+                    g.require_group(grp).create_dataset(ds, data=arr)
+
+
+_ACT = {"tanh": "tanh", "softsign": "softsign", "linear": "linear",
+        "relu": "relu", "sigmoid": "sigmoid"}
+
+
+def _emit_mlp_head(g: _Graph, spec, params, prev: str, prefix: str = "conv2d"
+                   ) -> str:
+    """Chain of 1x1 Conv2D layers from an MLPHead's dense params."""
+    for i, (p, (cout, act)) in enumerate(zip(params["layers"], spec.layers)):
+        name = prefix if i == 0 else f"{prefix}_{i}"
+        w = np.asarray(p["w"], np.float32)           # (Cin, Cout)
+        prev = g.conv2d(name, prev, w.reshape(1, 1, *w.shape),
+                        np.asarray(p["b"], np.float32),
+                        activation=_ACT[act])
+    return prev
+
+
+def save_head_h5(spec, params, path: str, *, name: str = "model") -> None:
+    """Export an MLPHead as a Keras-2 H5 with dynamic (None, None, C) input —
+    the reference's converted "NoFlatten" head format, directly consumable by
+    JoinModels.py and InputShapeConvertor.py."""
+    g = _Graph(name)
+    inp = g.input("input_1", (None, None, None, spec.in_features))
+    out = _emit_mlp_head(g, spec, params, inp)
+    g.save(path, [out], [inp])
+
+
+def save_unified_h5(model, params, path: str) -> None:
+    """Export a UnifiedPoseModel (BlazeFace + grafted pose heads) as the
+    reference's 6-output unified H5 (JoinModels.py:152-158 contract):
+    cls_front (B,512,1), cls_back (B,384,1), loc_front (B,512,16),
+    loc_back (B,384,16), pose_front (B,16,16,3), pose_back (B,8,8,3)."""
+    spec = model.backbone
+    bp = params["backbone"]
+    g = _Graph("unified")
+    inp = g.input("input", (None, spec.input_size, spec.input_size, 3))
+
+    y = g.conv2d("conv2d", inp, bp["stem"]["kernel"], bp["stem"]["bias"],
+                 strides=(2, 2), activation="relu")
+    feat88 = None
+    npad = 0
+    for i, cout in enumerate(spec.block_channels):
+        blk = bp["blocks"][i]
+        cin = int(np.asarray(blk["dw_kernel"]).shape[-1])
+        s2 = i in spec.downsample_blocks
+        dwk = np.asarray(blk["dw_kernel"]).reshape(3, 3, cin, 1)
+        dw = g.depthwise2d(f"depthwise_conv2d_{i}" if i else "depthwise_conv2d",
+                           y, dwk, blk["dw_bias"],
+                           strides=(2, 2) if s2 else (1, 1))
+        pw = g.conv2d(f"conv2d_{i + 1}", dw, blk["pw_kernel"], blk["pw_bias"])
+        skip = g.maxpool(f"max_pooling2d_{npad}" if npad else "max_pooling2d",
+                         y) if s2 else y
+        if cout > cin:
+            skip = g.channel_pad(f"Pad_{i}", skip, cout - cin)
+        if s2:
+            npad += 1
+        added = g.add_layer(f"add_{i}" if i else "add", pw, skip)
+        y = g.relu(f"re_lu_{i}" if i else "re_lu", added)
+        if i == spec.tap88_block:
+            feat88 = y
+    feat96 = y
+
+    cls_f = g.conv2d("conv2d_17", feat88, bp["cls_front"]["kernel"],
+                     bp["cls_front"]["bias"])
+    cls_b = g.conv2d("conv2d_18", feat96, bp["cls_back"]["kernel"],
+                     bp["cls_back"]["bias"])
+    loc_f = g.conv2d("conv2d_19", feat88, bp["loc_front"]["kernel"],
+                     bp["loc_front"]["bias"])
+    loc_b = g.conv2d("conv2d_20", feat96, bp["loc_back"]["kernel"],
+                     bp["loc_back"]["bias"])
+    o_cls_f = g.reshape("classificators_1", cls_f, (512, 1))
+    o_cls_b = g.reshape("classificators_2", cls_b, (384, 1))
+    o_loc_f = g.reshape("regressors_1", loc_f, (512, 16))
+    o_loc_b = g.reshape("regressors_2", loc_b, (384, 16))
+    pose_f = _emit_mlp_head(g, model.head88, params["head88"], feat88,
+                            prefix="pose1_conv2d")
+    pose_b = _emit_mlp_head(g, model.head96, params["head96"], feat96,
+                            prefix="pose2_conv2d")
+    g.save(path, [o_cls_f, o_cls_b, o_loc_f, o_loc_b, pose_f, pose_b], [inp])
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: export the flagship (or a native model dir) to a Keras-2 H5.
+
+    python -m headpose_tpu.tools.h5export out.h5 [native_model_dir]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("output", help="destination .h5 path")
+    ap.add_argument("model_dir", nargs="?", default=None,
+                    help="native model dir (tools.export format); "
+                         "default: the shipped flagship")
+    args = ap.parse_args(argv)
+    if args.model_dir:
+        from .export import load_model
+        model, params = load_model(args.model_dir)
+    else:
+        from ..pretrained import load_flagship
+        model, params = load_flagship()
+    save_unified_h5(model, params, args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Native → Keras-H5 exporter tests (tools/h5export.py).
+
+Closes the reference ecosystem's artifact loop: heads/models trained here
+become H5 files the reference toolchain consumes (JoinModels.py:29-31,
+InputShapeConvertor.py validation, blazeFaceDetectorH5.py:96-102).
+
+The keras-free tests round-trip through our own H5 reader (core.graph);
+the tf-keras tests load with the actual reference-side loader (verified in
+this container: head maxdiff 6e-7, unified 6-output maxdiff <=9e-5 — f32
+conv accumulation-order noise between oneDNN and XLA).
+"""
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from headpose_tpu.models import MLPHead
+from headpose_tpu.tools.h5export import save_head_h5, save_unified_h5
+
+pytestmark = []
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+class TestHeadExport:
+    def _spec(self):
+        spec = MLPHead(96, ((32, "tanh"), (16, "tanh"), (3, "linear")))
+        return spec, spec.init(jax.random.PRNGKey(0))
+
+    def test_roundtrip_own_reader(self, tmpdir):
+        """Exported head loads through our keras-free graph compiler."""
+        from headpose_tpu.core import load_graph_model
+
+        spec, params = self._spec()
+        path = os.path.join(tmpdir, "head.h5")
+        save_head_h5(spec, params, path)
+        gm = load_graph_model(path)
+        x = np.random.default_rng(0).normal(size=(5, 2, 3, 96)).astype(np.float32)
+        got = np.asarray(gm(x))  # single-output models return the array
+        want = np.asarray(spec.apply(params, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_tf_keras_loads_it(self, tmpdir):
+        """The reference-side loader (tf.keras.models.load_model) consumes
+        the export — the JoinModels.py:29-31 contract."""
+        keras = pytest.importorskip("tf_keras")
+        spec, params = self._spec()
+        path = os.path.join(tmpdir, "head_tf.h5")
+        save_head_h5(spec, params, path)
+        m = keras.models.load_model(path, compile=False)
+        x = np.random.default_rng(1).normal(size=(7, 1, 1, 96)).astype(np.float32)
+        got = m.predict(x, verbose=0)
+        want = np.asarray(spec.apply(params, x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestUnifiedExport:
+    def test_roundtrip_own_reader(self, tmpdir):
+        """Exported unified model re-imports through core.graph with the
+        6-output reference signature intact."""
+        from headpose_tpu.core import load_graph_model
+        from headpose_tpu.pretrained import load_flagship
+
+        model, params = load_flagship()
+        path = os.path.join(tmpdir, "unified.h5")
+        save_unified_h5(model, params, path)
+        gm = load_graph_model(path)
+        x = np.random.default_rng(2).uniform(-1, 1, (2, 128, 128, 3)
+                                             ).astype(np.float32)
+        got = [np.asarray(o) for o in gm(x)]
+        want = [np.asarray(o) for o in model.reference_outputs(params, x)]
+        assert [g.shape for g in got] == [w.shape for w in want]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_tf_keras_loads_unified(self, tmpdir):
+        keras = pytest.importorskip("tf_keras")
+        from headpose_tpu.pretrained import load_flagship
+
+        model, params = load_flagship()
+        path = os.path.join(tmpdir, "unified_tf.h5")
+        save_unified_h5(model, params, path)
+        m = keras.models.load_model(path, compile=False)
+        x = np.random.default_rng(3).uniform(-1, 1, (2, 128, 128, 3)
+                                             ).astype(np.float32)
+        got = m.predict(x, verbose=0)
+        want = [np.asarray(o) for o in model.reference_outputs(params, x)]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=2e-4)
