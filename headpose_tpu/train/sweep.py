@@ -3,8 +3,9 @@
 The reference drives a wandb Bayesian sweep over dropout/regularizer/filters
 grids, 50 runs, minimizing test_AFLW2000_mae (Model-96/sweep.yaml:1-13).  This
 module runs the same search locally (no service dependency): random search,
-full grid, or a lightweight Bayesian-style explore/exploit strategy (random
-warmup, then mutate top performers).  Sweep definitions load from wandb-schema
+full grid, or a real Bayesian optimizer — a Gaussian-process surrogate with
+expected-improvement acquisition over the discrete grids, matching wandb's
+`method: bayes` capability.  Sweep definitions load from wandb-schema
 YAML/JSON files, so the reference's sweep.yaml works as-is.
 """
 from __future__ import annotations
@@ -12,8 +13,11 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import json
+import math
 import random
 from typing import Any, Callable
+
+import numpy as np
 
 from .config import TrainConfig
 
@@ -64,11 +68,61 @@ def _sample_random(rng: random.Random, grids: dict[str, list]) -> dict:
     return {k: rng.choice(v) for k, v in grids.items()}
 
 
-def _mutate(rng: random.Random, base: dict, grids: dict[str, list]) -> dict:
-    out = dict(base)
-    key = rng.choice(list(grids))
-    out[key] = rng.choice(grids[key])
-    return out
+class _GPSurrogate:
+    """Gaussian-process regression over a discrete parameter grid with
+    expected-improvement acquisition (the surrogate behind `method: bayes`).
+
+    Configs embed as normalized grid-INDEX vectors (the reference grids are
+    ordered magnitude ladders like 0, 1e-6, 1e-4, ..., 0.7, so index space is
+    the natural metric — raw values would collapse most of the ladder to 0).
+    RBF kernel, unit signal variance on standardized objectives, small jitter
+    noise; exact posterior over all (unseen) candidates — the spaces here are
+    a few hundred points, so no sparse tricks are needed.
+    """
+
+    def __init__(self, grids: dict[str, list], lengthscale: float = 0.35,
+                 noise: float = 1e-4):
+        self.keys = sorted(grids)
+        self.grids = {k: list(grids[k]) for k in self.keys}
+        self.lengthscale = lengthscale
+        self.noise = noise
+
+    def _embed(self, assignment: dict) -> np.ndarray:
+        out = []
+        for k in self.keys:
+            grid = self.grids[k]
+            denom = max(len(grid) - 1, 1)
+            out.append(grid.index(assignment[k]) / denom)
+        return np.asarray(out)
+
+    def _kernel(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / self.lengthscale ** 2)
+
+    def suggest(self, observed: list[tuple[dict, float]],
+                candidates: list[dict]) -> dict:
+        """Candidate maximizing expected improvement under the GP posterior
+        fit to `observed` [(assignment, objective-to-minimize), ...]."""
+        X = np.stack([self._embed(a) for a, _ in observed])
+        y = np.asarray([v for _, v in observed], np.float64)
+        mu0, sd = float(y.mean()), float(y.std()) or 1.0
+        y = (y - mu0) / sd
+        K = self._kernel(X, X) + self.noise * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+        Xc = np.stack([self._embed(a) for a in candidates])
+        Kc = self._kernel(Xc, X)                        # (C, N)
+        mean = Kc @ alpha
+        v = np.linalg.solve(L, Kc.T)                    # (N, C)
+        var = np.maximum(1.0 - (v ** 2).sum(0), 1e-12)
+        std = np.sqrt(var)
+        best = y.min()
+        z = (best - mean) / std
+        # expected improvement for minimization, standard-normal cdf/pdf
+        cdf = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+        pdf = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+        ei = (best - mean) * cdf + std * pdf
+        return candidates[int(np.argmax(ei))]
 
 
 def run_sweep(sweep: SweepConfig,
@@ -77,27 +131,24 @@ def run_sweep(sweep: SweepConfig,
     """Run a sweep.  objective_fn maps a parameter assignment to a metrics
     dict containing sweep.metric (typically: build TrainConfig, fit, eval).
 
-    The 'bayes' method is explore/exploit: `warmup` random configs, then each
-    step either explores (p=0.3) or mutates one axis of a random top-3 config —
-    a simple, dependency-free stand-in for wandb's GP search over the same
-    discrete grids.
+    The 'bayes' method matches the reference sweep.yaml's `method: bayes`
+    with a real surrogate-model optimizer: `warmup` random configs seed a
+    Gaussian process, then each run evaluates the unseen grid point with
+    maximum expected improvement (see _GPSurrogate).
     """
     rng = random.Random(sweep.seed)
     sign = 1.0 if sweep.goal == "minimize" else -1.0
     runs: list[dict[str, Any]] = []
     seen: set[tuple] = set()
 
-    if sweep.method == "grid":
-        keys = sorted(sweep.parameters)
-        candidates = [dict(zip(keys, vs))
-                      for vs in itertools.product(*(sweep.parameters[k] for k in keys))]
-        plan = candidates[:sweep.num_runs]
-    else:
-        plan = None
+    keys = sorted(sweep.parameters)
+    all_candidates = [dict(zip(keys, vs)) for vs in
+                      itertools.product(*(sweep.parameters[k] for k in keys))]
+    plan = all_candidates[:sweep.num_runs] if sweep.method == "grid" else None
+    gp = _GPSurrogate(sweep.parameters) if sweep.method == "bayes" else None
 
-    space = 1
-    for v in sweep.parameters.values():
-        space *= len(v)
+    def fresh(cand: dict) -> bool:
+        return tuple(sorted(cand.items())) not in seen
 
     for i in range(sweep.num_runs):
         if plan is not None:
@@ -105,24 +156,21 @@ def run_sweep(sweep: SweepConfig,
                 break
             assignment = plan[i]
         else:
-            # draw until unseen (bounded) — duplicate configurations would
-            # burn a full training run each; stop early if the grid is spent
-            if len(seen) >= space:
-                break
-            assignment = None
-            for _ in range(64):
-                if (sweep.method == "bayes" and i >= sweep.warmup and runs
-                        and rng.random() > 0.3):
-                    top = sorted(runs, key=lambda r: r["objective"])[:3]
-                    cand = _mutate(rng, rng.choice(top)["params"],
-                                   sweep.parameters)
-                else:
+            if len(seen) >= len(all_candidates):
+                break  # grid exhausted: duplicates would burn full runs
+            if gp is not None and i >= sweep.warmup and runs:
+                unseen = [c for c in all_candidates if fresh(c)]
+                assignment = gp.suggest(
+                    [(r["params"], r["objective"]) for r in runs], unseen)
+            else:
+                assignment = None
+                for _ in range(256):
                     cand = _sample_random(rng, sweep.parameters)
-                if tuple(sorted(cand.items())) not in seen:
-                    assignment = cand
-                    break
-            if assignment is None:
-                continue  # couldn't find a fresh config this round
+                    if fresh(cand):
+                        assignment = cand
+                        break
+                if assignment is None:
+                    continue
 
         key = tuple(sorted(assignment.items()))
         seen.add(key)

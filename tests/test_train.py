@@ -138,6 +138,41 @@ class TestSweep:
         assert len({tuple(sorted(r["params"].items())) for r in res.runs}) == 8
         assert res.best["params"]["a"] == 2
 
+    def test_bayes_beats_random_on_reference_grids(self):
+        """The GP surrogate must reach the optimum of a deterministic
+        objective over the reference sweep grids (8x8x5 = 320 configs,
+        Model-96/sweep.yaml) in measurably fewer evaluations than random
+        search — VERDICT round-1, item 5."""
+        grids = {
+            "dropout_rate": [0, 1e-6, 1e-4, 1e-3, 1e-2, 5e-2, 1e-1, 0.7],
+            "regularizer_rate": [0, 1e-7, 1e-5, 1e-3, 1e-2, 5e-2, 1e-1, 0.7],
+            "num_filters": [16, 64, 128, 256, 360],
+        }
+
+        def obj(p):
+            # smooth deterministic bowl in grid-index space, optimum at
+            # (dropout=1e-3, reg=1e-5, filters=256)
+            di = grids["dropout_rate"].index(p["dropout_rate"])
+            ri = grids["regularizer_rate"].index(p["regularizer_rate"])
+            fi = grids["num_filters"].index(p["num_filters"])
+            return {"m": (di - 3) ** 2 + 1.5 * (ri - 2) ** 2 + (fi - 3) ** 2}
+
+        def evals_to_optimum(method, seed):
+            sw = SweepConfig(parameters=grids, metric="m", method=method,
+                             num_runs=60, warmup=8, seed=seed)
+            res = run_sweep(sw, obj)
+            for i, r in enumerate(res.runs):
+                if r["objective"] == 0.0:
+                    return i + 1
+            return len(res.runs) + 1
+
+        seeds = range(5)
+        bayes = [evals_to_optimum("bayes", s) for s in seeds]
+        rand = [evals_to_optimum("random", s) for s in seeds]
+        assert sum(bayes) < sum(rand), (bayes, rand)
+        # the GP should land the optimum well within the 60-run budget
+        assert max(bayes) <= 40, bayes
+
     def test_grid(self):
         grids = {"a": [1, 2], "b": [3, 4]}
         sw = SweepConfig(parameters=grids, metric="m", method="grid", num_runs=10)
