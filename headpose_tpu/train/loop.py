@@ -310,6 +310,7 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
             summary[f"test_{name}_loss"] = m["loss"]
             summary[f"test_{name}_mae"] = m["mae"]
         logger.summary(summary)
+        logger.finish()   # close backends that hold a run open (wandb)
 
     return TrainResult(spec=spec, params=final_params, history=history,
                        best_epoch=best_epoch, best_val_loss=best_val,

@@ -2,6 +2,7 @@
 sweeps, evaluator parity."""
 import json
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -257,3 +258,77 @@ def test_reduce_lr_on_plateau(tmp_path):
             open(os.path.join(str(tmp_path / "run"), "metrics.jsonl"))]
     lrs = [r["learning_rate"] for r in recs if "learning_rate" in r]
     assert len(lrs) >= 2 and lrs[1] < lrs[0]
+
+
+class TestWandbLoggerProtocol:
+    """Protocol-level exercise of the wandb backend with a mock module —
+    this container has no wandb package/egress, so the call sequence the
+    reference relies on (init with project/config/tags -> per-epoch log ->
+    run.summary[...] -> finish; Model-88/utilities.py:11-33,
+    Model-96/train_96.py:115-120,191-196) is verified against a fake."""
+
+    def _install_mock(self, monkeypatch):
+        import sys as _sys
+        import types
+
+        calls = {"init": [], "log": [], "summary": {}, "finished": []}
+
+        class _Run:
+            def __init__(self):
+                self.summary = calls["summary"]
+                self.id = "mockrun1"
+
+            def finish(self):
+                calls["finished"].append(True)
+
+        mock = types.ModuleType("wandb")
+        run = _Run()
+
+        def init(project=None, config=None, tags=None, notes=""):
+            calls["init"].append({"project": project, "config": config,
+                                  "tags": tags, "notes": notes})
+            return run
+
+        mock.init = init
+        mock.log = lambda metrics, step=None: calls["log"].append(
+            {"metrics": metrics, "step": step})
+        monkeypatch.setitem(sys.modules, "wandb", mock)
+        return calls
+
+    def test_call_sequence(self, monkeypatch):
+        from headpose_tpu.train.logging import WandbLogger
+
+        calls = self._install_mock(monkeypatch)
+        lg = WandbLogger("HeadPoseRegressor-BIWI-96features",
+                         config={"learning_rate": 2.8e-4},
+                         tags=["BIWI_Train"])
+        lg.log({"train_loss": 1.0, "val_loss": 2.0}, step=1)
+        lg.log({"train_loss": 0.5, "val_loss": 1.5}, step=2)
+        lg.summary({"test_AFLW2000_mae": 8.03, "total_parameters": 3683})
+        lg.finish()
+        assert calls["init"][0]["project"] == "HeadPoseRegressor-BIWI-96features"
+        assert calls["init"][0]["config"]["learning_rate"] == 2.8e-4
+        assert [c["step"] for c in calls["log"]] == [1, 2]
+        assert calls["summary"]["test_AFLW2000_mae"] == 8.03
+        assert calls["finished"] == [True]
+
+    def test_fit_with_wandb_backend(self, monkeypatch, tmp_path):
+        """End-to-end: the trainer drives the wandb backend through
+        make_logger exactly as the JSONL path."""
+        from headpose_tpu.data.datasets import Dataset
+        from headpose_tpu.train import config_96, fit
+        from headpose_tpu.train.logging import make_logger
+
+        calls = self._install_mock(monkeypatch)
+        rng = np.random.default_rng(0)
+        ds = Dataset(rng.normal(size=(96, 96)).astype(np.float32),
+                     rng.normal(size=(96, 3)).astype(np.float32))
+        cfg = config_96(total_epochs=3, early_stopping_patience=10,
+                        checkpoint_dir=str(tmp_path), run_name="wb")
+        logger = make_logger(str(tmp_path / "wb"), cfg.to_dict(),
+                             wandb_project="mock-project")
+        fit(cfg, ds, logger=logger)
+        assert calls["init"][0]["project"] == "mock-project"
+        assert len(calls["log"]) >= 3           # one per epoch
+        assert any("val_loss" in c["metrics"] for c in calls["log"])
+        assert calls["finished"] == [True]
