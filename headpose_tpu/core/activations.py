@@ -2,7 +2,9 @@
 
 One canonical table for the Keras activation names appearing across the
 reference artifact zoo (linear/tanh/softsign/elu/relu/sigmoid/selu/softplus/
-swish/leaky_relu/gelu) — Keras semantics (leaky_relu alpha 0.3).
+swish/leaky_relu/gelu) — Keras semantics.  Note the 'leaky_relu' ACTIVATION
+string defaults to alpha=0.2 in tf-keras (the LeakyReLU LAYER would default
+to 0.3) — value-verified against the zoo goldens (88_yu8tzyf8).
 """
 from typing import Callable
 
@@ -21,7 +23,7 @@ ACTIVATIONS: dict[str, Callable] = {
     "selu": jax.nn.selu,
     "softplus": jax.nn.softplus,
     "swish": jax.nn.swish,
-    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.3),
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),
     "gelu": jax.nn.gelu,
 }
 
