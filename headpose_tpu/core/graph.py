@@ -158,8 +158,23 @@ def _apply_reshape(layer: LayerDef, p, xs):
 
 
 def _apply_tf_op(layer: LayerDef, p, xs):
+    """TensorFlowOpLayer: a raw TF graph node captured into the Keras graph.
+
+    `constants` maps the op's input positions that are NOT graph tensors to
+    literal values; graph-tensor inputs fill the remaining positions in
+    order.  Ops beyond this table stay fail-loud — silently approximating a
+    TF op would load a model that runs but computes wrong values."""
     node_op = layer.config.get("node_def", {}).get("op")
     constants = layer.config.get("constants", {})
+
+    def operands(n):
+        """The op's n inputs: graph tensors + constants at their positions."""
+        out, it = [], iter(xs)
+        for i in range(n):
+            c = constants.get(str(i))
+            out.append(jnp.asarray(c) if c is not None else next(it))
+        return out
+
     if node_op == "Pad":
         paddings = constants["1"]
         return jnp.pad(xs[0], [(int(a), int(b)) for a, b in paddings])
@@ -167,7 +182,62 @@ def _apply_tf_op(layer: LayerDef, p, xs):
         shape = constants["1"]
         # batch-polymorphic: the saved constant hardwires batch 1
         return xs[0].reshape((xs[0].shape[0], *[int(s) for s in shape[1:]]))
+    if node_op in ("AddV2", "Add"):
+        a, b = operands(2)
+        return a + b
+    if node_op == "Sub":
+        a, b = operands(2)
+        return a - b
+    if node_op == "Mul":
+        a, b = operands(2)
+        return a * b
+    if node_op in ("RealDiv", "Div"):
+        a, b = operands(2)
+        return a / b
+    if node_op == "ConcatV2":
+        *ts, axis = operands(len(xs) + 1)
+        return jnp.concatenate(ts, axis=int(axis))
+    if node_op == "ExpandDims":
+        x, axis = operands(2)
+        return jnp.expand_dims(x, int(axis))
+    if node_op == "Squeeze":
+        dims = layer.config["node_def"].get("attr", {}).get(
+            "squeeze_dims", {}).get("list", {}).get("i")
+        return jnp.squeeze(xs[0], tuple(int(d) for d in dims) if dims else None)
+    if node_op == "Mean":
+        x, axes = operands(2)
+        keep = layer.config["node_def"].get("attr", {}).get(
+            "keep_dims", {}).get("b", False)
+        return jnp.mean(x, axis=tuple(np.atleast_1d(axes).tolist()),
+                        keepdims=bool(keep))
     raise NotImplementedError(f"TensorFlowOpLayer op {node_op!r}")
+
+
+_TF_OP_LAMBDAS: dict[str, Callable] = {
+    # TFOpLambda (the TF2 successor of TensorFlowOpLayer): the wrapped
+    # function name is in config['function']; non-tensor call args arrive in
+    # the inbound node's kwargs, already baked into the saved graph
+    "math.add": lambda xs, kw: xs[0] + (xs[1] if len(xs) > 1 else kw["y"]),
+    "math.subtract": lambda xs, kw: xs[0] - (xs[1] if len(xs) > 1 else kw["y"]),
+    "math.multiply": lambda xs, kw: xs[0] * (xs[1] if len(xs) > 1 else kw["y"]),
+    "math.truediv": lambda xs, kw: xs[0] / (xs[1] if len(xs) > 1 else kw["y"]),
+    "__operators__.add": lambda xs, kw: xs[0] + (xs[1] if len(xs) > 1 else kw["y"]),
+    "concat": lambda xs, kw: jnp.concatenate(xs, axis=int(kw.get("axis", 0))),
+    "expand_dims": lambda xs, kw: jnp.expand_dims(xs[0], int(kw["axis"])),
+    "math.reduce_mean": lambda xs, kw: jnp.mean(
+        xs[0], axis=kw.get("axis"), keepdims=bool(kw.get("keepdims", False))),
+    "nn.relu": lambda xs, kw: jax.nn.relu(xs[0]),
+    "math.tanh": lambda xs, kw: jnp.tanh(xs[0]),
+    "math.sigmoid": lambda xs, kw: jax.nn.sigmoid(xs[0]),
+}
+
+
+def _apply_tf_op_lambda(layer: LayerDef, p, xs, node_kwargs=None):
+    fn_name = layer.config.get("function")
+    fn = _TF_OP_LAMBDAS.get(fn_name)
+    if fn is None:
+        raise NotImplementedError(f"TFOpLambda function {fn_name!r}")
+    return fn(xs, node_kwargs or {})
 
 
 def _apply_lambda(layer: LayerDef, p, xs):
@@ -196,6 +266,8 @@ _LAYER_FNS: dict[str, Callable] = {
     "Add": lambda l, p, xs: sum(xs[1:], xs[0]),
     "Multiply": lambda l, p, xs: xs[0] * xs[1],
     "Average": lambda l, p, xs: sum(xs[1:], xs[0]) / len(xs),
+    "Concatenate": lambda l, p, xs: jnp.concatenate(
+        xs, axis=int(l.config.get("axis", -1))),
     "ReLU": lambda l, p, xs: jax.nn.relu(xs[0]),
     "Activation": lambda l, p, xs: _activation(l.config.get("activation"))(xs[0]),
     "Flatten": lambda l, p, xs: xs[0].reshape(xs[0].shape[0], -1),
@@ -223,7 +295,14 @@ def _extract_params(model: ModelDef) -> Params:
 
 
 def _compile(model: ModelDef) -> Callable:
-    """Build fn(params, inputs: list) -> list of outputs for one graph."""
+    """Build fn(params, inputs: list) -> list of outputs for one graph.
+
+    Executes at CALL-NODE granularity: a layer invoked at several graph
+    positions (weight sharing) runs once per call node, each keyed by its
+    Keras node index.  Nested Functional submodels number their outer call
+    from 1 (node 0 is the inner graph), so ref resolution falls back one
+    index for submodel producers.
+    """
     sub_fns = {
         name: _compile(layer.submodel)
         for name, layer in model.layers.items()
@@ -232,45 +311,74 @@ def _compile(model: ModelDef) -> Callable:
 
     input_names = [ref[0] for ref in model.inputs]
 
-    # the executor maps each layer to ONE call node; a layer invoked at
-    # several graph positions (weight sharing) would silently compute wrong
-    # values, so reject it loudly (none of the 688 reference artifacts do this)
-    for layer in model.layers.values():
-        if len(layer.inbound) > 1:
-            raise NotImplementedError(
-                f"layer {layer.name!r} has {len(layer.inbound)} call nodes; "
-                "multi-call (shared) layers are not supported")
+    # node-level topological schedule: (layer_name, call_index) in dependency
+    # order, computed once at compile time (sweep until no progress)
+    pending = [(name, j) for name in model.order
+               for j in range(len(model.layers[name].inbound))
+               if model.layers[name].class_name != "InputLayer"]
+    done: set[tuple[str, int]] = {(n, 0) for n in input_names}
+
+    def node_key(name: str, j: int) -> tuple[str, int]:
+        base = 1 if model.layers[name].submodel is not None else 0
+        return (name, j + base)
+
+    def resolve_key(ref) -> tuple[str, int]:
+        name, idx, _ = ref
+        producer = model.layers.get(name)
+        if producer is not None and producer.class_name == "InputLayer":
+            return (name, 0)
+        return (name, idx)
+
+    schedule: list[tuple[str, int]] = []
+    done_keys = set(done)
+    while pending:
+        progressed = False
+        still = []
+        for name, j in pending:
+            refs = model.layers[name].inbound[j]
+            if all(resolve_key(r) in done_keys for r in refs):
+                schedule.append((name, j))
+                done_keys.add(node_key(name, j))
+                progressed = True
+            else:
+                still.append((name, j))
+        if not progressed:
+            raise ValueError(
+                f"graph {model.name!r}: unresolvable node dependencies "
+                f"{[n for n, _ in still]}")
+        pending = still
 
     def apply_fn(params: Params, inputs: list) -> list:
-        values: dict[str, Any] = {}
+        values: dict[tuple[str, int], Any] = {}
         for name, x in zip(input_names, inputs):
-            values[name] = x
-        for name in model.order:
+            values[(name, 0)] = x
+
+        def lookup(ref):
+            v = values[resolve_key(ref)]
+            # multi-output producers (nested submodels) store a list; honor
+            # the ref's tensor_index instead of passing the list
+            return v[ref[2]] if isinstance(v, (list, tuple)) else v
+
+        for name, j in schedule:
             layer = model.layers[name]
-            if layer.class_name == "InputLayer":
-                continue
-            if not layer.inbound:
-                continue
-            xs = []
-            for ref in layer.inbound[0]:
-                v = values[ref[0]]
-                # multi-output producers (nested submodels) store a list;
-                # honor the ref's tensor_index instead of passing the list
-                xs.append(v[ref[2]] if isinstance(v, (list, tuple)) else v)
+            xs = [lookup(r) for r in layer.inbound[j]]
             if layer.submodel is not None:
                 outs = sub_fns[name](params.get(name, {}), xs)
-                values[name] = outs[0] if len(outs) == 1 else outs
+                out = outs[0] if len(outs) == 1 else outs
+            elif layer.class_name == "TFOpLambda":
+                kw = (layer.call_kwargs[j]
+                      if j < len(layer.call_kwargs) else {})
+                out = _apply_tf_op_lambda(layer, params.get(name, {}), xs, kw)
             else:
                 fn = _LAYER_FNS.get(layer.class_name)
                 if fn is None:
                     raise NotImplementedError(f"layer {layer.class_name}")
-                values[name] = fn(layer, params.get(name, {}), xs)
+                out = fn(layer, params.get(name, {}), xs)
+            values[node_key(name, j)] = out
+
         outs = []
         for ref in model.outputs:
-            v = values[ref[0]]
-            if isinstance(v, list):
-                v = v[ref[2]]
-            outs.append(v)
+            outs.append(lookup(ref))
         return outs
 
     return apply_fn

@@ -35,6 +35,8 @@ class LayerDef:
     weights: dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     # Present when class_name is Functional/Model: the nested sub-model.
     submodel: "ModelDef | None" = None
+    # Per call-node non-tensor kwargs (TFOpLambda scalars like y=2.0).
+    call_kwargs: list[dict[str, Any]] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -56,23 +58,37 @@ class ModelDef:
         return n
 
 
-def _parse_inbound(raw) -> list[list[tuple[str, int, int]]]:
-    """Normalize Keras inbound_nodes into [(name, node_idx, tensor_idx), ...] per call."""
-    nodes = []
+def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
+                                 list[dict]]:
+    """Normalize Keras inbound_nodes into per-call ref lists + kwargs.
+
+    Three on-disk shapes exist: classic nested `[[["prev", 0, 0, {}], ...]]`,
+    TFOpLambda's FLAT call `[["prev", 0, 0, {"y": 2.0}]]` (the whole call is
+    one ref whose 4th element carries non-tensor kwargs), and the newer
+    kwargs-style dict nodes."""
+    nodes, kwargs = [], []
     for call in raw or []:
-        refs = []
-        for item in call:
-            if isinstance(item, list):
-                refs.append((item[0], int(item[1]), int(item[2])))
-            elif isinstance(item, dict):  # newer keras kwargs-style node
-                args = item.get("args", [])
-                for a in args:
-                    if isinstance(a, dict) and "config" in a:
-                        kh = a["config"].get("keras_history")
-                        if kh:
-                            refs.append((kh[0], int(kh[1]), int(kh[2])))
+        refs, kw = [], {}
+        if (isinstance(call, list) and call and isinstance(call[0], str)):
+            # flat TFOpLambda-style call: one ref + scalar kwargs
+            refs.append((call[0], int(call[1]), int(call[2])))
+            if len(call) > 3 and isinstance(call[3], dict):
+                kw = {k: v for k, v in call[3].items()
+                      if k != "name" and v is not None}
+        else:
+            for item in call:
+                if isinstance(item, list):
+                    refs.append((item[0], int(item[1]), int(item[2])))
+                elif isinstance(item, dict):  # newer keras kwargs-style node
+                    args = item.get("args", [])
+                    for a in args:
+                        if isinstance(a, dict) and "config" in a:
+                            kh = a["config"].get("keras_history")
+                            if kh:
+                                refs.append((kh[0], int(kh[1]), int(kh[2])))
         nodes.append(refs)
-    return nodes
+        kwargs.append(kw)
+    return nodes, kwargs
 
 
 def _parse_ref_list(raw) -> list[tuple[str, int, int]]:
@@ -89,12 +105,14 @@ def _parse_graph(name: str, cfg: dict) -> ModelDef:
         sub = None
         if cls in ("Functional", "Model"):
             sub = _parse_graph(lname, lconf if "layers" in lconf else lconf["config"])
+        inbound, call_kwargs = _parse_inbound(lraw.get("inbound_nodes"))
         layers[lname] = LayerDef(
             name=lname,
             class_name=cls,
             config=lconf,
-            inbound=_parse_inbound(lraw.get("inbound_nodes")),
+            inbound=inbound,
             submodel=sub,
+            call_kwargs=call_kwargs,
         )
         order.append(lname)
     return ModelDef(

@@ -44,7 +44,21 @@ def load_sweep_file(path: str) -> SweepConfig:
     else:
         with open(path) as f:
             raw = json.load(f)
-    params = {k: v["values"] for k, v in raw["parameters"].items()}
+    def coerce(v):
+        # the reference sweep.yaml quotes its scientific-notation values
+        # ('1e-6'), which YAML keeps as strings — grid values must be numeric
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+        return v
+
+    params = {k: [coerce(x) for x in v["values"]]
+              for k, v in raw["parameters"].items()}
     metric = raw.get("metric", {})
     return SweepConfig(
         parameters=params,

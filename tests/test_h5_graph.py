@@ -142,3 +142,32 @@ def test_zoo_sample_numeric_parity():
         ref = g[f"y_{tag}"]
         np.testing.assert_allclose(y.reshape(ref.shape), ref,
                                    rtol=1e-4, atol=1e-4, err_msg=tag)
+
+
+class TestSharedLayersAndTFOpLambda:
+    """Round-2 graph-compiler extensions: multi-call (shared) layers execute
+    once per call node, and TFOpLambda ops (the TF2 successor of
+    TensorFlowOpLayer) evaluate with their saved scalar kwargs.  Fixtures
+    are built with tf-keras in-test (no zoo artifact uses these — this is
+    capability beyond the shipped 688 files)."""
+
+    @pytest.fixture(scope="class")
+    def fixture_h5(self, tmp_path_factory):
+        keras = pytest.importorskip("tf_keras")
+        path = str(tmp_path_factory.mktemp("shared") / "shared_tfop.h5")
+        inp = keras.Input(shape=(4,))
+        shared = keras.layers.Dense(4, activation="tanh", name="shared")
+        a = shared(inp)
+        b = shared(a)                 # second call node of the same layer
+        c = a * 2.0 + 1.0             # TFOpLambda with scalar kwargs
+        d = keras.layers.Concatenate()([b, c])
+        m = keras.Model(inp, d)
+        m.save(path)
+        x = np.random.default_rng(0).normal(size=(6, 4)).astype(np.float32)
+        return path, x, m.predict(x, verbose=0)
+
+    def test_numeric_parity(self, fixture_h5):
+        path, x, want = fixture_h5
+        gm = load_graph_model(path)
+        np.testing.assert_allclose(np.asarray(gm(x)), want,
+                                   rtol=1e-5, atol=1e-6)
