@@ -31,7 +31,7 @@ def main() -> None:
     fn, (params, _) = ge.entry(precision="fast")
     fn = jax.jit(fn)
 
-    batch = 512
+    batch = 256
     rng = np.random.default_rng(0)
     frames_np = rng.integers(0, 256, size=(batch, 128, 128, 3), dtype=np.int64
                              ).astype(np.uint8)
@@ -55,7 +55,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "end-to-end detect+pose throughput",
         "value": round(frames_per_sec, 1),
-        "unit": "frames/sec/chip (batch 512 uint8 128x128 frames on-device, NMS'd results out, fast mode: 0.004deg max pose err vs reference)",
+        "unit": "frames/sec/chip (batch 256 uint8 128x128 frames on-device, NMS'd results out, fast mode: 0.004deg max pose err vs reference)",
         "vs_baseline": round(frames_per_sec / BASELINE_FACES_PER_SEC, 1),
     }))
 
