@@ -201,13 +201,100 @@ def _emit_mlp_head(g: _Graph, spec, params, prev: str, prefix: str = "conv2d"
     return prev
 
 
+def _emit_residual_head(g: _Graph, spec, params, prev: str) -> str:
+    """ResidualMLPHead as the reference's create_model_complex graph shape
+    (Model-88/attention_model.py:97-169): 1x1 conv blocks + Add + ReLU."""
+    def conv(name, p, act):
+        w = np.asarray(p["w"], np.float32)
+        return g.conv2d(name, prev_ref[0], w.reshape(1, 1, *w.shape),
+                        np.asarray(p["b"], np.float32), activation=_ACT[act])
+
+    prev_ref = [prev]
+    prev_ref[0] = conv("conv2d", params["proj"], spec.activation)
+    trunk = prev_ref[0]
+    for b, blk in enumerate(params["blocks"]):
+        prev_ref[0] = trunk
+        prev_ref[0] = conv(f"conv2d_{2 * b + 1}", blk["fc1"], spec.activation)
+        prev_ref[0] = conv(f"conv2d_{2 * b + 2}", blk["fc2"], spec.activation)
+        added = g.add_layer(f"add_{b}" if b else "add", prev_ref[0], trunk)
+        trunk = g.relu(f"re_lu_{b}" if b else "re_lu", added)
+    prev_ref[0] = trunk
+    prev_ref[0] = conv("conv2d_bottleneck", params["bottleneck"],
+                       spec.activation)
+    return conv("conv2d_out", params["out"], "linear")
+
+
+def _emit_skip_head(g: _Graph, spec, params, prev: str) -> str:
+    """SkipMLPHead (train_88.py create_model_skip_fc): enc1 -> enc2 -> dec
+    with an Add skip from enc1, then the linear output conv."""
+    def conv(name, p, src, act):
+        w = np.asarray(p["w"], np.float32)
+        return g.conv2d(name, src, w.reshape(1, 1, *w.shape),
+                        np.asarray(p["b"], np.float32), activation=_ACT[act])
+
+    e1 = conv("conv2d", params["enc1"], prev, spec.activation)
+    e2 = conv("conv2d_1", params["enc2"], e1, spec.activation)
+    dec = conv("conv2d_2", params["dec"], e2, spec.activation)
+    added = g.add_layer("add", dec, e1)
+    return conv("conv2d_3", params["out"], added, "linear")
+
+
+def _emit_se_head(g: _Graph, spec, params, prev: str) -> str:
+    """SEMLPHead (attention_model.py create_modelC): GAP -> Dense relu ->
+    Dense sigmoid -> Reshape(1,1,C) -> Multiply gate, then 1x1 convs."""
+    gap = g.add("GlobalAveragePooling2D", "global_average_pooling2d",
+                {"data_format": "channels_last", "keepdims": False}, [prev])
+    fc1 = g.add("Dense", "dense", {
+        "units": int(np.asarray(params["se"]["fc1"]["w"]).shape[1]),
+        "activation": "relu", "use_bias": True,
+        "kernel_initializer": _init(), "bias_initializer": _init("Zeros"),
+        "kernel_regularizer": None, "bias_regularizer": None,
+        "activity_regularizer": None, "kernel_constraint": None,
+        "bias_constraint": None,
+    }, [gap], {"kernel": np.asarray(params["se"]["fc1"]["w"], np.float32),
+               "bias": np.asarray(params["se"]["fc1"]["b"], np.float32)})
+    fc2 = g.add("Dense", "dense_1", {
+        "units": spec.in_features, "activation": "sigmoid", "use_bias": True,
+        "kernel_initializer": _init(), "bias_initializer": _init("Zeros"),
+        "kernel_regularizer": None, "bias_regularizer": None,
+        "activity_regularizer": None, "kernel_constraint": None,
+        "bias_constraint": None,
+    }, [fc1], {"kernel": np.asarray(params["se"]["fc2"]["w"], np.float32),
+               "bias": np.asarray(params["se"]["fc2"]["b"], np.float32)})
+    gate = g.reshape("reshape", fc2, (1, 1, spec.in_features))
+    gated = g.add("Multiply", "multiply", {}, [prev, gate])
+
+    def conv(name, p, src, act):
+        w = np.asarray(p["w"], np.float32)
+        return g.conv2d(name, src, w.reshape(1, 1, *w.shape),
+                        np.asarray(p["b"], np.float32), activation=_ACT[act])
+
+    fc = conv("conv2d", params["fc"], gated, "relu")
+    return conv("conv2d_1", params["out"], fc, "linear")
+
+
 def save_head_h5(spec, params, path: str, *, name: str = "model") -> None:
-    """Export an MLPHead as a Keras-2 H5 with dynamic (None, None, C) input —
+    """Export a pose head as a Keras-2 H5 with dynamic (None, None, C) input —
     the reference's converted "NoFlatten" head format, directly consumable by
-    JoinModels.py and InputShapeConvertor.py."""
+    JoinModels.py and InputShapeConvertor.py.  Supports the MLP, residual,
+    skip, and SE families (the SE-Transformer's Lambda layers marshal Python
+    bytecode and do not round-trip portably even for the reference's own
+    artifacts)."""
+    from ..models import (MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead)
+
     g = _Graph(name)
     inp = g.input("input_1", (None, None, None, spec.in_features))
-    out = _emit_mlp_head(g, spec, params, inp)
+    if isinstance(spec, MLPHead):
+        out = _emit_mlp_head(g, spec, params, inp)
+    elif isinstance(spec, ResidualMLPHead):
+        out = _emit_residual_head(g, spec, params, inp)
+    elif isinstance(spec, SkipMLPHead):
+        out = _emit_skip_head(g, spec, params, inp)
+    elif isinstance(spec, SEMLPHead):
+        out = _emit_se_head(g, spec, params, inp)
+    else:
+        raise NotImplementedError(
+            f"H5 export not implemented for {type(spec).__name__}")
     g.save(path, [out], [inp])
 
 

@@ -94,3 +94,50 @@ class TestUnifiedExport:
         want = [np.asarray(o) for o in model.reference_outputs(params, x)]
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=2e-4)
+
+
+class TestAllFamilyExports:
+    """Residual/skip/SE families export to tf-keras-loadable H5 too (the
+    SE-Transformer's Lambda layers don't round-trip portably even for the
+    reference's own artifacts — excluded by design)."""
+
+    @pytest.mark.parametrize("family", ["residual", "skip", "se"])
+    def test_family_roundtrip(self, family, tmpdir):
+        keras = pytest.importorskip("tf_keras")
+        from headpose_tpu.models import (ResidualMLPHead, SkipMLPHead,
+                                         SEMLPHead)
+
+        spec = {"residual": ResidualMLPHead(in_features=88),
+                "skip": SkipMLPHead(in_features=88),
+                "se": SEMLPHead(in_features=88)}[family]
+        params = spec.init(jax.random.PRNGKey(1))
+        path = os.path.join(tmpdir, f"{family}.h5")
+        save_head_h5(spec, params, path)
+        m = keras.models.load_model(path, compile=False)
+        x = np.random.default_rng(0).normal(
+            size=(5, 2, 2, spec.in_features)).astype(np.float32)
+        np.testing.assert_allclose(m.predict(x, verbose=0),
+                                   np.asarray(spec.apply(params, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_trained_head_roundtrip(self, tmpdir):
+        """Train here -> export -> the reference-side loader evaluates the
+        SAME model: the full 'consume our artifacts' workflow."""
+        keras = pytest.importorskip("tf_keras")
+        from headpose_tpu.data.datasets import Dataset
+        from headpose_tpu.train import config_96, fit
+
+        rng = np.random.default_rng(0)
+        ds = Dataset(rng.normal(size=(256, 96)).astype(np.float32),
+                     rng.normal(size=(256, 3)).astype(np.float32))
+        cfg = config_96(total_epochs=5, early_stopping_patience=10,
+                        checkpoint_dir=str(tmpdir), run_name="exp")
+        result = fit(cfg, ds)
+        path = os.path.join(tmpdir, "trained.h5")
+        save_head_h5(result.spec, result.params, path)
+        m = keras.models.load_model(path, compile=False)
+        x = rng.normal(size=(64, 1, 1, 96)).astype(np.float32)
+        np.testing.assert_allclose(
+            m.predict(x, verbose=0).reshape(64, 3),
+            np.asarray(result.spec.apply(result.params, x)).reshape(64, 3),
+            rtol=1e-5, atol=1e-5)
