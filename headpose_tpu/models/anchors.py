@@ -17,7 +17,7 @@ import math
 
 import numpy as np
 
-__all__ = ["AnchorConfig", "FRONT_CONFIG", "generate_anchors"]
+__all__ = ["AnchorConfig", "FRONT_CONFIG", "BACK_CONFIG", "generate_anchors"]
 
 
 @dataclasses.dataclass(frozen=True)

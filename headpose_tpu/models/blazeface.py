@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BlazeFace", "BLAZEFACE_FRONT", "blazeface_from_h5"]
+__all__ = ["BlazeFace", "BLAZEFACE_FRONT", "BLAZEFACE_BACK", "blazeface_from_h5"]
 
 Params = dict[str, Any]
 
@@ -150,6 +150,23 @@ class BlazeFace:
 
 
 BLAZEFACE_FRONT = BlazeFace()
+
+# Back-camera variant: the reference reserves the 256-input back model
+# (INPUT_BACK=256, blazeFaceDetectorH5.py:11) but ships neither weights nor a
+# runtime path for it.  The spec follows the MediaPipe back-camera topology:
+# same stem and BlazeBlock structure with ONE extra stride-2 stage so the SSD
+# grids land on 16x16 (stride 16) and 8x8 (stride 32) of the 256 input —
+# matching the 896-anchor table of anchors.BACK_CONFIG (16*16*2 + 8*8*6).
+# Resolution walk: 256 → stem/2 → 128 → ds@0 → 64 → ds@3 → 32 → ds@6 → 16
+# (tap88 at block 11, 88ch) → ds@12 → 8 (96ch).  No pretrained weights exist;
+# train from scratch or distill when back-camera data appears.
+BLAZEFACE_BACK = BlazeFace(
+    input_size=256,
+    block_channels=(24, 24, 28, 32, 36, 42, 48, 56, 64,
+                    72, 80, 88, 96, 96, 96, 96, 96),
+    downsample_blocks=(0, 3, 6, 12),
+    tap88_block=11,
+)
 
 
 def blazeface_from_h5(path: str) -> tuple[BlazeFace, Params]:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.anchors import FRONT_CONFIG, generate_anchors
+from ..models.anchors import AnchorConfig, BACK_CONFIG, FRONT_CONFIG, generate_anchors
 from ..models.unified import UnifiedPoseModel, unified_from_h5
 from ..ops.detection import MAX_FACES, postprocess
 from ..ops.image import preprocess
@@ -42,7 +42,8 @@ class FaceDetector:
     def __init__(self, model: UnifiedPoseModel, params: Any,
                  score_threshold: float = 0.4, iou_threshold: float = 0.3,
                  max_faces: int = MAX_FACES, input_size: int = 128,
-                 channel_order: str = "bgr", precision: str = "highest"):
+                 channel_order: str = "bgr", precision: str = "highest",
+                 anchor_config: AnchorConfig | None = None):
         self.model = model
         self.params = params
         self.score_threshold = float(score_threshold)
@@ -58,7 +59,12 @@ class FaceDetector:
         # ~0.003 degree pose error (docs/BENCH.md) — still 30x inside the
         # budget.  Postprocess selection stays at HIGHEST in every mode.
         self.precision = precision
-        self.anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
+        # anchors follow the model's input resolution: 128 → front-camera
+        # config (blazeFaceDetectorH5.py:236-241), 256 → the back-camera
+        # config the reference reserves but never wires (INPUT_BACK=256)
+        if anchor_config is None:
+            anchor_config = BACK_CONFIG if self.input_size == 256 else FRONT_CONFIG
+        self.anchors = jnp.asarray(generate_anchors(anchor_config), jnp.float32)
 
     @classmethod
     def from_h5(cls, path: str, **kwargs) -> "FaceDetector":

@@ -158,10 +158,50 @@ def test_se_transformer_import_three_way_agreement():
 
 def test_back_camera_anchor_config():
     """The back-camera anchor table (256 input, strides 16/32/32/32 —
-    blazeFaceDetectorH5.py INPUT_BACK) also yields 896 anchors on the same
-    grid structure."""
+    blazeFaceDetectorH5.py INPUT_BACK) is bit-exact vs the reference
+    generator run with the back options (golden anchors_back.npz, captured
+    from blazeFaceUtils.gen_anchors)."""
     from headpose_tpu.models.anchors import BACK_CONFIG
     a = generate_anchors(BACK_CONFIG)
     assert a.shape == (896, 4)
     assert np.isclose(a[0, 0], 0.5 / 16)   # 16x16 grid, 2/cell
     assert np.isclose(a[512, 0], 0.5 / 8)  # 8x8 grid, 6/cell
+    golden = np.load(os.path.join(GOLDEN, "anchors_back.npz"))["anchors"]
+    np.testing.assert_array_equal(a, golden)
+
+
+def test_back_camera_backbone_and_detector():
+    """BLAZEFACE_BACK: 256-input spec with one extra downsample stage —
+    feature grids and anchor-major outputs line up with the back anchor
+    table, and the full detection pipeline runs end to end on it."""
+    from headpose_tpu.models import BLAZEFACE_BACK
+    from headpose_tpu.models.heads import MLPHead
+    from headpose_tpu.models.unified import join_models
+    from headpose_tpu.runtime.detector import FaceDetector
+
+    spec = BLAZEFACE_BACK
+    key = jax.random.PRNGKey(0)
+    params = spec.init(key)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 256, 256, 3),
+                           jnp.float32, -1.0, 1.0)
+    out = spec.apply(params, x)
+    assert out["feat88"].shape == (2, 16, 16, 88)
+    assert out["feat96"].shape == (2, 8, 8, 96)
+    assert out["scores"].shape == (2, 896)
+    assert out["loc"].shape == (2, 896, 16)
+    # dense composition stays exact on the back topology too
+    out_d = spec.apply(params, x, dense=True)
+    np.testing.assert_allclose(np.asarray(out_d["scores"]),
+                               np.asarray(out["scores"]), rtol=2e-4, atol=2e-4)
+
+    h88 = MLPHead(88, ((16, "softsign"), (3, "linear")))
+    h96 = MLPHead(96, ((16, "tanh"), (3, "linear")))
+    model, uparams = join_models(spec, params,
+                                 h88, h88.init(jax.random.PRNGKey(2)),
+                                 h96, h96.init(jax.random.PRNGKey(3)))
+    det = FaceDetector(model, uparams, input_size=256, score_threshold=0.0)
+    imgs = np.random.default_rng(4).integers(
+        0, 256, size=(2, 300, 300, 3)).astype(np.uint8)
+    batch = det.detect(imgs)
+    assert batch.boxes.shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(batch.poses)))
