@@ -121,3 +121,34 @@ class TestTensorParallelFamilies:
         assert specs["layers"][0]["w"] == P(None, "model")
         assert specs["layers"][1]["w"] == P("model", None)
         assert specs["layers"][2]["w"] == P()
+
+
+class TestDistributed:
+    """Multi-host bring-up (parallel.distributed).  Single-process here —
+    the host-count-dependent paths are exercised through their
+    process-count-1 degenerate forms, which must work unchanged."""
+
+    def test_initialize_is_noop_single_process(self):
+        from headpose_tpu.parallel import initialize_distributed, is_distributed
+        initialize_distributed()  # must not raise or spawn a coordinator
+        assert not is_distributed()
+        initialize_distributed()  # idempotent
+
+    def test_global_mesh_process_contiguous(self):
+        from headpose_tpu.parallel import global_mesh
+        mesh = global_mesh(model_parallel=2)
+        assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+        assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+        with pytest.raises(ValueError):
+            global_mesh(model_parallel=3)
+
+    def test_host_local_batch_numeric(self):
+        """host_local_batch assembles a P('data')-sharded global array and a
+        jitted reduction over it matches the unsharded computation."""
+        from headpose_tpu.parallel import global_mesh, host_local_batch
+        mesh = global_mesh()
+        rows = np.random.default_rng(0).normal(size=(32, 5)).astype(np.float32)
+        batch = host_local_batch(mesh, {"x": rows})
+        assert len(batch["x"].sharding.device_set) == len(jax.devices())
+        got = np.asarray(jax.jit(lambda b: jnp.sum(b["x"] ** 2))(batch))
+        np.testing.assert_allclose(got, np.sum(rows ** 2), rtol=1e-5)
