@@ -88,7 +88,8 @@ class BlazeFace:
 
     # --------------------------------------------------------------- forward
     def apply(self, params: Params, x, *, dtype=None,
-              dense: bool = False) -> dict[str, jax.Array]:
+              dense: bool = False,
+              fast_blocks: tuple[int, ...] | None = None) -> dict[str, jax.Array]:
         """x: (B, 128, 128, 3) in [-1, 1].  Returns dict with feat88, feat96,
         scores (B, 896) logits, and loc (B, 896, 16) raw offsets.
 
@@ -97,16 +98,29 @@ class BlazeFace:
         K[a,b,ci,co] = dw[a,b,ci]*pw[ci,co]).  On TPU this halves the HBM
         round-trips of the intermediate maps and, combined with 'high'
         matmul precision, runs ~25% faster than the separable form at
-        ~2.5e-4 feature error (docs/BENCH.md)."""
+        ~2.5e-4 feature error (docs/BENCH.md).
+
+        fast_blocks runs the listed block indices (and, if any are listed,
+        the SSD heads) at the MXU's single-pass bf16 precision while the
+        other stages keep the ambient precision — precision islands.  On
+        TPU the 3-pass ambient tax is concentrated in the MANY small tail
+        convs (latency-bound, so 3 passes cost ~3x), while accuracy is
+        dominated by the stem/early blocks and the convs feeding the
+        feat88/feat96 pose taps (rounding there is amplified through the
+        un-normalized conv stack).  The 'turbo' serving mode picks the
+        measured-safe set (docs/BENCH.md)."""
         if dtype is not None:
             params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
             x = x.astype(dtype)
 
-        def conv(p, v, stride=1, padding="SAME", groups=1):
+        def conv(p, v, stride=1, padding="SAME", groups=1, precision=None):
             return jax.lax.conv_general_dilated(
                 v, p[0], (stride, stride), padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=groups) + p[1]
+                feature_group_count=groups, precision=precision) + p[1]
+
+        fast = jax.lax.Precision.DEFAULT
+        fastset = frozenset(fast_blocks) if fast_blocks is not None else frozenset()
 
         y = jax.nn.relu(conv((params["stem"]["kernel"], params["stem"]["bias"]),
                              x, stride=2))
@@ -114,16 +128,17 @@ class BlazeFace:
         for i, (blk, cout) in enumerate(zip(params["blocks"], self.block_channels)):
             cin = y.shape[-1]
             stride = 2 if i in self.downsample_blocks else 1
+            prec = fast if i in fastset else None
             if dense:
                 dwk = blk["dw_kernel"].reshape(3, 3, cin)
                 pwk = blk["pw_kernel"].reshape(cin, cout)
                 t = conv((dwk[:, :, :, None] * pwk[None, None, :, :],
                           blk["dw_bias"] @ pwk + blk["pw_bias"]), y,
-                         stride=stride)
+                         stride=stride, precision=prec)
             else:
                 t = conv((blk["dw_kernel"], blk["dw_bias"]), y,
-                         stride=stride, groups=cin)
-                t = conv((blk["pw_kernel"], blk["pw_bias"]), t)
+                         stride=stride, groups=cin, precision=prec)
+                t = conv((blk["pw_kernel"], blk["pw_bias"]), t, precision=prec)
             skip = y
             if stride == 2:
                 skip = jax.lax.reduce_window(skip, -jnp.inf, jax.lax.max,
@@ -136,10 +151,11 @@ class BlazeFace:
         feat96 = y
 
         B = x.shape[0]
-        cls_f = conv((params["cls_front"]["kernel"], params["cls_front"]["bias"]), feat88)
-        cls_b = conv((params["cls_back"]["kernel"], params["cls_back"]["bias"]), feat96)
-        loc_f = conv((params["loc_front"]["kernel"], params["loc_front"]["bias"]), feat88)
-        loc_b = conv((params["loc_back"]["kernel"], params["loc_back"]["bias"]), feat96)
+        hp = fast if fastset else None
+        cls_f = conv((params["cls_front"]["kernel"], params["cls_front"]["bias"]), feat88, precision=hp)
+        cls_b = conv((params["cls_back"]["kernel"], params["cls_back"]["bias"]), feat96, precision=hp)
+        loc_f = conv((params["loc_front"]["kernel"], params["loc_front"]["bias"]), feat88, precision=hp)
+        loc_b = conv((params["loc_back"]["kernel"], params["loc_back"]["bias"]), feat96, precision=hp)
 
         scores = jnp.concatenate(
             [cls_f.reshape(B, -1), cls_b.reshape(B, -1)], axis=1)
@@ -150,6 +166,18 @@ class BlazeFace:
 
 
 BLAZEFACE_FRONT = BlazeFace()
+
+# The measured-safe single-pass-bf16 island for serving ('turbo' mode): the
+# final-stage (8x8) blocks + SSD heads.  Larger sets (any of blocks 3-11
+# included) measured 0.13-0.27 deg of pose error on the golden images — over
+# the 0.1 deg parity budget; this set measures ~0.05 deg with identical
+# detection sets (docs/BENCH.md, probed on the real chip).
+def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
+    """Block indices after the last downsample — the final-stage island."""
+    return tuple(range(spec.downsample_blocks[-1] + 1, len(spec.block_channels)))
+
+
+TURBO_FAST_BLOCKS = turbo_fast_blocks(BLAZEFACE_FRONT)  # (12, 13, 14, 15)
 
 # Back-camera variant: the reference reserves the 256-input back model
 # (INPUT_BACK=256, blazeFaceDetectorH5.py:11) but ships neither weights nor a

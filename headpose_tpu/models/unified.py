@@ -38,9 +38,10 @@ class UnifiedPoseModel:
     head96: Any = None  # pose head consuming feat96 (8x8x96)
 
     def apply(self, params: Params, x, *, dtype=None,
-              dense: bool = False) -> dict[str, jax.Array]:
+              dense: bool = False,
+              fast_blocks: tuple[int, ...] | None = None) -> dict[str, jax.Array]:
         out = self.backbone.apply(params["backbone"], x, dtype=dtype,
-                                  dense=dense)
+                                  dense=dense, fast_blocks=fast_blocks)
         if self.head88 is not None:
             out["pose_front"] = self.head88.apply(params["head88"], out["feat88"])
         if self.head96 is not None:

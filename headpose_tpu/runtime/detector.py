@@ -57,7 +57,11 @@ class FaceDetector:
         # (BASELINE.md).  'fast' runs the backbone as dense-composed 3x3
         # convs at 3-pass 'high' precision: ~25% higher throughput at
         # ~0.003 degree pose error (docs/BENCH.md) — still 30x inside the
-        # budget.  Postprocess selection stays at HIGHEST in every mode.
+        # budget.  'turbo' additionally runs the 8x8-stage blocks + SSD
+        # heads at single-pass bf16 (the measured-safe precision island,
+        # TURBO_FAST_BLOCKS): ~0.05 degree pose error, identical detection
+        # sets, the fastest parity-safe mode (docs/BENCH.md).  Postprocess
+        # selection stays at HIGHEST in every mode.
         self.precision = precision
         # anchors follow the model's input resolution: 128 → front-camera
         # config (blazeFaceDetectorH5.py:236-241), 256 → the back-camera
@@ -95,11 +99,18 @@ class FaceDetector:
     @functools.partial(jax.jit, static_argnums=0)
     def _pipeline(self, params, images):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program."""
-        fast = self.precision == "fast"
+        from ..models.blazeface import TURBO_FAST_BLOCKS, turbo_fast_blocks
+
+        fast = self.precision in ("fast", "turbo")
+        kwargs = {"dense": True} if fast else {}
+        if self.precision == "turbo":
+            spec = getattr(self.model, "backbone", None)
+            kwargs["fast_blocks"] = (turbo_fast_blocks(spec) if spec is not None
+                                     else TURBO_FAST_BLOCKS)
         with jax.default_matmul_precision("high" if fast else self.precision):
             x = preprocess(images, self.input_size, self.channel_order)
             try:
-                out = self.model.apply(params, x, dense=fast)
+                out = self.model.apply(params, x, **kwargs)
             except TypeError:  # graph-compiled adapters take no dense flag
                 out = self.model.apply(params, x)
         post = jax.vmap(

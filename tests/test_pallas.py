@@ -139,3 +139,19 @@ class TestDenseComposedBackbone:
         res = det.detect_single(np.asarray(g["img"], np.uint8))
         assert len(res.scores) == len(g["scores"])
         np.testing.assert_allclose(res.poses, g["poses"], atol=1e-3)
+
+    def test_turbo_detector_golden_parity(self):
+        """'turbo' (precision islands: final-stage blocks + SSD heads at
+        single-pass bf16) must keep golden parity.  On CPU all precisions
+        execute as f32, so this validates the plumbing; the on-chip error
+        (0.05 deg max, identical detection sets) is recorded in
+        docs/BENCH.md."""
+        import os
+        from headpose_tpu.pretrained import flagship_detector
+
+        g = np.load(os.path.join(os.path.dirname(__file__),
+                                 "golden", "e2e_production.npz"))
+        det = flagship_detector(precision="turbo")
+        res = det.detect_single(np.asarray(g["img"], np.uint8))
+        assert len(res.scores) == len(g["scores"])
+        np.testing.assert_allclose(res.poses, g["poses"], atol=1e-3)
