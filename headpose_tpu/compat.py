@@ -22,13 +22,81 @@ from .runtime.results import Results
 from .utils.profiling import FpsCounter
 
 __all__ = ["blazeFaceDetector", "Results", "KEY_POINT_SIZE", "MAX_FACE_NUM",
-           "INPUT_FRONT", "INPUT_BACK"]
+           "INPUT_FRONT", "INPUT_BACK",
+           "EMAFilter", "SsdAnchorsCalculatorOptions", "Anchor", "gen_anchors"]
 
 # reference constants (blazeFaceDetectorH5.py:8-11)
 KEY_POINT_SIZE = 6
 MAX_FACE_NUM = 100
 INPUT_FRONT = 128
 INPUT_BACK = 256
+
+
+class EMAFilter:
+    """Scalar EMA with first-sample initialization — the smoothing filter of
+    the reference demo loop (blazeFaceDetectorH5.py:16-35).  New code should
+    use runtime.smoothing.TrackSmoother (vectorized, per-slot)."""
+
+    def __init__(self, alpha: float, initial_value: float = 0.0):
+        assert 0.0 < alpha <= 1.0, "alpha must be in (0,1]"
+        self.alpha = alpha
+        self.state = initial_value
+        self.initialized = False
+
+    def update(self, measurement: float) -> float:
+        if not self.initialized:
+            self.state = measurement
+            self.initialized = True
+        else:
+            self.state = self.alpha * measurement + (1.0 - self.alpha) * self.state
+        return self.state
+
+
+class SsdAnchorsCalculatorOptions:
+    """Anchor-generation options with the reference's constructor signature
+    (blazeFaceUtils.py:3-48), backed by models.anchors.AnchorConfig."""
+
+    def __init__(self, input_size_width, input_size_height, min_scale,
+                 max_scale, num_layers, feature_map_width, feature_map_height,
+                 strides, aspect_ratios, anchor_offset_x=0.5,
+                 anchor_offset_y=0.5, reduce_boxes_in_lowest_layer=False,
+                 interpolated_scale_aspect_ratio=1.0, fixed_anchor_size=False):
+        from .models.anchors import AnchorConfig
+
+        if list(feature_map_width) or list(feature_map_height):
+            raise NotImplementedError(
+                "explicit feature_map sizes are unused by the reference "
+                "configs; stride-derived grids only")
+        self.config = AnchorConfig(
+            input_width=input_size_width, input_height=input_size_height,
+            min_scale=min_scale, max_scale=max_scale, strides=tuple(strides),
+            aspect_ratios=tuple(aspect_ratios),
+            anchor_offset_x=anchor_offset_x, anchor_offset_y=anchor_offset_y,
+            interpolated_scale_aspect_ratio=interpolated_scale_aspect_ratio,
+            fixed_anchor_size=fixed_anchor_size,
+            reduce_boxes_in_lowest_layer=reduce_boxes_in_lowest_layer)
+        if num_layers != len(self.config.strides):
+            raise ValueError("num_layers must equal len(strides)")
+
+
+class Anchor:
+    """Anchor record with the reference's field names (blazeFaceUtils.py:50-57)."""
+
+    def __init__(self, x_center, y_center, h, w):
+        self.x_center, self.y_center, self.h, self.w = x_center, y_center, h, w
+
+    def to_string(self):
+        return (f"x_center: {self.x_center}, y_center: {self.y_center}, "
+                f"h: {self.h}, w: {self.w}")
+
+
+def gen_anchors(options: SsdAnchorsCalculatorOptions) -> list[Anchor]:
+    """Reference-shaped anchor generation (blazeFaceUtils.py:59-127) on top of
+    the vectorized table."""
+    from .models.anchors import generate_anchors
+
+    table = generate_anchors(options.config)
+    return [Anchor(x, y, h, w) for x, y, w, h in table]
 
 
 class blazeFaceDetector:  # noqa: N801 — reference-compatible name

@@ -252,6 +252,31 @@ def test_compat_shim(production_detector):
     assert det.fps >= 0
 
 
+def test_compat_utils():
+    """The rest of the reference's public surface: EMAFilter
+    (blazeFaceDetectorH5.py:16-35) and gen_anchors/SsdAnchorsCalculatorOptions
+    (blazeFaceUtils.py:3-127) — front config must equal the golden table."""
+    from headpose_tpu.compat import (EMAFilter, SsdAnchorsCalculatorOptions,
+                                     gen_anchors)
+
+    f = EMAFilter(alpha=0.15)
+    assert f.update(10.0) == 10.0          # first sample initializes
+    assert np.isclose(f.update(20.0), 0.15 * 20.0 + 0.85 * 10.0)
+
+    opts = SsdAnchorsCalculatorOptions(
+        input_size_width=128, input_size_height=128,
+        min_scale=0.1484375, max_scale=0.75,
+        anchor_offset_x=0.5, anchor_offset_y=0.5, num_layers=4,
+        feature_map_width=[], feature_map_height=[],
+        strides=[8, 16, 16, 16], aspect_ratios=[1.0],
+        reduce_boxes_in_lowest_layer=False,
+        interpolated_scale_aspect_ratio=1.0, fixed_anchor_size=True)
+    anchors = gen_anchors(opts)
+    golden = np.load(os.path.join(GOLDEN, "anchors.npz"))["anchors"]
+    got = np.array([[a.x_center, a.y_center, a.w, a.h] for a in anchors])
+    np.testing.assert_array_equal(got, golden)
+
+
 def test_plot_artifacts(tmp_path):
     """The image artifacts of the reference's wandb logging (angle
     distributions, learning curves) render to PNGs."""
