@@ -89,7 +89,8 @@ class BlazeFace:
     # --------------------------------------------------------------- forward
     def apply(self, params: Params, x, *, dtype=None,
               dense: bool = False,
-              fast_blocks: tuple[int, ...] | None = None) -> dict[str, jax.Array]:
+              fast_blocks: tuple[int, ...] | None = None,
+              simulate_fast: bool = False) -> dict[str, jax.Array]:
         """x: (B, 128, 128, 3) in [-1, 1].  Returns dict with feat88, feat96,
         scores (B, 896) logits, and loc (B, 896, 16) raw offsets.
 
@@ -108,18 +109,32 @@ class BlazeFace:
         dominated by the stem/early blocks and the convs feeding the
         feat88/feat96 pose taps (rounding there is amplified through the
         un-normalized conv stack).  The 'turbo' serving mode picks the
-        measured-safe set (docs/BENCH.md)."""
+        measured-safe set (docs/BENCH.md).
+
+        simulate_fast=True replaces each fast-island conv by an explicit
+        bf16-rounding model of the MXU single-pass mode (round operands to
+        bf16, accumulate f32 at HIGHEST) — differentiable (straight-through)
+        and faithful on CPU; the training path of train/calibrate.py."""
         if dtype is not None:
             params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
             x = x.astype(dtype)
 
+        fast = jax.lax.Precision.DEFAULT
+
         def conv(p, v, stride=1, padding="SAME", groups=1, precision=None):
+            k = p[0]
+            if simulate_fast and precision is fast:
+                # Explicit model of the MXU's single-pass mode: round both
+                # operands to bf16 (astype is straight-through under autodiff)
+                # and accumulate in f32.  Faithful on CPU; the differentiable
+                # training path of train/calibrate.py.
+                k = k.astype(jnp.bfloat16).astype(v.dtype)
+                v = v.astype(jnp.bfloat16).astype(v.dtype)
+                precision = jax.lax.Precision.HIGHEST
             return jax.lax.conv_general_dilated(
-                v, p[0], (stride, stride), padding,
+                v, k, (stride, stride), padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=groups, precision=precision) + p[1]
-
-        fast = jax.lax.Precision.DEFAULT
         fastset = frozenset(fast_blocks) if fast_blocks is not None else frozenset()
 
         y = jax.nn.relu(conv((params["stem"]["kernel"], params["stem"]["bias"]),

@@ -39,9 +39,11 @@ class UnifiedPoseModel:
 
     def apply(self, params: Params, x, *, dtype=None,
               dense: bool = False,
-              fast_blocks: tuple[int, ...] | None = None) -> dict[str, jax.Array]:
+              fast_blocks: tuple[int, ...] | None = None,
+              simulate_fast: bool = False) -> dict[str, jax.Array]:
         out = self.backbone.apply(params["backbone"], x, dtype=dtype,
-                                  dense=dense, fast_blocks=fast_blocks)
+                                  dense=dense, fast_blocks=fast_blocks,
+                                  simulate_fast=simulate_fast)
         if self.head88 is not None:
             out["pose_front"] = self.head88.apply(params["head88"], out["feat88"])
         if self.head96 is not None:
