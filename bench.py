@@ -26,9 +26,9 @@ def main() -> None:
     import __graft_entry__ as ge
 
     # 'turbo' serving mode: dense-composed 3x3 convs at 3-pass 'high'
-    # precision with the final-stage blocks + SSD heads on the measured-safe
-    # single-pass-bf16 island — 0.05 deg max pose error on the golden
-    # images (2x inside the 0.1-degree reference-parity budget), identical
+    # precision with the trailing blocks + SSD heads on the measured-safe
+    # single-pass-bf16 island — 0.07 deg max pose error on the golden
+    # images (inside the 0.1-degree reference-parity budget), identical
     # detection sets (docs/BENCH.md)
     fn, (params, _) = ge.entry(precision="turbo")
     fn = jax.jit(fn)
@@ -57,7 +57,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "end-to-end detect+pose throughput",
         "value": round(frames_per_sec, 1),
-        "unit": "frames/sec/chip (batch 256 uint8 128x128 frames on-device, NMS'd results out, turbo mode: 0.05deg max pose err vs reference)",
+        "unit": "frames/sec/chip (batch 256 uint8 128x128 frames on-device, NMS'd results out, turbo mode: 0.07deg max pose err vs reference)",
         "vs_baseline": round(frames_per_sec / BASELINE_FACES_PER_SEC, 1),
     }))
 

@@ -90,7 +90,7 @@ class BlazeFace:
     def apply(self, params: Params, x, *, dtype=None,
               dense: bool = False,
               fast_blocks: tuple[int, ...] | None = None,
-              simulate_fast: bool = False) -> dict[str, jax.Array]:
+              simulate_fast: bool | str = False) -> dict[str, jax.Array]:
         """x: (B, 128, 128, 3) in [-1, 1].  Returns dict with feat88, feat96,
         scores (B, 896) logits, and loc (B, 896, 16) raw offsets.
 
@@ -114,7 +114,10 @@ class BlazeFace:
         simulate_fast=True replaces each fast-island conv by an explicit
         bf16-rounding model of the MXU single-pass mode (round operands to
         bf16, accumulate f32 at HIGHEST) — differentiable (straight-through)
-        and faithful on CPU; the training path of train/calibrate.py."""
+        and faithful on CPU (verified bit-exact to the real DEFAULT island
+        on the chip); the training path of train/calibrate.py.  The strings
+        'weights' / 'acts' round only that operand — the error-decomposition
+        probes behind the turbo-island choice (docs/BENCH.md)."""
         if dtype is not None:
             params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
             x = x.astype(dtype)
@@ -124,12 +127,14 @@ class BlazeFace:
         def conv(p, v, stride=1, padding="SAME", groups=1, precision=None):
             k = p[0]
             if simulate_fast and precision is fast:
-                # Explicit model of the MXU's single-pass mode: round both
-                # operands to bf16 (astype is straight-through under autodiff)
-                # and accumulate in f32.  Faithful on CPU; the differentiable
+                # Explicit model of the MXU's single-pass mode: round operands
+                # to bf16 (astype is straight-through under autodiff) and
+                # accumulate in f32.  Faithful on CPU; the differentiable
                 # training path of train/calibrate.py.
-                k = k.astype(jnp.bfloat16).astype(v.dtype)
-                v = v.astype(jnp.bfloat16).astype(v.dtype)
+                if simulate_fast != "acts":
+                    k = k.astype(jnp.bfloat16).astype(v.dtype)
+                if simulate_fast != "weights":
+                    v = v.astype(jnp.bfloat16).astype(v.dtype)
                 precision = jax.lax.Precision.HIGHEST
             return jax.lax.conv_general_dilated(
                 v, k, (stride, stride), padding,
@@ -183,16 +188,17 @@ class BlazeFace:
 BLAZEFACE_FRONT = BlazeFace()
 
 # The measured-safe single-pass-bf16 island for serving ('turbo' mode): the
-# final-stage (8x8) blocks + SSD heads.  Larger sets (any of blocks 3-11
-# included) measured 0.13-0.27 deg of pose error on the golden images — over
-# the 0.1 deg parity budget; this set measures ~0.05 deg with identical
-# detection sets (docs/BENCH.md, probed on the real chip).
+# last downsample block, the block feeding it, and the final-stage (8x8)
+# blocks + SSD heads.  Probed on the real chip (docs/BENCH.md): start-10
+# measures 0.0696 deg with identical detection sets (inside the 0.1 deg
+# parity budget) at ~75k frames/sec; any earlier start (blocks <= 9
+# included) measured 0.13-0.27 deg — over budget.
 def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
-    """Block indices after the last downsample — the final-stage island."""
-    return tuple(range(spec.downsample_blocks[-1] + 1, len(spec.block_channels)))
+    """Block indices of the measured-safe trailing island (see above)."""
+    return tuple(range(spec.downsample_blocks[-1] - 1, len(spec.block_channels)))
 
 
-TURBO_FAST_BLOCKS = turbo_fast_blocks(BLAZEFACE_FRONT)  # (12, 13, 14, 15)
+TURBO_FAST_BLOCKS = turbo_fast_blocks(BLAZEFACE_FRONT)  # (10, 11, ..., 15)
 
 # Back-camera variant: the reference reserves the 256-input back model
 # (INPUT_BACK=256, blazeFaceDetectorH5.py:11) but ships neither weights nor a

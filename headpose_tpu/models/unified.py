@@ -40,7 +40,7 @@ class UnifiedPoseModel:
     def apply(self, params: Params, x, *, dtype=None,
               dense: bool = False,
               fast_blocks: tuple[int, ...] | None = None,
-              simulate_fast: bool = False) -> dict[str, jax.Array]:
+              simulate_fast: bool | str = False) -> dict[str, jax.Array]:
         out = self.backbone.apply(params["backbone"], x, dtype=dtype,
                                   dense=dense, fast_blocks=fast_blocks,
                                   simulate_fast=simulate_fast)

@@ -57,9 +57,9 @@ class FaceDetector:
         # (BASELINE.md).  'fast' runs the backbone as dense-composed 3x3
         # convs at 3-pass 'high' precision: ~25% higher throughput at
         # ~0.003 degree pose error (docs/BENCH.md) — still 30x inside the
-        # budget.  'turbo' additionally runs the 8x8-stage blocks + SSD
+        # budget.  'turbo' additionally runs the trailing blocks + SSD
         # heads at single-pass bf16 (the measured-safe precision island,
-        # TURBO_FAST_BLOCKS): ~0.05 degree pose error, identical detection
+        # TURBO_FAST_BLOCKS): ~0.07 degree pose error, identical detection
         # sets, the fastest parity-safe mode (docs/BENCH.md).  Postprocess
         # selection stays at HIGHEST in every mode.
         self.precision = precision

@@ -24,6 +24,15 @@ in the backward pass — the standard quantization-aware-training estimator).
 
 No analogue exists in the reference (it serves f32 on CPU); this is the
 TPU-native answer to its accuracy contract at bf16 speed.
+
+Measured outcome on the flagship (docs/BENCH.md): calibration moves the
+all-blocks-island golden pose error 0.262° → 0.233° (2000 steps, lr 1e-5)
+— real but bounded, because the error decomposition (simulate_fast=
+'weights'/'acts') shows the ACTIVATION-rounding component alone is 0.249°
+for that island: no weight adjustment can reach the 0.1° parity budget
+there.  The production 'turbo' island (blocks 10..15) was chosen instead;
+this module remains the tool for quantization-aware fine-tunes where a
+trained-from-scratch head (not reference parity) is the target.
 """
 from __future__ import annotations
 

@@ -62,6 +62,22 @@ def test_simulate_fast_applies_rounding():
     assert float(jnp.abs(off["pose_back"] - base["pose_back"]).max()) == 0.0
 
 
+def test_simulate_fast_operand_selective_modes():
+    """'weights' / 'acts' round only that operand — the decomposition probes
+    behind the turbo island choice (docs/BENCH.md).  Each mode must differ
+    from exact AND from the both-rounded sim."""
+    model, params = tiny_unified()
+    x = synthesize_images(jax.random.PRNGKey(2), 2, 32)
+    fb = (0, 1, 2)
+    outs = {m: model.apply(params, x, dense=True, fast_blocks=fb,
+                           simulate_fast=m)["pose_back"]
+            for m in (False, True, "weights", "acts")}
+    for m in (True, "weights", "acts"):
+        assert float(jnp.abs(outs[m] - outs[False]).max()) > 1e-7, m
+    for m in ("weights", "acts"):
+        assert float(jnp.abs(outs[m] - outs[True]).max()) > 1e-7, m
+
+
 def test_calibration_reduces_loss_and_freezes_heads():
     model, params = tiny_unified()
     newp, hist = calibrate_fast_params(
