@@ -12,10 +12,29 @@ from __future__ import annotations
 import os
 
 __all__ = ["PRETRAINED_DIR", "FLAGSHIP", "flagship_path", "load_flagship",
-           "flagship_detector"]
+           "flagship_detector", "load_pretrained"]
 
 PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained_models")
 FLAGSHIP = "unified-stoqa9pt-hrchr82r"
+
+
+def load_pretrained(name: str):
+    """(spec, params) for any artifact in pretrained_models/.
+
+    Shipped: 'unified-stoqa9pt-hrchr82r' (the production unified model),
+    'stoqa9pt-88' / 'hrchr82r-96' (the reference production heads, imported),
+    and 'sweep88-best' — OUR trained-from-scratch 88-d head (softsign
+    mlp128, SGD + ReduceLROnPlateau) found by the GP sweep
+    (scripts/sweep88_gp.py, docs/sweep88_gp_result.json): AFLW2000-Enlarged
+    MAE 7.778 vs the reference production head's measured 7.810
+    (BASELINE.md) — outcome-level trainer parity on the reference's own
+    sweep objective, from the shipped-data subset alone."""
+    from .tools.export import load_model
+
+    path = os.path.join(PRETRAINED_DIR, name)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"pretrained model missing: {path}")
+    return load_model(path)
 
 
 def flagship_path() -> str | None:

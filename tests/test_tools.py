@@ -291,3 +291,28 @@ def test_plot_artifacts(tmp_path):
             {"train_loss": 1.0, "val_loss": 1.2, "train_mae": 0.8, "val_mae": 0.9}]
     p2 = plot_learning_curves(hist, str(tmp_path / "lc.png"))
     assert p2 and os.path.getsize(p2) > 0
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_sweep88_best_pretrained_beats_reference_objective():
+    """The shipped trained-from-scratch 88-d head (GP sweep winner,
+    docs/sweep88_gp_result.json) must reproduce its recorded metrics and
+    beat the reference production head's measured AFLW2000-Enlarged MAE
+    (stoqa9pt: 7.810, BASELINE.md) — outcome-level trainer parity on the
+    reference's own sweep objective (Model-96/sweep.yaml: minimize
+    test_AFLW2000_mae)."""
+    from headpose_tpu.pretrained import load_pretrained
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("sweep88-best")
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_Enlarged_features_88_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"] - 7.7777) < 2e-3
+    assert aflw["MAE"]["average"] < 7.810  # reference stoqa9pt, measured
+    biwi = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "BIWI_Test_Enlarged_features_88_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(biwi["MAE"]["average"] - 4.0608) < 2e-3
