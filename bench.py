@@ -33,23 +33,32 @@ def main() -> None:
     fn, (params, _) = ge.entry(precision="turbo")
     fn = jax.jit(fn)
 
-    batch = 256
+    # batch 128 is the measured sweet spot: batches 64-128 cost near-equal
+    # wall time (~1.3 ms, dispatch-latency-bound) and >128 crosses a ~2x
+    # step (docs/BENCH.md batch sweep)
+    batch = 128
     rng = np.random.default_rng(0)
-    frames_np = rng.integers(0, 256, size=(batch, 128, 128, 3), dtype=np.int64
-                             ).astype(np.uint8)
-    # stage frames on device (a serving stack overlaps transfers with compute;
-    # through this container's TPU tunnel a sync in-dispatch transfer costs
-    # ~0.7s and would measure the tunnel, not the program)
-    frames = jax.device_put(frames_np)
+    # 8 distinct staged buffers cycled through the loop — rules out any
+    # same-input dispatch elision by the runtime (verified to agree with
+    # same-input timing, docs/BENCH.md methodology).  Staged on device: a
+    # serving stack overlaps transfers with compute; through this
+    # container's TPU tunnel a sync in-dispatch transfer costs ~0.7s and
+    # would measure the tunnel, not the program.
+    bufs = [jax.device_put(rng.integers(0, 256, size=(batch, 128, 128, 3),
+                                        dtype=np.int64).astype(np.uint8))
+            for _ in range(8)]
 
     # compile + warmup
-    out = fn(params, frames)
+    out = fn(params, bufs[0])
     jax.block_until_ready(out)
 
-    iters = 50
+    # 500 iterations measures SUSTAINED serving throughput: short (50-iter)
+    # loops under-report by ~25% while the dispatch pipeline and chip
+    # clocks ramp (measured: 50 iters -> 72-75k, 500 -> 97k at batch 128)
+    iters = 500
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, frames)
+    for i in range(iters):
+        out = fn(params, bufs[i % 8])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
@@ -57,7 +66,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "end-to-end detect+pose throughput",
         "value": round(frames_per_sec, 1),
-        "unit": "frames/sec/chip (batch 256 uint8 128x128 frames on-device, NMS'd results out, turbo mode: 0.07deg max pose err vs reference)",
+        "unit": "frames/sec/chip (batch 128 uint8 128x128 frames on-device, NMS'd results out, sustained 500-dispatch loop, turbo mode: 0.07deg max pose err vs reference)",
         "vs_baseline": round(frames_per_sec / BASELINE_FACES_PER_SEC, 1),
     }))
 
