@@ -60,8 +60,13 @@ class FaceDetector:
         # budget.  'turbo' additionally runs the trailing blocks + SSD
         # heads at single-pass bf16 (the measured-safe precision island,
         # TURBO_FAST_BLOCKS): ~0.07 degree pose error, identical detection
-        # sets, the fastest parity-safe mode (docs/BENCH.md).  Postprocess
-        # selection stays at HIGHEST in every mode.
+        # sets, the fastest parity-safe mode (docs/BENCH.md).  'max' runs
+        # EVERY block's convs at single-pass bf16: ~0.26 degree pose error
+        # — outside the strict reference-parity budget (the error
+        # decomposition in docs/BENCH.md proves no weight calibration can
+        # fix it) but negligible against the pose heads' 4-8 degree MAE;
+        # the fastest mode for accuracy-driven (non-parity) serving.
+        # Postprocess selection stays at HIGHEST in every mode.
         self.precision = precision
         # anchors follow the model's input resolution: 128 → front-camera
         # config (blazeFaceDetectorH5.py:236-241), 256 → the back-camera
@@ -101,12 +106,16 @@ class FaceDetector:
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program."""
         from ..models.blazeface import TURBO_FAST_BLOCKS, turbo_fast_blocks
 
-        fast = self.precision in ("fast", "turbo")
+        fast = self.precision in ("fast", "turbo", "max")
         kwargs = {"dense": True} if fast else {}
         if self.precision == "turbo":
             spec = getattr(self.model, "backbone", None)
             kwargs["fast_blocks"] = (turbo_fast_blocks(spec) if spec is not None
                                      else TURBO_FAST_BLOCKS)
+        elif self.precision == "max":
+            spec = getattr(self.model, "backbone", None)
+            n = len(spec.block_channels) if spec is not None else 16
+            kwargs["fast_blocks"] = tuple(range(n))
         with jax.default_matmul_precision("high" if fast else self.precision):
             x = preprocess(images, self.input_size, self.channel_order)
             try:

@@ -155,3 +155,18 @@ class TestDenseComposedBackbone:
         res = det.detect_single(np.asarray(g["img"], np.uint8))
         assert len(res.scores) == len(g["scores"])
         np.testing.assert_allclose(res.poses, g["poses"], atol=1e-3)
+
+    def test_max_detector_golden_parity(self):
+        """'max' (every block on the single-pass-bf16 island) must keep
+        golden parity on CPU, where all precisions execute as f32 — this
+        validates the plumbing; the on-chip error (0.26 deg, identical
+        detection sets) is recorded in docs/BENCH.md."""
+        import os
+        from headpose_tpu.pretrained import flagship_detector
+
+        g = np.load(os.path.join(os.path.dirname(__file__),
+                                 "golden", "e2e_production.npz"))
+        det = flagship_detector(precision="max")
+        res = det.detect_single(np.asarray(g["img"], np.uint8))
+        assert len(res.scores) == len(g["scores"])
+        np.testing.assert_allclose(res.poses, g["poses"], atol=1e-3)
