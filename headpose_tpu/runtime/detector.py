@@ -41,11 +41,16 @@ class FaceDetector:
 
     def __init__(self, model: UnifiedPoseModel, params: Any,
                  score_threshold: float = 0.4, iou_threshold: float = 0.3,
-                 max_faces: int = MAX_FACES, input_size: int = 128,
+                 max_faces: int = MAX_FACES, input_size: int | None = None,
                  channel_order: str = "bgr", precision: str = "highest",
                  anchor_config: AnchorConfig | None = None):
         self.model = model
         self.params = params
+        if input_size is None:
+            # native models carry their resolution (128 front / 256 back);
+            # graph-compiled adapters don't — default to the front camera
+            spec = getattr(model, "backbone", None)
+            input_size = spec.input_size if spec is not None else 128
         self.score_threshold = float(score_threshold)
         self.iou_threshold = float(iou_threshold)
         self.max_faces = int(max_faces)
@@ -101,34 +106,38 @@ class FaceDetector:
         return cls(model, params, **kwargs)
 
     # ------------------------------------------------------------- pipeline
-    @functools.partial(jax.jit, static_argnums=0)
-    def _pipeline(self, params, images):
-        """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program."""
-        from ..models.blazeface import TURBO_FAST_BLOCKS, turbo_fast_blocks
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    def _pipeline(self, params, images, score_threshold, iou_threshold,
+                  max_faces, precision):
+        """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program.
 
-        fast = self.precision in ("fast", "turbo", "max")
-        kwargs = {"dense": True} if fast else {}
-        if self.precision == "turbo":
-            spec = getattr(self.model, "backbone", None)
-            kwargs["fast_blocks"] = (turbo_fast_blocks(spec) if spec is not None
-                                     else TURBO_FAST_BLOCKS)
-        elif self.precision == "max":
-            spec = getattr(self.model, "backbone", None)
-            n = len(spec.block_channels) if spec is not None else 16
-            kwargs["fast_blocks"] = tuple(range(n))
-        with jax.default_matmul_precision("high" if fast else self.precision):
+        The threshold/precision config enters as STATIC jit arguments (not
+        read off `self` at trace time) so that mutating detector attributes
+        between calls correctly retraces instead of silently reusing the
+        program compiled for the old values."""
+        from ..models.blazeface import turbo_fast_blocks
+
+        fast = precision in ("fast", "turbo", "max")
+        # graph-compiled adapters (from_h5_compat) expose no backbone spec
+        # and take no dense/fast_blocks kwargs — they run at the ambient
+        # matmul precision only, by capability, not by exception-catching
+        spec = getattr(self.model, "backbone", None)
+        kwargs = {"dense": True} if fast and spec is not None else {}
+        if spec is not None:
+            if precision == "turbo":
+                kwargs["fast_blocks"] = turbo_fast_blocks(spec)
+            elif precision == "max":
+                kwargs["fast_blocks"] = tuple(range(len(spec.block_channels)))
+        with jax.default_matmul_precision("high" if fast else precision):
             x = preprocess(images, self.input_size, self.channel_order)
-            try:
-                out = self.model.apply(params, x, **kwargs)
-            except TypeError:  # graph-compiled adapters take no dense flag
-                out = self.model.apply(params, x)
+            out = self.model.apply(params, x, **kwargs)
         post = jax.vmap(
             lambda s, l, pf, pb: postprocess(
                 s, l, pf, pb, self.anchors,
-                score_threshold=self.score_threshold,
-                iou_threshold=self.iou_threshold,
+                score_threshold=score_threshold,
+                iou_threshold=iou_threshold,
                 input_size=self.input_size,
-                max_faces=self.max_faces))(
+                max_faces=max_faces))(
             out["scores"], out["loc"], out["pose_front"], out["pose_back"])
         return post
 
@@ -137,7 +146,9 @@ class FaceDetector:
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
-        post = self._pipeline(self.params, images)
+        post = self._pipeline(self.params, images, self.score_threshold,
+                              self.iou_threshold, self.max_faces,
+                              self.precision)
         return BatchResults(boxes=post["boxes"], keypoints=post["keypoints"],
                             scores=post["scores"], poses=post["poses"],
                             valid=post["valid"])

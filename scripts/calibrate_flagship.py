@@ -25,9 +25,10 @@ from headpose_tpu.ops.image import preprocess
 from headpose_tpu.train.calibrate import ALL_BLOCKS, calibrate_fast_params
 
 
-def golden_pose_err(model, params, fast_blocks, simulate=False):
-    """Max pose error (deg) on the golden images vs the exact-f32 pipeline,
-    plus whether the detection sets are identical."""
+def _golden_ref(model0, params0):
+    """Reference outputs: the ORIGINAL flagship through the exact-f32
+    pipeline on the golden images (the reference parity contract).
+    Computed once and passed to golden_pose_err."""
     anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
     g = np.load("/root/repo/tests/golden/e2e.npz")
     gp = np.load("/root/repo/tests/golden/e2e_production.npz")
@@ -43,8 +44,16 @@ def golden_pose_err(model, params, fast_blocks, simulate=False):
     def exact_pipe(p, images):
         with jax.default_matmul_precision("highest"):
             x = preprocess(images, 128, "bgr")
-            return post(model.apply(p, x))
+            return post(model0.apply(p, x))
 
+    ref = jax.tree_util.tree_map(np.asarray, exact_pipe(params0, imgs))
+    return ref, imgs, post
+
+
+def golden_pose_err(model, params, fast_blocks, ref, imgs, post,
+                    simulate=False):
+    """Max pose/box error (deg / norm units) of the bf16-island pipeline vs
+    the precomputed reference outputs; also whether detection sets match."""
     @jax.jit
     def fast_pipe(p, images):
         with jax.default_matmul_precision("high"):
@@ -52,12 +61,11 @@ def golden_pose_err(model, params, fast_blocks, simulate=False):
             return post(model.apply(p, x, dense=True, fast_blocks=fast_blocks,
                                     simulate_fast=simulate))
 
-    # parity target: the ORIGINAL exact pipeline (the reference contract)
-    model0, params0 = load_flagship()
-    ref = jax.tree_util.tree_map(np.asarray, exact_pipe(params0, imgs))
     out = jax.tree_util.tree_map(np.asarray, fast_pipe(params, imgs))
     same = bool((out["valid"] == ref["valid"]).all())
     m = ref["valid"].astype(bool) & out["valid"].astype(bool)
+    if not m.any():
+        return same, float("nan"), float("nan")
     perr = float(np.abs(out["poses"][m] - ref["poses"][m]).max())
     boxerr = float(np.abs(out["boxes"][m] - ref["boxes"][m]).max())
     return same, perr, boxerr
@@ -75,8 +83,10 @@ def main():
 
     print("devices:", jax.devices())
     model, params = load_flagship()
+    ref, imgs, post = _golden_ref(model, params)
 
-    same, perr, boxerr = golden_pose_err(model, params, ALL_BLOCKS)
+    same, perr, boxerr = golden_pose_err(model, params, ALL_BLOCKS,
+                                         ref, imgs, post)
     print(f"UNCALIBRATED  same_valid={same} pose_err={perr:.5f} box_err={boxerr:.5f}")
 
     newp, hist = calibrate_fast_params(
@@ -90,7 +100,8 @@ def main():
               f"loc {hist['loc'][i]:.6f}")
     print(f"final loss {L[-1]:.6f}")
 
-    same, perr, boxerr = golden_pose_err(model, newp, ALL_BLOCKS)
+    same, perr, boxerr = golden_pose_err(model, newp, ALL_BLOCKS,
+                                         ref, imgs, post)
     print(f"CALIBRATED    same_valid={same} pose_err={perr:.5f} box_err={boxerr:.5f}")
 
     if args.save:

@@ -80,9 +80,22 @@ def main() -> None:
         metric="test_aflw2000_mae", goal="minimize",
         method="bayes", num_runs=args.runs, warmup=12, seed=0)
 
+    if "aflw2000" not in test_sets:
+        raise SystemExit(f"AFLW2000 test split missing from {args.data_dir} "
+                         "— the sweep objective needs it")
+
     best_state = {"objective": float("inf"), "result": None, "params": None}
+    seen = {}  # effective-config memo: 'se' ignores activation/dropout
 
     def objective(a):
+        key_knobs = dict(a)
+        if a["arch"] == "se":  # SEMLPHead is the fixed reference arch
+            key_knobs.pop("activation"), key_knobs.pop("dropout_rate")
+        key = json.dumps(key_knobs, sort_keys=True)
+        if key in seen:  # duplicate effective config: no retraining
+            print(json.dumps({"params": a, **seen[key], "dup": True}),
+                  flush=True)
+            return seen[key]
         t0 = time.time()
         cfg = TrainConfig(
             head="mlp", in_features=88, num_filters=64,
@@ -101,11 +114,16 @@ def main() -> None:
             best_state.update(objective=out["test_aflw2000_mae"],
                               result=(spec, a, dict(out)),
                               params=res.params)
+        seen[key] = out
         print(json.dumps({"params": a, **out}), flush=True)
         return out
 
     result = run_sweep(sweep, objective)
     print("BEST:", json.dumps(result.best, indent=2, default=str), flush=True)
+
+    if best_state["result"] is None:  # e.g. every run diverged to NaN
+        print("no finite-objective run; nothing to save", flush=True)
+        return
 
     os.makedirs(os.path.join(args.out, "best88"), exist_ok=True)
     from headpose_tpu.tools.export import save_model

@@ -218,3 +218,19 @@ def test_detect_parity_production_threshold():
     np.testing.assert_allclose(res.scores, g["scores"], atol=1e-4)
     np.testing.assert_allclose(res.boxes, g["boxes"], atol=1e-4)
     np.testing.assert_allclose(res.poses, g["poses"], atol=5e-4)
+
+
+@needs_reference
+def test_detector_threshold_mutation_retraces():
+    """Mutating detector attributes between calls must take effect (the
+    config enters the jitted pipeline as static arguments, not trace-time
+    reads off self) — a raised score threshold strictly shrinks the
+    detection set."""
+    from headpose_tpu.pretrained import flagship_detector
+    g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+    det = flagship_detector()
+    n_before = len(det.detect_single(g["img"]))
+    assert n_before > 0
+    det.score_threshold = 0.999
+    n_after = len(det.detect_single(g["img"]))
+    assert n_after < n_before

@@ -199,7 +199,10 @@ def test_back_camera_backbone_and_detector():
     model, uparams = join_models(spec, params,
                                  h88, h88.init(jax.random.PRNGKey(2)),
                                  h96, h96.init(jax.random.PRNGKey(3)))
-    det = FaceDetector(model, uparams, input_size=256, score_threshold=0.0)
+    # input_size derives from the model's backbone spec (256 here) — no
+    # redundant constructor arg needed
+    det = FaceDetector(model, uparams, score_threshold=0.0)
+    assert det.input_size == 256
     imgs = np.random.default_rng(4).integers(
         0, 256, size=(2, 300, 300, 3)).astype(np.uint8)
     batch = det.detect(imgs)
