@@ -97,3 +97,62 @@ def test_calibration_reduces_loss_and_freezes_heads():
         lambda a, b: float(jnp.abs(a - b).max()),
         newp["backbone"], params["backbone"])
     assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
+
+
+def test_flagship_island_error_decomposition():
+    """Pins the documented turbo-island justification (docs/BENCH.md): on
+    the golden images, the all-blocks bf16 island's ACTIVATION-rounding
+    component alone exceeds the 0.1 deg parity budget (so no weight
+    calibration can rescue it), while the shipped turbo island (blocks
+    10..15) stays inside the budget.  simulate_fast is bit-faithful to the
+    MXU on CPU, so this is chip-representative and deterministic."""
+    import os
+    if not os.path.isdir(os.path.join(os.path.dirname(__file__), "golden")):
+        pytest.skip("goldens missing")
+    from headpose_tpu.pretrained import flagship_path, load_flagship
+    if flagship_path() is None:
+        pytest.skip("pretrained flagship missing")
+    from headpose_tpu.models.anchors import FRONT_CONFIG, generate_anchors
+    from headpose_tpu.models.blazeface import turbo_fast_blocks
+    from headpose_tpu.ops.detection import postprocess
+    from headpose_tpu.ops.image import preprocess
+
+    model, params = load_flagship()
+    anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden", "e2e.npz"))
+    gp = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "e2e_production.npz"))
+    imgs = jnp.asarray(np.stack([g["img0"], gp["img"]]))
+
+    def run(fb, sim):
+        @jax.jit
+        def pipe(p, images):
+            with jax.default_matmul_precision("high"):
+                x = preprocess(images, 128, "bgr")
+                if sim == "exact":
+                    with jax.default_matmul_precision("highest"):
+                        out = model.apply(p, x)
+                else:
+                    out = model.apply(p, x, dense=True, fast_blocks=fb,
+                                      simulate_fast=sim)
+            return jax.vmap(lambda s, l, pf, pb: postprocess(
+                s, l, pf, pb, anchors, score_threshold=0.4,
+                iou_threshold=0.3, input_size=128, max_faces=100))(
+                out["scores"], out["loc"], out["pose_front"], out["pose_back"])
+        return jax.tree_util.tree_map(np.asarray, pipe(params, imgs))
+
+    ref = run((), "exact")
+    m = ref["valid"].astype(bool)
+
+    def pose_err(out):
+        mm = m & out["valid"].astype(bool)
+        assert mm.any()
+        return float(np.abs(out["poses"][mm] - ref["poses"][mm]).max())
+
+    allfb = tuple(range(16))
+    err_acts = pose_err(run(allfb, "acts"))       # measured 0.249
+    err_both = pose_err(run(allfb, True))         # measured 0.237
+    err_turbo = pose_err(run(turbo_fast_blocks(model.backbone), True))  # 0.066
+    assert err_acts > 0.1, err_acts     # budget-blocking: weights can't fix
+    assert err_both > 0.1, err_both
+    assert err_turbo < 0.1, err_turbo   # the shipped island is inside budget
