@@ -34,19 +34,21 @@ def _center_square(frame: np.ndarray) -> np.ndarray:
 
 def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
-             max_frames: int | None = None, display: bool = True) -> int:
+             max_frames: int | None = None, display: bool = True,
+             precision: str = "highest") -> int:
     """Run the live loop.  Returns the number of frames processed.
-    model_path: H5 file, native model dir, or None for the shipped flagship."""
+    model_path: H5 file, native model dir, or None for the shipped flagship.
+    precision: serving mode (highest/fast/turbo/max — see FaceDetector)."""
     import cv2
 
     if model_path is None:
         from ..pretrained import flagship_detector
 
-        detector = flagship_detector()
+        detector = flagship_detector(precision=precision)
     elif os.path.isdir(model_path):
-        detector = FaceDetector.from_native(model_path)
+        detector = FaceDetector.from_native(model_path, precision=precision)
     else:
-        detector = FaceDetector.from_h5(model_path)
+        detector = FaceDetector.from_h5(model_path, precision=precision)
     smoother = TrackSmoother(alpha)
     fps = FpsCounter()
 
@@ -107,11 +109,15 @@ def main(argv=None) -> None:
     p.add_argument("--no_ema", action="store_true")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--headless", action="store_true")
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "high", "fast", "turbo", "max"],
+                   help="serving mode (docs/BENCH.md)")
     args = p.parse_args(argv)
     n = run_demo(model_path=args.model,
                  source=args.video if args.video else args.camera,
                  record=args.record, use_ema=not args.no_ema,
-                 max_frames=args.frames, display=not args.headless)
+                 max_frames=args.frames, display=not args.headless,
+                 precision=args.precision)
     print(f"processed {n} frames")
 
 
