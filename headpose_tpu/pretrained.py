@@ -23,12 +23,17 @@ def load_pretrained(name: str):
 
     Shipped: 'unified-stoqa9pt-hrchr82r' (the production unified model),
     'stoqa9pt-88' / 'hrchr82r-96' (the reference production heads, imported),
-    and 'sweep88-best' — OUR trained-from-scratch 88-d head (softsign
-    mlp128, SGD + ReduceLROnPlateau) found by the GP sweep
-    (scripts/sweep88_gp.py, docs/sweep88_gp_result.json): AFLW2000-Enlarged
-    MAE 7.778 vs the reference production head's measured 7.810
-    (BASELINE.md) — outcome-level trainer parity on the reference's own
-    sweep objective, from the shipped-data subset alone."""
+    and OUR trained-from-scratch GP-sweep winners:
+    - 'sweep88-best' (softsign mlp128, SGD + ReduceLROnPlateau;
+      scripts/sweep88_gp.py, docs/sweep88_gp_result.json): AFLW2000-Enlarged
+      MAE 7.778 vs the reference production head's measured 7.810
+      (BASELINE.md) — outcome-level trainer parity on the reference's own
+      sweep objective, from the shipped-data subset alone.
+    - 'sweep96-best' (tanh mlp32, SGD 3e-3; scripts/sweep96_arch_gp.py,
+      docs/sweep96_arch_gp_result.json): AFLW2000 MAE 12.051 on the shipped
+      96-d data — the best any trainer reaches here (the reference's own
+      tf-keras trainer lands at 13.6-15.1 on the same data, docs/TRAINING.md;
+      its production 8.03 needed the unshipped training file)."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)

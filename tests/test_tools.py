@@ -316,3 +316,21 @@ def test_sweep88_best_pretrained_beats_reference_objective():
                            "BIWI_Test_Enlarged_features_88_0.7_1.npz"),
         params, verbose=False)
     assert abs(biwi["MAE"]["average"] - 4.0608) < 2e-3
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_sweep96_best_pretrained_reproduces_metrics():
+    """The shipped 96-d GP-arch-sweep winner (docs/sweep96_arch_gp_result
+    .json) reproduces its recorded metrics — AFLW2000 12.05, well under the
+    13.6-15.1 the reference's own tf-keras trainer reaches on the shipped
+    data (docs/TRAINING.md equal-data control)."""
+    from headpose_tpu.pretrained import load_pretrained
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("sweep96-best")
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_features_96_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"] - 12.0508) < 2e-3
+    assert aflw["MAE"]["average"] < 13.0  # beats every equal-data control run
