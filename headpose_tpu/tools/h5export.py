@@ -333,13 +333,19 @@ def save_unified_h5(model, params, path: str) -> None:
             feat88 = y
     feat96 = y
 
-    cls_f = g.conv2d("conv2d_17", feat88, bp["cls_front"]["kernel"],
+    # SSD-head conv names continue the backbone numbering (the block loop
+    # emits conv2d_1..conv2d_N): conv2d_17..20 for the 16-block front spec,
+    # shifted for larger specs (e.g. the 17-block back spec) — hardcoding 17
+    # would collide with the last block's pointwise conv and silently
+    # overwrite its weights in the H5
+    n = len(spec.block_channels)
+    cls_f = g.conv2d(f"conv2d_{n + 1}", feat88, bp["cls_front"]["kernel"],
                      bp["cls_front"]["bias"])
-    cls_b = g.conv2d("conv2d_18", feat96, bp["cls_back"]["kernel"],
+    cls_b = g.conv2d(f"conv2d_{n + 2}", feat96, bp["cls_back"]["kernel"],
                      bp["cls_back"]["bias"])
-    loc_f = g.conv2d("conv2d_19", feat88, bp["loc_front"]["kernel"],
+    loc_f = g.conv2d(f"conv2d_{n + 3}", feat88, bp["loc_front"]["kernel"],
                      bp["loc_front"]["bias"])
-    loc_b = g.conv2d("conv2d_20", feat96, bp["loc_back"]["kernel"],
+    loc_b = g.conv2d(f"conv2d_{n + 4}", feat96, bp["loc_back"]["kernel"],
                      bp["loc_back"]["bias"])
     o_cls_f = g.reshape("classificators_1", cls_f, (512, 1))
     o_cls_b = g.reshape("classificators_2", cls_b, (384, 1))

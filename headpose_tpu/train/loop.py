@@ -23,7 +23,7 @@ device this degrades to plain jit.
 from __future__ import annotations
 
 import dataclasses
-
+import functools
 import os
 import time
 from typing import Any
@@ -96,9 +96,11 @@ def _loss_and_metrics(spec, params, batch, rng, reg_rate, train):
     per_sample_mae = jnp.mean(jnp.abs(err), axis=-1)
     w = batch["w"]
     mask = batch["mask"]
-    denom_w = jnp.maximum(w.sum(), 1e-9)
     denom_m = jnp.maximum(mask.sum(), 1e-9)
-    mse = (per_sample_mse * w).sum() / denom_w       # keras weighted loss
+    # Keras loss reduction is SUM_OVER_BATCH_SIZE: sum(w_i * l_i) / B, NOT
+    # / sum(w) — with difficulty weights <= 1 the latter would inflate the
+    # loss (and effective lr) by B/sum(w).  B here = real (unpadded) rows.
+    mse = (per_sample_mse * w).sum() / denom_m       # keras weighted loss
     mae = (per_sample_mae * mask).sum() / denom_m    # keras metrics are unweighted
     loss = mse + spec.l2_penalty(params, reg_rate)
     return loss, {"loss": mse, "mae": mae}
@@ -153,9 +155,17 @@ def evaluate(spec, params, ds: Dataset) -> dict[str, float]:
     comparable across weighted/unweighted training runs and match the
     reference evaluator (Model-96/test.py:41-54)."""
     data = _pad_dataset(Dataset(ds.features, ds.poses), 1)
-    fn = jax.jit(lambda p, d: _loss_and_metrics(spec, p, d, None, 0.0, False)[1])
-    m = fn(params, data)
+    m = _eval_jit(spec)(params, data)
     return {k: float(v) for k, v in m.items()}
+
+
+@functools.lru_cache(maxsize=128)
+def _eval_jit(spec):
+    """Cached jitted evaluator per (hashable, frozen) head spec — a fresh
+    jit(lambda) per evaluate() call would recompile every time, and through
+    this container's TPU tunnel a compile costs ~30-90 s."""
+    return jax.jit(
+        lambda p, d: _loss_and_metrics(spec, p, d, None, 0.0, False)[1])
 
 
 @dataclasses.dataclass
@@ -240,7 +250,10 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
     epoch = start_epoch
     nan_recoveries = 0
     for epoch in range(start_epoch, cfg.total_epochs):
-        rng, erng = jax.random.split(rng)
+        # keyed by epoch index (not a running split chain) so a resumed run
+        # continues the SAME shuffle/dropout stream instead of replaying
+        # epochs 0..N's randomness from the start
+        erng = jax.random.fold_in(rng, epoch)
         params, opt_state, train_m = epoch_fn(params, opt_state, data, erng)
         val_m = eval_fn(params, val_data)
         rec = {"epoch": epoch,
@@ -255,7 +268,14 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
             if nan_recoveries > 3:
                 break
             params = _copy(best_params)
+            cur_lr = (float(opt_state.hyperparams["learning_rate"])
+                      if cfg.reduce_lr_on_plateau else None)
             opt_state = optimizer.init(params)
+            if cur_lr is not None:
+                # keep any plateau-reduced LR: resuming divergence recovery
+                # at the full initial LR would likely diverge again
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    cur_lr, jnp.float32)
             if logger is not None:
                 logger.log({"epoch": epoch, "nan_recovery": nan_recoveries},
                            step=epoch)

@@ -100,6 +100,27 @@ class TestFit:
         res = fit(self._cfg(tmp_path, total_epochs=3), ds)
         assert np.isfinite(res.history[-1]["train_loss"])
 
+    def test_weighted_loss_is_sum_over_batch_size(self):
+        """Keras loss reduction is SUM_OVER_BATCH_SIZE: sum(w*l)/B, NOT
+        /sum(w) (tf.keras MSE doc example: per-sample losses [0.5, 0.5]
+        with sample_weight [0.7, 0.3] -> 0.25)."""
+        import jax
+        import jax.numpy as jnp
+        from headpose_tpu.train.loop import _loss_and_metrics
+        from headpose_tpu.models.heads import MLPHead
+        spec = MLPHead(2, ((3, "linear"),))
+        # identity-free check: make pred - y known by zero params -> pred=0
+        params = jax.tree_util.tree_map(jnp.zeros_like,
+                                        spec.init(jax.random.PRNGKey(0)))
+        batch = {"x": jnp.zeros((2, 2)),
+                 "y": jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+                 "w": jnp.array([0.7, 0.3]),
+                 "mask": jnp.ones((2,))}
+        # per-sample mse = mean([1,0,0]^2) = 1/3 for both rows
+        loss, m = _loss_and_metrics(spec, params, batch, None, 0.0, False)
+        np.testing.assert_allclose(float(m["loss"]),
+                                   (0.7 + 0.3) / 3 / 2, rtol=1e-6)
+
     def test_l2_regularization_increases_loss(self, tmp_path):
         ds = synthetic_dataset()
         r0 = fit(self._cfg(tmp_path, total_epochs=3), ds)
