@@ -79,6 +79,34 @@ class TestUnifiedExport:
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=2e-4)
 
+    def test_roundtrip_back_camera_spec(self, tmpdir):
+        """Export of a 17-block (back-camera) unified model: SSD-head conv
+        names must continue the backbone numbering, not collide with block
+        16's pointwise conv (which silently corrupted the H5 before the
+        round-2 fix)."""
+        import jax
+        from headpose_tpu.core import load_graph_model
+        from headpose_tpu.models import BLAZEFACE_BACK, MLPHead
+        from headpose_tpu.models.unified import join_models
+
+        spec = BLAZEFACE_BACK
+        bparams = spec.init(jax.random.PRNGKey(0))
+        h88 = MLPHead(88, ((8, "softsign"), (3, "linear")))
+        h96 = MLPHead(96, ((8, "tanh"), (3, "linear")))
+        model, params = join_models(spec, bparams,
+                                    h88, h88.init(jax.random.PRNGKey(1)),
+                                    h96, h96.init(jax.random.PRNGKey(2)))
+        path = os.path.join(tmpdir, "unified_back.h5")
+        save_unified_h5(model, params, path)
+        gm = load_graph_model(path)
+        x = np.random.default_rng(4).uniform(-1, 1, (2, 256, 256, 3)
+                                             ).astype(np.float32)
+        got = [np.asarray(o) for o in gm(x)]
+        want = [np.asarray(o) for o in model.reference_outputs(params, x)]
+        assert [g.shape for g in got] == [w.shape for w in want]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=2e-4)
+
     @pytest.mark.slow
     def test_tf_keras_loads_unified(self, tmpdir):
         keras = pytest.importorskip("tf_keras")
