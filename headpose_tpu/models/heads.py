@@ -189,9 +189,18 @@ class SkipMLPHead:
 
     def apply(self, params: Params, x, *, train: bool = False, rng=None):
         a = self.activation
-        x1 = _dense(params["enc1"], x, a)
-        x2 = _dense(params["enc2"], x1, a)
-        x3 = _dense(params["dec"], x2, a) + x1
+
+        def drop(v, i):
+            # reference places SpatialDropout2D after x1, x2, and the
+            # skip-add (train_88.py:185, 196, 210)
+            if train and self.dropout_rate > 0.0:
+                return _spatial_dropout(jax.random.fold_in(rng, i), v,
+                                        self.dropout_rate)
+            return v
+
+        x1 = drop(_dense(params["enc1"], x, a), 0)
+        x2 = drop(_dense(params["enc2"], x1, a), 1)
+        x3 = drop(_dense(params["dec"], x2, a) + x1, 2)
         return _dense(params["out"], x3, "linear")
 
     def l2_penalty(self, params: Params, rate: float):
@@ -426,6 +435,8 @@ def se_transformer_from_h5(path: str) -> tuple[SETransformerHead, Params]:
     if mha is None or len(dense) != 4 or len(convs) != 2 or len(lns) != 2:
         raise ValueError(f"{path}: not an SE-Transformer head "
                          f"(dense={len(dense)}, convs={len(convs)}, lns={len(lns)})")
+    if in_features is None:
+        raise ValueError(f"{path}: no InputLayer — cannot infer in_features")
 
     qk = np.asarray(mha["query/kernel"])  # (C, H, D)
     C, Hn, D = qk.shape

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 import numpy as np
 
@@ -146,8 +147,14 @@ def main(argv=None) -> None:
     p.add_argument("--no_smooth", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
     args = p.parse_args(argv)
-    det = (FaceDetector.from_h5(args.model) if args.model
-           else __import__("headpose_tpu.pretrained", fromlist=["flagship_detector"]).flagship_detector())
+    if args.model is None:
+        from ..pretrained import flagship_detector
+
+        det = flagship_detector()
+    elif os.path.isdir(args.model):
+        det = FaceDetector.from_native(args.model)
+    else:
+        det = FaceDetector.from_h5(args.model)
     res = process_video(det, args.video, args.out, args.batch_size,
                         None if args.no_smooth else 0.15, args.max_frames)
     counts = res.valid.sum(axis=1)
