@@ -33,22 +33,26 @@ INPUT_BACK = 256
 
 
 class EMAFilter:
-    """Scalar EMA with first-sample initialization — the smoothing filter of
-    the reference demo loop (blazeFaceDetectorH5.py:16-35).  New code should
-    use runtime.smoothing.TrackSmoother (vectorized, per-slot)."""
+    """Signature-compatible scalar smoother (the reference demo's filter,
+    blazeFaceDetectorH5.py:16-35), implemented as a thin host-side view of
+    runtime.smoothing's seeding EMA semantics: the first update seeds the
+    state, later updates blend with weight ``alpha`` on the new sample.  New
+    code should use runtime.smoothing.TrackSmoother (vectorized, per-slot)."""
 
     def __init__(self, alpha: float, initial_value: float = 0.0):
-        assert 0.0 < alpha <= 1.0, "alpha must be in (0,1]"
-        self.alpha = alpha
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"EMA weight must lie in (0, 1]; got {alpha}")
+        self.alpha = float(alpha)
         self.state = initial_value
         self.initialized = False
 
     def update(self, measurement: float) -> float:
-        if not self.initialized:
-            self.state = measurement
-            self.initialized = True
+        # same recurrence runtime.smoothing.ema_update applies per array
+        # element: seed on first sample, then y += alpha * (x - y)
+        if self.initialized:
+            self.state += self.alpha * (measurement - self.state)
         else:
-            self.state = self.alpha * measurement + (1.0 - self.alpha) * self.state
+            self.state, self.initialized = measurement, True
         return self.state
 
 

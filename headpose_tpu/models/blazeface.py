@@ -194,7 +194,14 @@ BLAZEFACE_FRONT = BlazeFace()
 # parity budget) at ~75k frames/sec; any earlier start (blocks <= 9
 # included) measured 0.13-0.27 deg — over budget.
 def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
-    """Block indices of the measured-safe trailing island (see above)."""
+    """Block indices of the trailing bf16 island (see above).
+
+    The island boundary generalizes by structure (start one block before the
+    last downsample), but the 0.07-degree safety number was MEASURED only on
+    the front spec's shipped weights; for other specs (e.g. BLAZEFACE_BACK,
+    which has no weights to measure) this is a heuristic — re-run the island
+    probes (scripts/bench_modes.py, docs/BENCH.md) before trusting 'turbo'
+    parity on new weights."""
     return tuple(range(spec.downsample_blocks[-1] - 1, len(spec.block_channels)))
 
 

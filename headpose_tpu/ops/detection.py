@@ -189,7 +189,15 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
     run at HIGHEST precision: one-hot selection is then bit-exact and decode
     matches the reference formula to ≤1 ulp.
     """
-    logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
+    # sigmoid is monotone, so thresholding probabilities == thresholding
+    # logits at logit(t); pin the degenerate endpoints explicitly rather
+    # than relying on np.log's divide-by-zero -> -inf float semantics
+    if score_threshold <= 0.0:
+        logit_thr = -np.inf        # keep every anchor
+    elif score_threshold >= 1.0:
+        logit_thr = np.inf         # keep none
+    else:
+        logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
     remaining = jnp.where(scores_logits > logit_thr, scores_logits, -jnp.inf)
 
     num = scores_logits.shape[0]

@@ -114,14 +114,26 @@ class FaceDetector:
         The threshold/precision config enters as STATIC jit arguments (not
         read off `self` at trace time) so that mutating detector attributes
         between calls correctly retraces instead of silently reusing the
-        program compiled for the old values."""
+        program compiled for the old values.  Only score/iou thresholds,
+        max_faces, and precision are mutation-safe this way: input_size,
+        channel_order, and the anchor table are fixed at construction (they
+        describe the model, not the serving config) — rebuild the detector
+        to change them."""
         from ..models.blazeface import turbo_fast_blocks
 
         fast = precision in ("fast", "turbo", "max")
         # graph-compiled adapters (from_h5_compat) expose no backbone spec
-        # and take no dense/fast_blocks kwargs — they run at the ambient
-        # matmul precision only, by capability, not by exception-catching
+        # and take no dense/fast_blocks kwargs, so the accelerated modes
+        # cannot apply — fail loudly instead of silently serving a
+        # different (slower, ambient-precision) configuration
         spec = getattr(self.model, "backbone", None)
+        if fast and spec is None:
+            raise ValueError(
+                f"precision={precision!r} needs a native backbone spec "
+                "(dense composition + bf16 precision islands); this model "
+                "was graph-compiled (from_h5_compat) and exposes none. "
+                "Use precision='highest', or load through from_h5/"
+                "from_native for the accelerated modes.")
         kwargs = {"dense": True} if fast and spec is not None else {}
         if spec is not None:
             if precision == "turbo":

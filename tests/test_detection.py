@@ -159,6 +159,21 @@ def test_from_h5_compat_matches_native(production_detector):
 
 
 @needs_reference
+def test_from_h5_compat_rejects_accelerated_precision():
+    """Graph-compiled models carry no backbone spec, so the dense/bf16-island
+    serving modes cannot apply — requesting one must raise, not silently run
+    a different (ambient-precision) configuration."""
+    import pytest
+    from headpose_tpu.runtime import FaceDetector
+    from conftest import UNIFIED_H5
+    det = FaceDetector.from_h5_compat(UNIFIED_H5, precision="turbo")
+    with pytest.raises(ValueError, match="native backbone spec"):
+        det.detect_single(np.zeros((64, 64, 3), np.uint8))
+    det.precision = "highest"   # mutation retraces; supported mode works
+    det.detect_single(np.zeros((64, 64, 3), np.uint8))
+
+
+@needs_reference
 def test_detect_stream_order_and_parity(production_detector):
     """Streaming wrapper yields in-order results identical to direct detect."""
     from headpose_tpu.runtime.streaming import detect_stream
