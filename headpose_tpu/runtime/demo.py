@@ -18,11 +18,17 @@ import numpy as np
 
 from .detector import FaceDetector
 from .smoothing import TrackSmoother
+from .tracking import IoUTrackSmoother
 from .viz import draw_detections
 from .results import Results
 from ..utils.profiling import FpsCounter
 
 __all__ = ["run_demo"]
+
+
+def jax_tree_first(signals):
+    """Drop the leading batch-of-1 axis from every leaf (demo is single-stream)."""
+    return {k: v[0] for k, v in signals.items()}
 
 
 def _center_square(frame: np.ndarray) -> np.ndarray:
@@ -35,10 +41,13 @@ def _center_square(frame: np.ndarray) -> np.ndarray:
 def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
              max_frames: int | None = None, display: bool = True,
-             precision: str = "highest") -> int:
+             precision: str = "highest", tracking: bool = True) -> int:
     """Run the live loop.  Returns the number of frames processed.
     model_path: H5 file, native model dir, or None for the shipped flagship.
-    precision: serving mode (highest/fast/turbo/max — see FaceDetector)."""
+    precision: serving mode (highest/fast/turbo/max — see FaceDetector).
+    tracking: match detections to persistent tracks by IoU before smoothing
+    (filters follow faces across score-rank swaps; runtime.tracking); False
+    falls back to slot-keyed smoothing."""
     import cv2
 
     if model_path is None:
@@ -49,7 +58,7 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
         detector = FaceDetector.from_native(model_path, precision=precision)
     else:
         detector = FaceDetector.from_h5(model_path, precision=precision)
-    smoother = TrackSmoother(alpha)
+    smoother = (IoUTrackSmoother(alpha) if tracking else TrackSmoother(alpha))
     fps = FpsCounter()
 
     cap = cv2.VideoCapture(source)
@@ -67,10 +76,14 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
 
             batch = detector.detect(frame)
             if use_ema:
-                smoothed = smoother(
-                    {"poses": batch.poses, "boxes": batch.boxes,
-                     "keypoints": batch.keypoints},
-                    valid=batch.valid)
+                signals = {"poses": batch.poses, "boxes": batch.boxes,
+                           "keypoints": batch.keypoints}
+                if tracking:
+                    smoothed = smoother(batch.boxes[0], batch.valid[0],
+                                        jax_tree_first(signals))
+                    smoothed = {k: v[None] for k, v in smoothed.items()}
+                else:
+                    smoothed = smoother(signals, valid=batch.valid)
                 batch = type(batch)(boxes=smoothed["boxes"],
                                     keypoints=smoothed["keypoints"],
                                     scores=batch.scores,
@@ -107,6 +120,8 @@ def main(argv=None) -> None:
     p.add_argument("--video", default=None, help="video file instead of camera")
     p.add_argument("--record", action="store_true")
     p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--no_tracking", action="store_true",
+                   help="slot-keyed smoothing instead of IoU track association")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--headless", action="store_true")
     p.add_argument("--precision", default="highest",
@@ -117,7 +132,7 @@ def main(argv=None) -> None:
                  source=args.video if args.video else args.camera,
                  record=args.record, use_ema=not args.no_ema,
                  max_frames=args.frames, display=not args.headless,
-                 precision=args.precision)
+                 precision=args.precision, tracking=not args.no_tracking)
     print(f"processed {n} frames")
 
 

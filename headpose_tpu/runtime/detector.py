@@ -43,9 +43,14 @@ class FaceDetector:
                  score_threshold: float = 0.4, iou_threshold: float = 0.3,
                  max_faces: int = MAX_FACES, input_size: int | None = None,
                  channel_order: str = "bgr", precision: str = "highest",
-                 anchor_config: AnchorConfig | None = None):
+                 anchor_config: AnchorConfig | None = None,
+                 turbo_island: tuple[int, ...] | None = None):
         self.model = model
         self.params = params
+        # optional override of the bf16 block island used by 'turbo'
+        # (default: models.blazeface.turbo_fast_blocks — the corpus-certified
+        # set); exposed for island-width probes (scripts/probe_turbo_island.py)
+        self.turbo_island = tuple(turbo_island) if turbo_island is not None else None
         if input_size is None:
             # native models carry their resolution (128 front / 256 back);
             # graph-compiled adapters don't — default to the front camera
@@ -137,7 +142,8 @@ class FaceDetector:
         kwargs = {"dense": True} if fast and spec is not None else {}
         if spec is not None:
             if precision == "turbo":
-                kwargs["fast_blocks"] = turbo_fast_blocks(spec)
+                kwargs["fast_blocks"] = (self.turbo_island if self.turbo_island
+                                         is not None else turbo_fast_blocks(spec))
             elif precision == "max":
                 kwargs["fast_blocks"] = tuple(range(len(spec.block_channels)))
         with jax.default_matmul_precision("high" if fast else precision):

@@ -1,0 +1,77 @@
+"""Probe bf16-island widths on the parity corpus: accuracy + throughput.
+
+Round 2 picked the 'turbo' island (blocks 10..15 + SSD heads at single-pass
+bf16) from a THREE-image max (0.0696 deg).  The 112-image corpus shows that
+island's true distribution is p99 0.216 / max 4.2 deg — outside the 0.1-deg
+parity budget.  This probe measures every trailing-island start on the corpus
+(error distribution, detection-set agreement) AND its sustained batch-128
+throughput, so the shipped default can be the WIDEST island whose p99 < 0.1
+deg (VERDICT r2 item 1).
+
+Run on the real chip:  python scripts/probe_turbo_island.py   (~10 min:
+6 islands x 1 tunnel compile each + 1 throughput loop each)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from certify_modes import CORPUS, certify  # noqa: E402
+
+OUT = os.path.join(REPO, "docs", "turbo_island_probe.json")
+STARTS = (10, 11, 12, 13, 14, 15)   # island = blocks start..15 (+ SSD heads)
+
+
+def throughput(det, batch=128, iters=500) -> float:
+    import jax
+
+    rng = np.random.default_rng(0)
+    bufs = [jax.device_put(rng.integers(0, 256, size=(batch, 128, 128, 3),
+                                        dtype=np.int64).astype(np.uint8))
+            for _ in range(8)]
+    out = det.detect(bufs[0])
+    jax.block_until_ready(out.scores)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = det.detect(bufs[i % 8])
+    jax.block_until_ready(out.scores)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    import jax
+
+    from headpose_tpu.pretrained import load_flagship
+    from headpose_tpu.runtime.detector import FaceDetector
+
+    starts = tuple(int(a) for a in sys.argv[1:]) or STARTS
+    data = dict(np.load(CORPUS))
+    model, params = load_flagship()
+    report = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    for start in starts:
+        island = tuple(range(start, 16))
+
+        def factory(mode, island=island):
+            return FaceDetector(model, params, score_threshold=0.4,
+                                iou_threshold=0.3, precision="turbo",
+                                turbo_island=island)
+
+        import certify_modes
+        certify_modes.MODES = ("turbo",)
+        print(f"--- island start {start} (blocks {start}..15 + SSD heads) ---")
+        r = certify(factory, data)["turbo"]
+        det = factory("turbo")
+        fps = throughput(det)
+        r["frames_per_sec_batch128"] = round(fps, 1)
+        print(f"    throughput: {fps:,.0f} frames/sec")
+        report[f"start_{start}"] = r
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+    print("wrote", OUT)
