@@ -23,7 +23,9 @@ initializer configs can stay generic.
 """
 from __future__ import annotations
 
+import codecs
 import json
+import marshal
 from typing import Any
 
 import h5py
@@ -32,6 +34,33 @@ import numpy as np
 __all__ = ["save_head_h5", "save_unified_h5"]
 
 _KERAS_VERSION = "2.15.0"
+
+
+# --------------------------------------------------------------------------
+# Lambda payloads for the SE-Transformer export.  Keras-2 serializes Lambda
+# layers as marshalled CPython bytecode (function_type 'lambda'); these two
+# functions reproduce the reference head's flatten/unflatten lambdas
+# (Model-88/attention_model.py:40-47,66-74).  `tf` resolves at CALL time from
+# the loader's globals (tf_keras binds its own module globals in func_load),
+# so this module never imports TensorFlow.  Caveat (inherent to the format,
+# shared by the reference's own shipped MHA artifacts): marshalled bytecode
+# only loads under the same CPython version that wrote it.
+# --------------------------------------------------------------------------
+
+def _lambda_reshape_flat(t):
+    return tf.reshape(  # noqa: F821 — resolved by the Keras loader's globals
+        t, (tf.shape(t)[0], tf.shape(t)[1] * tf.shape(t)[2], tf.shape(t)[3]))  # noqa: F821
+
+
+def _lambda_reshape_back(ts):
+    t, orig = ts
+    return tf.reshape(  # noqa: F821
+        t, (tf.shape(orig)[0], tf.shape(orig)[1], tf.shape(orig)[2],  # noqa: F821
+            tf.shape(t)[2]))  # noqa: F821
+
+
+def _marshal_fn(fn) -> str:
+    return codecs.encode(marshal.dumps(fn.__code__), "base64").decode("ascii")
 
 
 def _init(cls: str = "GlorotUniform") -> dict:
@@ -49,10 +78,14 @@ class _Graph:
 
     def add(self, class_name: str, name: str, config: dict,
             inbound: list[str] | None,
-            weights: dict[str, np.ndarray] | None = None) -> str:
+            weights: dict[str, np.ndarray] | None = None,
+            raw_inbound: list | None = None) -> str:
         config = {"name": name, "trainable": True, "dtype": "float32",
                   **config}
-        node = [] if inbound is None else [[[n, 0, 0, {}] for n in inbound]]
+        if raw_inbound is not None:
+            node = raw_inbound      # pre-built node list (kwargs-form calls)
+        else:
+            node = [] if inbound is None else [[[n, 0, 0, {}] for n in inbound]]
         self.layers.append({"class_name": class_name, "config": config,
                             "name": name, "inbound_nodes": node})
         if weights:
@@ -273,14 +306,109 @@ def _emit_se_head(g: _Graph, spec, params, prev: str) -> str:
     return conv("conv2d_1", params["out"], fc, "linear")
 
 
+def _dense_cfg(units: int, activation: str) -> dict:
+    return {"units": int(units), "activation": activation, "use_bias": True,
+            "kernel_initializer": _init(), "bias_initializer": _init("Zeros"),
+            "kernel_regularizer": None, "bias_regularizer": None,
+            "activity_regularizer": None, "kernel_constraint": None,
+            "bias_constraint": None}
+
+
+def _emit_se_transformer_head(g: _Graph, spec, params, prev: str) -> str:
+    """SETransformerHead as the reference's se_transformer_regr_head graph
+    (Model-88/attention_model.py:16-80): SE gate -> Lambda flatten ->
+    MultiHeadAttention + residual/LayerNorm -> FFN + residual/LayerNorm ->
+    Lambda unflatten -> 1x1-conv regression.  Layer-for-layer the same
+    serialized structure tf-keras writes for that builder (verified against a
+    probe save in this container), including the marshalled-bytecode Lambda
+    payloads.  Weight layouts map 1:1: our query/key/value (C, H, D) einsum
+    params ARE Keras MultiHeadAttention's EinsumDense kernels."""
+    x_in = prev
+    C = spec.in_features
+    se = params["se"]
+    gap = g.add("GlobalAveragePooling2D", "global_average_pooling2d",
+                {"data_format": "channels_last", "keepdims": False}, [x_in])
+    fc1 = g.add("Dense", "dense",
+                _dense_cfg(np.asarray(se["fc1"]["w"]).shape[1], "relu"),
+                [gap], {"kernel": np.asarray(se["fc1"]["w"], np.float32),
+                        "bias": np.asarray(se["fc1"]["b"], np.float32)})
+    fc2 = g.add("Dense", "dense_1", _dense_cfg(C, "sigmoid"), [fc1],
+                {"kernel": np.asarray(se["fc2"]["w"], np.float32),
+                 "bias": np.asarray(se["fc2"]["b"], np.float32)})
+    gate = g.reshape("reshape", fc2, (1, 1, C))
+    gated = g.add("Multiply", "multiply", {}, [x_in, gate])
+
+    def lam(name, fn, inbound):
+        return g.add("Lambda", name, {
+            "function": [_marshal_fn(fn), None, None],
+            "function_type": "lambda", "module": __name__,
+            "output_shape": None, "output_shape_type": "raw",
+            "output_shape_module": None, "arguments": {},
+        }, inbound)
+
+    flat = lam("lambda", _lambda_reshape_flat, [gated])
+    mha = g.add("MultiHeadAttention", "multi_head_attention", {
+        "num_heads": spec.num_heads, "key_dim": spec.key_dim,
+        "value_dim": spec.key_dim, "dropout": 0.0, "use_bias": True,
+        "output_shape": None, "attention_axes": [1],
+        "kernel_initializer": _init(), "bias_initializer": _init("Zeros"),
+        "kernel_regularizer": None, "bias_regularizer": None,
+        "activity_regularizer": None, "kernel_constraint": None,
+        "bias_constraint": None,
+        "query_shape": [None, None, C], "key_shape": [None, None, C],
+        "value_shape": [None, None, C],
+    }, None, {
+        "query/kernel": np.asarray(params["query"]["w"], np.float32),
+        "query/bias": np.asarray(params["query"]["b"], np.float32),
+        "key/kernel": np.asarray(params["key"]["w"], np.float32),
+        "key/bias": np.asarray(params["key"]["b"], np.float32),
+        "value/kernel": np.asarray(params["value"]["w"], np.float32),
+        "value/bias": np.asarray(params["value"]["b"], np.float32),
+        "attention_output/kernel": np.asarray(params["attn_out"]["w"], np.float32),
+        "attention_output/bias": np.asarray(params["attn_out"]["b"], np.float32),
+    }, raw_inbound=[[[flat, 0, 0, {"value": [flat, 0, 0]}]]])
+
+    def layernorm(name, p, inbound):
+        return g.add("LayerNormalization", name, {
+            "axis": [2], "epsilon": 0.001, "center": True, "scale": True,
+            "beta_initializer": _init("Zeros"), "gamma_initializer": _init("Ones"),
+            "beta_regularizer": None, "gamma_regularizer": None,
+            "beta_constraint": None, "gamma_constraint": None,
+        }, inbound, {"gamma": np.asarray(p["g"], np.float32),
+                     "beta": np.asarray(p["b"], np.float32)})
+
+    a1 = g.add("Add", "add", {}, [flat, mha])
+    ln1 = layernorm("layer_normalization", params["ln1"], [a1])
+    ff1 = g.add("Dense", "dense_2", _dense_cfg(spec.ff_dim, "relu"), [ln1],
+                {"kernel": np.asarray(params["ff1"]["w"], np.float32),
+                 "bias": np.asarray(params["ff1"]["b"], np.float32)})
+    ff2 = g.add("Dense", "dense_3", _dense_cfg(C, "linear"), [ff1],
+                {"kernel": np.asarray(params["ff2"]["w"], np.float32),
+                 "bias": np.asarray(params["ff2"]["b"], np.float32)})
+    a2 = g.add("Add", "add_1", {}, [ln1, ff2])
+    ln2 = layernorm("layer_normalization_1", params["ln2"], [a2])
+    back = lam("lambda_1", _lambda_reshape_back, [ln2, x_in])
+
+    w_fc = np.asarray(params["fc"]["w"], np.float32)
+    hid = g.conv2d("conv2d", back, w_fc.reshape(1, 1, *w_fc.shape),
+                   np.asarray(params["fc"]["b"], np.float32), activation="relu")
+    w_out = np.asarray(params["out"]["w"], np.float32)
+    return g.conv2d("conv2d_1", hid, w_out.reshape(1, 1, *w_out.shape),
+                    np.asarray(params["out"]["b"], np.float32),
+                    activation="linear")
+
+
 def save_head_h5(spec, params, path: str, *, name: str = "model") -> None:
     """Export a pose head as a Keras-2 H5 with dynamic (None, None, C) input —
     the reference's converted "NoFlatten" head format, directly consumable by
-    JoinModels.py and InputShapeConvertor.py.  Supports the MLP, residual,
-    skip, and SE families (the SE-Transformer's Lambda layers marshal Python
-    bytecode and do not round-trip portably even for the reference's own
-    artifacts)."""
-    from ..models import (MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead)
+    JoinModels.py and InputShapeConvertor.py.  Supports all five families:
+    MLP, residual, skip, SE, and SE-Transformer (the latter with
+    marshalled-bytecode Lambda layers, exactly the serialization the
+    reference's own builder produces; such files load only under the CPython
+    version that wrote them — a limitation inherited from the format, shared
+    by the reference's shipped MHA artifacts)."""
+    from ..models import (MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead,
+                          SETransformerHead)
 
     g = _Graph(name)
     inp = g.input("input_1", (None, None, None, spec.in_features))
@@ -292,6 +420,8 @@ def save_head_h5(spec, params, path: str, *, name: str = "model") -> None:
         out = _emit_skip_head(g, spec, params, inp)
     elif isinstance(spec, SEMLPHead):
         out = _emit_se_head(g, spec, params, inp)
+    elif isinstance(spec, SETransformerHead):
+        out = _emit_se_transformer_head(g, spec, params, inp)
     else:
         raise NotImplementedError(
             f"H5 export not implemented for {type(spec).__name__}")

@@ -51,12 +51,24 @@ if __name__ == "__main__":
     from headpose_tpu.pretrained import load_flagship
     from headpose_tpu.runtime.detector import FaceDetector
 
-    starts = tuple(int(a) for a in sys.argv[1:]) or STARTS
+    # args: each is an island spec — "12" (trailing: 12..15), "11-14" (range),
+    # or "15" / "11,13" (comma list with no dash = exact blocks)
+    def parse(a):
+        if "-" in a:
+            lo, hi = a.split("-")
+            return tuple(range(int(lo), int(hi) + 1))
+        if "," in a:
+            return tuple(int(x) for x in a.split(","))
+        return tuple(range(int(a), 16))
+
+    islands = [parse(a) for a in sys.argv[1:]] or [
+        tuple(range(s, 16)) for s in STARTS]
     data = dict(np.load(CORPUS))
     model, params = load_flagship()
     report = json.load(open(OUT)) if os.path.exists(OUT) else {}
-    for start in starts:
-        island = tuple(range(start, 16))
+    for island in islands:
+        start = f"{island[0]}..{island[-1]}" if island == tuple(
+            range(island[0], island[-1] + 1)) else ",".join(map(str, island))
 
         def factory(mode, island=island):
             return FaceDetector(model, params, score_threshold=0.4,

@@ -125,25 +125,46 @@ class TestUnifiedExport:
 
 
 class TestAllFamilyExports:
-    """Residual/skip/SE families export to tf-keras-loadable H5 too (the
-    SE-Transformer's Lambda layers don't round-trip portably even for the
-    reference's own artifacts — excluded by design)."""
+    """All five head families export to tf-keras-loadable H5 — including the
+    SE-Transformer, whose Lambda layers are emitted as marshalled bytecode
+    exactly like the reference's own builder serializes them (such files load
+    under the writing CPython version only; a format limitation the
+    reference's shipped MHA artifacts share)."""
 
-    @pytest.mark.parametrize("family", ["residual", "skip", "se"])
+    @pytest.mark.parametrize("family",
+                             ["residual", "skip", "se", "se_transformer"])
     def test_family_roundtrip(self, family, tmpdir):
         keras = pytest.importorskip("tf_keras")
         from headpose_tpu.models import (ResidualMLPHead, SkipMLPHead,
-                                         SEMLPHead)
+                                         SEMLPHead, SETransformerHead)
 
         spec = {"residual": ResidualMLPHead(in_features=88),
                 "skip": SkipMLPHead(in_features=88),
-                "se": SEMLPHead(in_features=88)}[family]
+                "se": SEMLPHead(in_features=88),
+                "se_transformer": SETransformerHead(in_features=88)}[family]
         params = spec.init(jax.random.PRNGKey(1))
         path = os.path.join(tmpdir, f"{family}.h5")
         save_head_h5(spec, params, path)
         m = keras.models.load_model(path, compile=False)
         x = np.random.default_rng(0).normal(
             size=(5, 2, 2, spec.in_features)).astype(np.float32)
+        np.testing.assert_allclose(m.predict(x, verbose=0),
+                                   np.asarray(spec.apply(params, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_se_transformer_spatial_roundtrip(self, tmpdir):
+        """The attention head on its production 16x16x88 feature-map input
+        (256 spatial tokens — the shape JoinModels grafts it at)."""
+        keras = pytest.importorskip("tf_keras")
+        from headpose_tpu.models import SETransformerHead
+
+        spec = SETransformerHead(in_features=88)
+        params = spec.init(jax.random.PRNGKey(3))
+        path = os.path.join(tmpdir, "se_tr.h5")
+        save_head_h5(spec, params, path)
+        m = keras.models.load_model(path, compile=False)
+        x = np.random.default_rng(7).normal(size=(2, 16, 16, 88)
+                                            ).astype(np.float32)
         np.testing.assert_allclose(m.predict(x, verbose=0),
                                    np.asarray(spec.apply(params, x)),
                                    rtol=1e-5, atol=1e-5)
