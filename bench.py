@@ -25,12 +25,14 @@ def main() -> None:
 
     import __graft_entry__ as ge
 
-    # 'turbo' serving mode: dense-composed 3x3 convs at 3-pass 'high'
-    # precision with the trailing blocks + SSD heads on the measured-safe
-    # single-pass-bf16 island — 0.07 deg max pose error on the golden
-    # images (inside the 0.1-degree reference-parity budget), identical
-    # detection sets (docs/BENCH.md)
-    fn, (params, _) = ge.entry(precision="turbo")
+    # 'fast' serving mode: dense-composed 3x3 convs at 3-pass 'high'
+    # precision — the fastest mode that holds the 0.1-degree reference-
+    # parity budget on the 112-image certification corpus (pose error
+    # p99 0.0039 / max 0.0064 deg, identical detection sets;
+    # docs/certification.json).  Round 2 benched 'turbo' here on a
+    # 3-image 0.07-deg claim; the corpus showed turbo's true p99 is
+    # 0.22 deg, so the headline is now the honestly-certified mode.
+    fn, (params, _) = ge.entry(precision="fast")
     fn = jax.jit(fn)
 
     # batch 128 is the measured sweet spot: batches 64-128 cost near-equal
@@ -66,7 +68,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "end-to-end detect+pose throughput",
         "value": round(frames_per_sec, 1),
-        "unit": "frames/sec/chip (batch 128 uint8 128x128 frames on-device, NMS'd results out, sustained 500-dispatch loop, turbo mode: 0.07deg max pose err vs reference)",
+        "unit": "frames/sec/chip (batch 128 uint8 128x128 frames on-device, NMS'd results out, sustained 500-dispatch loop, fast mode: corpus-certified pose err p99 0.0039deg / max 0.0064deg vs reference, identical detection sets)",
         "vs_baseline": round(frames_per_sec / BASELINE_FACES_PER_SEC, 1),
     }))
 

@@ -187,21 +187,22 @@ class BlazeFace:
 
 BLAZEFACE_FRONT = BlazeFace()
 
-# The measured-safe single-pass-bf16 island for serving ('turbo' mode): the
-# last downsample block, the block feeding it, and the final-stage (8x8)
-# blocks + SSD heads.  Probed on the real chip (docs/BENCH.md): start-10
-# measures 0.0696 deg with identical detection sets (inside the 0.1 deg
-# parity budget) at ~75k frames/sec; any earlier start (blocks <= 9
-# included) measured 0.13-0.27 deg — over budget.
+# The single-pass-bf16 island for the 'turbo' serving mode: the last
+# downsample block, the block feeding it, and the final-stage (8x8) blocks +
+# SSD heads.  Certified on the 112-image parity corpus (round 3,
+# docs/certification.json): pose error p99 0.22 / max 4.2 deg — OUTSIDE the
+# 0.1-deg parity budget (round 2's "0.0696 deg" was a 3-image max).  The
+# island-width probes (docs/turbo_island_probe.json) show every island
+# touching any backbone block lands at p99 0.13-0.19 deg — bf16 rounding of
+# the un-normalized tail features costs ~0.1 deg alone — so 'turbo' is an
+# accuracy-mode (non-parity) knob and THIS island (the fastest; narrower ones
+# are no more accurate) stays its definition.  Detection sets stay identical
+# to the reference in every probed island.
 def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
-    """Block indices of the trailing bf16 island (see above).
-
-    The island boundary generalizes by structure (start one block before the
-    last downsample), but the 0.07-degree safety number was MEASURED only on
-    the front spec's shipped weights; for other specs (e.g. BLAZEFACE_BACK,
-    which has no weights to measure) this is a heuristic — re-run the island
-    probes (scripts/bench_modes.py, docs/BENCH.md) before trusting 'turbo'
-    parity on new weights."""
+    """Block indices of the trailing bf16 island (see above — a non-parity
+    accuracy/speed trade certified on the corpus for the front spec; for
+    other specs (e.g. BLAZEFACE_BACK, no weights exist to measure) the
+    structural boundary is a heuristic."""
     return tuple(range(spec.downsample_blocks[-1] - 1, len(spec.block_channels)))
 
 

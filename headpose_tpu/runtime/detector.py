@@ -64,18 +64,24 @@ class FaceDetector:
         # 'highest' pins exact-f32 matmuls/convs — on TPU the default bf16
         # passes cost ~20 degrees on pose maps (errors compound through the
         # un-normalized conv stack), blowing the 0.1-degree parity budget
-        # (BASELINE.md).  'fast' runs the backbone as dense-composed 3x3
-        # convs at 3-pass 'high' precision: ~25% higher throughput at
-        # ~0.003 degree pose error (docs/BENCH.md) — still 30x inside the
-        # budget.  'turbo' additionally runs the trailing blocks + SSD
-        # heads at single-pass bf16 (the measured-safe precision island,
-        # TURBO_FAST_BLOCKS): ~0.07 degree pose error, identical detection
-        # sets, the fastest parity-safe mode (docs/BENCH.md).  'max' runs
-        # EVERY block's convs at single-pass bf16: ~0.26 degree pose error
-        # — outside the strict reference-parity budget (the error
-        # decomposition in docs/BENCH.md proves no weight calibration can
-        # fix it) but negligible against the pose heads' 4-8 degree MAE;
-        # the fastest mode for accuracy-driven (non-parity) serving.
+        # (BASELINE.md).  All modes are certified on the 112-image /
+        # 451-detection parity corpus (docs/certification.json,
+        # scripts/certify_modes.py):
+        #   'highest'  exact f32; pose err p99 0.0012 deg, max 0.0015.
+        #   'fast'     dense-composed 3x3 convs at 3-pass 'high': pose err
+        #              p99 0.0039 / max 0.0064 deg, identical detection
+        #              sets — the FASTEST PARITY-CERTIFIED mode (~70%
+        #              faster than 'highest').
+        #   'turbo'    'fast' + trailing blocks and SSD heads at
+        #              single-pass bf16: p99 0.22 / max 4.2 deg — OUTSIDE
+        #              the strict parity budget (the round-2 "0.07 deg"
+        #              label was a 3-image max; the corpus p99 killed it,
+        #              and the island probes show NO bf16 backbone island
+        #              holds p99 < 0.1 — docs/turbo_island_probe.json).
+        #              Identical detection sets; fine for accuracy-driven
+        #              serving (heads' own MAE is 4-8 deg).
+        #   'max'      every block at single-pass bf16: p99 0.68 / max 4.9
+        #              deg, 4/112 images change detection sets; fastest.
         # Postprocess selection stays at HIGHEST in every mode.
         self.precision = precision
         # anchors follow the model's input resolution: 128 → front-camera

@@ -1,0 +1,113 @@
+"""Precision-mode certification gates on the parity-validation corpus.
+
+The corpus (tests/golden/parity_corpus.npz, scripts/make_parity_corpus.py) is
+112 detection-rich 128x128 images with 451 reference detections captured from
+the reference pipeline at PRODUCTION settings (threshold 0.4,
+blazeFaceDetectorH5.py:82,109-126).  Round 2's mode-parity claims rested on a
+3-image max; these tests gate them on the full distribution:
+
+  * 'highest' (and 'fast' on TPU) must match the reference detection-for-
+    detection — certified on-chip by scripts/certify_modes.py, whose committed
+    docs/certification.json this suite validates (sha-pinned to the corpus).
+  * The corpus finding the 3-image max missed: NO single-pass-bf16 backbone
+    island holds pose p99 < 0.1 deg (docs/turbo_island_probe.json) — so
+    'fast' is the fastest parity-certified mode and 'turbo'/'max' are
+    accuracy-mode (non-parity) serving, as their docs now state.
+"""
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+CORPUS = os.path.join(GOLDEN, "parity_corpus.npz")
+CERT = os.path.join(os.path.dirname(__file__), "..", "docs",
+                    "certification.json")
+
+PARITY_BUDGET_DEG = 0.1   # BASELINE.md: MAE within 0.1 deg of the reference
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return dict(np.load(CORPUS))
+
+
+@pytest.fixture(scope="module")
+def cert():
+    with open(CERT) as f:
+        return json.load(f)
+
+
+class TestCorpusIntegrity:
+    def test_size_and_richness(self, corpus):
+        assert len(corpus["imgs"]) >= 100
+        assert corpus["imgs"].dtype == np.uint8
+        assert corpus["imgs"].shape[1:] == (128, 128, 3)
+        assert (corpus["counts"] >= 1).all()
+        assert corpus["counts"].sum() >= 300          # detection-rich
+        assert corpus["counts"].max() >= 4            # multi-face layouts
+
+    def test_certificate_is_for_this_corpus(self, cert):
+        sha = hashlib.sha256(open(CORPUS, "rb").read()).hexdigest()
+        assert cert["corpus_sha256"] == sha, (
+            "docs/certification.json is stale — re-run "
+            "scripts/certify_modes.py on the TPU after changing the corpus")
+        assert cert["images"] == 112
+        assert cert["reference_detections"] == 451
+
+
+class TestCertifiedDistributions:
+    """Gates on the committed on-chip certification (VERDICT r2 item 1)."""
+
+    def test_ran_on_tpu(self, cert):
+        assert cert["backend"] != "cpu", (
+            "certification must be captured on the real chip — precision "
+            "islands are a no-op on CPU")
+
+    @pytest.mark.parametrize("mode", ["highest", "fast"])
+    def test_parity_modes_hold_the_budget(self, cert, mode):
+        r = cert["modes"][mode]
+        assert r["set_agreement"] == 1.0, f"{mode}: detection sets diverged"
+        assert r["pose_deg"]["n"] == cert["reference_detections"]
+        assert r["pose_deg"]["p99"] < PARITY_BUDGET_DEG
+        assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG
+
+    def test_highest_is_reference_exact(self, cert):
+        assert cert["modes"]["highest"]["pose_deg"]["max"] < 0.01
+        assert cert["modes"]["highest"]["score"]["max"] < 1e-4
+
+    @pytest.mark.parametrize("mode", ["turbo", "max"])
+    def test_accuracy_modes_are_recorded(self, cert, mode):
+        """turbo/max are NON-parity accuracy modes; the certificate must
+        carry their true distributions (they exceed the budget — that is the
+        documented finding, not a regression)."""
+        r = cert["modes"][mode]
+        assert r["pose_deg"]["n"] > 400
+        assert r["pose_deg"]["p99"] > 0
+        # if a future calibration brings these inside the budget, promote the
+        # mode and update the serving docs (detector.py, docs/BENCH.md)
+
+
+class TestCpuParityOnCorpus:
+    """CPU-runnable ground truth: 'highest' must reproduce the reference on
+    corpus images (subset — the full 112 run on CPU is the TPU script's job)."""
+
+    def test_highest_matches_reference(self, corpus):
+        from headpose_tpu.pretrained import flagship_detector
+
+        det = flagship_detector(score_threshold=0.4, precision="highest")
+        n = 6
+        batch = det.detect(corpus["imgs"][:n])
+        per = batch.trim()
+        for i in range(n):
+            c = int(corpus["counts"][i])
+            assert len(per[i]) == c
+            # both sides emit score-descending; identical sets => same order
+            np.testing.assert_allclose(np.asarray(per[i].scores),
+                                       corpus["scores"][i, :c], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(per[i].boxes),
+                                       corpus["boxes"][i, :c], atol=1e-4)
+            np.testing.assert_allclose(np.asarray(per[i].poses),
+                                       corpus["poses"][i, :c], atol=2e-3)
