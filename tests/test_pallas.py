@@ -169,3 +169,47 @@ class TestDenseComposedBackbone:
         res = det.detect_single(np.asarray(g["img"], np.uint8))
         assert len(res.scores) == len(g["scores"])
         np.testing.assert_allclose(res.poses, g["poses"], atol=1e-3)
+
+
+class TestFusedPostprocess:
+    """ops/pallas/postprocess.py: the fused score-filter + selection-NMS +
+    survivor-extraction + pose-lookup kernel must be BIT-EXACT against
+    vmap(ops.detection.postprocess) — both implement
+    tf.image.non_max_suppression semantics (greedy descending-score,
+    lower-index tie-break), so there is no tolerance to hide behind."""
+
+    @staticmethod
+    def _run(b, thr, iou, mf, seed, loc_std=8.0, bias=0.0):
+        from headpose_tpu.models.anchors import generate_anchors
+        from headpose_tpu.ops import detection as det
+        from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+
+        anchors = jnp.asarray(generate_anchors().astype(np.float32))
+        a = anchors.shape[0]
+        rng = np.random.default_rng(seed)
+        logits = (rng.normal(0.0, 2.0, (b, a)) + bias).astype(np.float32)
+        loc = rng.normal(0.0, loc_std, (b, a, 16)).astype(np.float32)
+        pf = rng.normal(0, 0.5, (b, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 0.5, (b, 8, 8, 3)).astype(np.float32)
+        ref = jax.vmap(lambda s, l, f, bk: det.postprocess(
+            s, l, f, bk, anchors, score_threshold=thr, iou_threshold=iou,
+            max_faces=mf))(jnp.asarray(logits), jnp.asarray(loc),
+                           jnp.asarray(pf), jnp.asarray(pb))
+        got = postprocess_pallas(
+            jnp.asarray(logits), jnp.asarray(loc), jnp.asarray(pf),
+            jnp.asarray(pb), anchors, score_threshold=thr, iou_threshold=iou,
+            max_faces=mf, interpret=True)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(ref[k]), err_msg=k)
+
+    @pytest.mark.parametrize("case", [
+        dict(b=8, thr=0.4, iou=0.3, mf=16, seed=1),
+        dict(b=3, thr=0.4, iou=0.3, mf=100, seed=3),            # odd batch
+        dict(b=8, thr=0.99, iou=0.3, mf=16, seed=5, bias=-8.0),  # all empty
+        dict(b=4, thr=0.0, iou=0.3, mf=100, seed=6),             # keep all
+        dict(b=8, thr=0.4, iou=0.01, mf=32, seed=8),             # heavy NMS
+        dict(b=8, thr=0.4, iou=0.3, mf=16, seed=9, loc_std=0.5),  # clusters
+    ])
+    def test_bit_exact_vs_xla(self, case):
+        self._run(**case)
