@@ -44,7 +44,8 @@ class FaceDetector:
                  max_faces: int = MAX_FACES, input_size: int | None = None,
                  channel_order: str = "bgr", precision: str = "highest",
                  anchor_config: AnchorConfig | None = None,
-                 turbo_island: tuple[int, ...] | None = None):
+                 turbo_island: tuple[int, ...] | None = None,
+                 postprocess: str = "xla"):
         self.model = model
         self.params = params
         # optional override of the bf16 block island used by 'turbo'
@@ -84,6 +85,14 @@ class FaceDetector:
         #              deg, 4/112 images change detection sets; fastest.
         # Postprocess selection stays at HIGHEST in every mode.
         self.precision = precision
+        # postprocess backend: 'xla' (ops.detection.postprocess, batched
+        # lax.while_loop NMS + one-hot-GEMM extraction) or 'pallas' (the
+        # fused single-kernel NMS of ops/pallas/postprocess.py — bit-exact
+        # vs 'xla' by construction, tests/test_pallas.py)
+        if postprocess not in ("xla", "pallas"):
+            raise ValueError(f"postprocess must be 'xla' or 'pallas', "
+                             f"got {postprocess!r}")
+        self.postprocess = postprocess
         # anchors follow the model's input resolution: 128 → front-camera
         # config (blazeFaceDetectorH5.py:236-241), 256 → the back-camera
         # config the reference reserves but never wires (INPUT_BACK=256)
@@ -117,9 +126,9 @@ class FaceDetector:
         return cls(model, params, **kwargs)
 
     # ------------------------------------------------------------- pipeline
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
     def _pipeline(self, params, images, score_threshold, iou_threshold,
-                  max_faces, precision):
+                  max_faces, precision, postprocess_backend="xla"):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program.
 
         The threshold/precision config enters as STATIC jit arguments (not
@@ -155,14 +164,26 @@ class FaceDetector:
         with jax.default_matmul_precision("high" if fast else precision):
             x = preprocess(images, self.input_size, self.channel_order)
             out = self.model.apply(params, x, **kwargs)
-        post = jax.vmap(
-            lambda s, l, pf, pb: postprocess(
-                s, l, pf, pb, self.anchors,
+        if postprocess_backend == "pallas":
+            from ..ops.pallas.postprocess import postprocess_pallas
+
+            post = postprocess_pallas(
+                out["scores"], out["loc"], out["pose_front"],
+                out["pose_back"], self.anchors,
                 score_threshold=score_threshold,
                 iou_threshold=iou_threshold,
-                input_size=self.input_size,
-                max_faces=max_faces))(
-            out["scores"], out["loc"], out["pose_front"], out["pose_back"])
+                input_size=self.input_size, max_faces=max_faces,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            post = jax.vmap(
+                lambda s, l, pf, pb: postprocess(
+                    s, l, pf, pb, self.anchors,
+                    score_threshold=score_threshold,
+                    iou_threshold=iou_threshold,
+                    input_size=self.input_size,
+                    max_faces=max_faces))(
+                out["scores"], out["loc"], out["pose_front"],
+                out["pose_back"])
         return post
 
     def detect(self, images) -> BatchResults:
@@ -172,7 +193,7 @@ class FaceDetector:
             images = images[None]
         post = self._pipeline(self.params, images, self.score_threshold,
                               self.iou_threshold, self.max_faces,
-                              self.precision)
+                              self.precision, self.postprocess)
         return BatchResults(boxes=post["boxes"], keypoints=post["keypoints"],
                             scores=post["scores"], poses=post["poses"],
                             valid=post["valid"])

@@ -213,3 +213,19 @@ class TestFusedPostprocess:
     ])
     def test_bit_exact_vs_xla(self, case):
         self._run(**case)
+
+    def test_detector_e2e_bit_exact(self):
+        """postprocess='pallas' through the full FaceDetector pipeline must
+        reproduce the 'xla' backend bit for bit on golden image content."""
+        import os
+        from headpose_tpu.pretrained import flagship_detector
+
+        g = np.load(os.path.join(os.path.dirname(__file__),
+                                 "golden", "e2e_production.npz"))
+        img = np.asarray(g["img"], np.uint8)[None]
+        rx = flagship_detector(postprocess="xla").detect(img)
+        rp = flagship_detector(postprocess="pallas").detect(img)
+        for k in ("boxes", "keypoints", "scores", "poses", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(rp, k)),
+                                          np.asarray(getattr(rx, k)),
+                                          err_msg=k)
