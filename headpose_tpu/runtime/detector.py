@@ -126,9 +126,30 @@ class FaceDetector:
         return cls(model, params, **kwargs)
 
     # ------------------------------------------------------------- pipeline
+    # serving batches wider than one 128-lane tile pay a hard 2x wall-time
+    # step per extra tile AND tile worse than sequential 128-wide programs
+    # (batch 512 native: 8.21 ms vs 6.17 ms as four explicit 128-wide
+    # branches — docs/BENCH.md "the >128 cliff").  _pipeline therefore
+    # splits wide batches into <=128-image branches INSIDE the one jit.
+    CHUNK = 128
+
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
     def _pipeline(self, params, images, score_threshold, iou_threshold,
                   max_faces, precision, postprocess_backend="xla"):
+        b = images.shape[0]
+        if b <= self.CHUNK:
+            return self._pipeline_body(params, images, score_threshold,
+                                       iou_threshold, max_faces, precision,
+                                       postprocess_backend)
+        posts = [self._pipeline_body(params, images[i:i + self.CHUNK],
+                                     score_threshold, iou_threshold,
+                                     max_faces, precision,
+                                     postprocess_backend)
+                 for i in range(0, b, self.CHUNK)]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *posts)
+
+    def _pipeline_body(self, params, images, score_threshold, iou_threshold,
+                       max_faces, precision, postprocess_backend="xla"):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program.
 
         The threshold/precision config enters as STATIC jit arguments (not

@@ -1,0 +1,88 @@
+"""On-chip A/B: fused Pallas postprocess vs the XLA postprocess, measured
+only as FULL-PIPELINE variants (CLAUDE.md benchmarking gotcha: forward-only
+slices and bare kernel loops can be elided by this container's runtime; the
+end-to-end detector program is the one timing methodology that proved
+trustworthy).
+
+Runs the bench.py methodology — batch 128, 8 staged input buffers, 500
+sustained dispatches — on the flagship detector in 'fast' mode with
+postprocess='xla' and postprocess='pallas', checks the two programs agree on
+real content, and writes docs/pallas_postprocess_probe.json.
+
+Usage:  python scripts/probe_pallas_postprocess.py [iters]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "docs", "pallas_postprocess_probe.json")
+
+
+def main():
+    import jax
+
+    from headpose_tpu.pretrained import flagship_detector
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    batch = 128
+    rng = np.random.default_rng(0)
+    bufs = [jax.device_put(rng.integers(0, 256, (batch, 128, 128, 3),
+                                        dtype=np.int64).astype(np.uint8))
+            for _ in range(8)]
+    golden = np.load(os.path.join(REPO, "tests", "golden",
+                                  "e2e_production.npz"))
+    gimg = jax.device_put(np.broadcast_to(
+        np.asarray(golden["img"], np.uint8), (batch, 128, 128, 3)).copy())
+
+    report = {}
+    outs = {}
+    for backend in ("xla", "pallas"):
+        det = flagship_detector(precision="fast", postprocess=backend)
+        args = (det.params, det.score_threshold, det.iou_threshold,
+                det.max_faces, det.precision, det.postprocess)
+
+        def run(images):
+            return det._pipeline(args[0], images, *args[1:])
+
+        t0 = time.time()
+        jax.block_until_ready(jax.tree.leaves(run(bufs[0])))
+        compile_s = time.time() - t0
+        print(f"[{backend}] compile+first-run {compile_s:.0f} s", flush=True)
+
+        outs[backend] = {k: np.asarray(v) for k, v in run(gimg).items()}
+
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = run(bufs[i % 8])
+        jax.block_until_ready(jax.tree.leaves(out))
+        dt = time.perf_counter() - t0
+        fps = batch * iters / dt
+        report[backend] = {"frames_per_sec": round(fps, 1),
+                           "ms_per_dispatch": round(dt / iters * 1e3, 3),
+                           "compile_s": round(compile_s, 1)}
+        print(f"[{backend}] {fps:,.0f} frames/s sustained "
+              f"({dt / iters * 1e3:.3f} ms/dispatch, {iters} iters)",
+              flush=True)
+
+    worst = max(float(np.abs(outs["xla"][k].astype(np.float64) -
+                             outs["pallas"][k].astype(np.float64)).max())
+                for k in outs["xla"])
+    report["golden_content_maxerr"] = worst
+    report["iters"] = iters
+    report["batch"] = batch
+    print(f"on-chip agreement on golden content: maxerr {worst:.2e}")
+
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -249,3 +249,24 @@ def test_detector_threshold_mutation_retraces():
     det.score_threshold = 0.999
     n_after = len(det.detect_single(g["img"]))
     assert n_after < n_before
+
+
+def test_wide_batch_chunking_exact(production_detector):
+    """Batches wider than one 128-lane tile are served as explicit <=128
+    branches inside one jit (docs/BENCH.md 'the >128 cliff': four 128-wide
+    branches beat the native 512-batch program 6.17 vs 8.21 ms).  The
+    chunked program must equal narrow calls bit for bit."""
+    g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+    rng = np.random.default_rng(7)
+    img = np.asarray(g["img"], np.uint8)
+    batch = np.concatenate([
+        np.broadcast_to(img, (100, *img.shape)),
+        rng.integers(0, 256, (60, *img.shape)).astype(np.uint8)])
+    det = production_detector
+    wide = det.detect(batch)                       # 160 -> 128 + 32 branches
+    lo, hi = det.detect(batch[:128]), det.detect(batch[128:])
+    for k in ("boxes", "keypoints", "scores", "poses", "valid"):
+        merged = np.concatenate([np.asarray(getattr(lo, k)),
+                                 np.asarray(getattr(hi, k))])
+        np.testing.assert_array_equal(np.asarray(getattr(wide, k)), merged,
+                                      err_msg=k)
