@@ -101,14 +101,17 @@ def _nms_kernel(a: int, max_out: int, iou_threshold: float, logit_thr: float,
         suppress = (iou > iou_threshold) | mask
         remaining = jnp.where(active & suppress, _NEG, remaining)
 
-        def put(c, val):
-            out_ref[0, pl.ds(t, 1), c, :] = val      # val (1, L)
-        for c in range(16):
-            put(_C_DEC + c, pick(dec_ref[0, c]))
-        for c in range(3):
-            put(_C_POSE + c, pick(pose_ref[0, c]))
-        put(_C_LOGIT, pick(logit_vals))
-        put(_C_VALID, active.astype(jnp.float32))
+        # extract ALL channels of the selected row as TWO sublane
+        # reductions (masked multiply + sum over the anchor dim) and write
+        # them in FOUR dynamic stores — not 21 of each, which multiplies
+        # Mosaic compile time and per-iteration dispatch work
+        dec_pick = jnp.sum(dec_ref[0] * maskf[None], axis=1)     # (16, L)
+        pose_pick = jnp.sum(pose_ref[0] * maskf[None], axis=1)   # (3, L)
+        out_ref[0, pl.ds(t, 1), _C_DEC:_C_POSE, :] = dec_pick[None]
+        out_ref[0, pl.ds(t, 1), _C_POSE:_C_LOGIT, :] = pose_pick[None]
+        out_ref[0, pl.ds(t, 1), _C_LOGIT:_C_LOGIT + 1, :] = pick(logit_vals)[None]
+        out_ref[0, pl.ds(t, 1), _C_VALID:_C_VALID + 1, :] = (
+            active.astype(jnp.float32)[None])
         return t + 1, remaining
 
     jax.lax.while_loop(cond, body, (0, remaining0))

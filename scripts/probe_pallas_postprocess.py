@@ -26,6 +26,10 @@ OUT = os.path.join(REPO, "docs", "pallas_postprocess_probe.json")
 
 
 def main():
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> → stack dump
     import jax
 
     from headpose_tpu.pretrained import flagship_detector
@@ -33,13 +37,19 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     batch = 128
     rng = np.random.default_rng(0)
+    print("staging input buffers...", flush=True)
     bufs = [jax.device_put(rng.integers(0, 256, (batch, 128, 128, 3),
                                         dtype=np.int64).astype(np.uint8))
             for _ in range(8)]
+    jax.block_until_ready(bufs)
+    print("staged.", flush=True)
     golden = np.load(os.path.join(REPO, "tests", "golden",
                                   "e2e_production.npz"))
-    gimg = jax.device_put(np.broadcast_to(
-        np.asarray(golden["img"], np.uint8), (batch, 128, 128, 3)).copy())
+    # detection-rich content at the SAME program shape as the timing loop
+    # (a second input shape would trigger a second Mosaic compile): center
+    # crop of the 256x256 golden production image
+    img = np.asarray(golden["img"], np.uint8)[64:192, 64:192]
+    gimg = jax.device_put(np.broadcast_to(img, (batch, *img.shape)).copy())
 
     report = {}
     outs = {}
