@@ -13,9 +13,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import time
-
-import numpy as np
 
 BASELINE_FACES_PER_SEC = 20.6  # BASELINE.md, measured reference CPU throughput
 
@@ -35,36 +32,18 @@ def main() -> None:
     fn, (params, _) = ge.entry(precision="fast")
     fn = jax.jit(fn)
 
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
+
     # batch 128 is the measured sweet spot: batches 64-128 cost near-equal
-    # wall time (~1.3 ms, dispatch-latency-bound) and >128 crosses a ~2x
-    # step (docs/BENCH.md batch sweep)
+    # wall time (~1.3 ms, dispatch-latency-bound) and >128 crosses a hard
+    # 2x step at the 128-lane tile boundary (docs/BENCH.md batch sweep).
+    # Methodology (staged distinct buffers, 500 sustained dispatches, one
+    # trailing block) lives in utils.profiling — shared with every probe.
     batch = 128
-    rng = np.random.default_rng(0)
-    # 8 distinct staged buffers cycled through the loop — rules out any
-    # same-input dispatch elision by the runtime (verified to agree with
-    # same-input timing, docs/BENCH.md methodology).  Staged on device: a
-    # serving stack overlaps transfers with compute; through this
-    # container's TPU tunnel a sync in-dispatch transfer costs ~0.7s and
-    # would measure the tunnel, not the program.
-    bufs = [jax.device_put(rng.integers(0, 256, size=(batch, 128, 128, 3),
-                                        dtype=np.int64).astype(np.uint8))
-            for _ in range(8)]
-
-    # compile + warmup
-    out = fn(params, bufs[0])
-    jax.block_until_ready(out)
-
-    # 500 iterations measures SUSTAINED serving throughput: short (50-iter)
-    # loops under-report by ~25% while the dispatch pipeline and chip
-    # clocks ramp (measured: 50 iters -> 72-75k, 500 -> 97k at batch 128)
-    iters = 500
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, bufs[i % 8])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    frames_per_sec = batch * iters / dt
+    bufs = staged_uint8_frames(batch)
+    sec = sustained_seconds_per_dispatch(lambda b: fn(params, b), bufs)
+    frames_per_sec = batch / sec
     print(json.dumps({
         "metric": "end-to-end detect+pose throughput",
         "value": round(frames_per_sec, 1),

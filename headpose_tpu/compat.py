@@ -47,10 +47,12 @@ class EMAFilter:
         self.initialized = False
 
     def update(self, measurement: float) -> float:
-        # same recurrence runtime.smoothing.ema_update applies per array
-        # element: seed on first sample, then y += alpha * (x - y)
+        # same recurrence (and floating-point form) as
+        # runtime.smoothing.ema_update: seed on the first sample, then
+        # y = alpha*x + (1-alpha)*y
         if self.initialized:
-            self.state += self.alpha * (measurement - self.state)
+            self.state = (self.alpha * measurement
+                          + (1.0 - self.alpha) * self.state)
         else:
             self.state, self.initialized = measurement, True
         return self.state

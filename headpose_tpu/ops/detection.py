@@ -212,7 +212,15 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
     onehot = jnp.where((sel_idx[:, None] == jnp.arange(num)[None, :]) &
                        keep[:, None], 1.0, 0.0)                      # (F, A)
     sel_dec = jnp.dot(onehot, decoded, precision=_HIGHEST)           # (F, 16)
-    sel_logits = jnp.dot(onehot, scores_logits[:, None],
+    # extraction operand keeps only threshold-passing logits: a selected
+    # anchor always passed the threshold (so its value is unchanged), while
+    # a non-finite logit on an UNSELECTED anchor would otherwise poison the
+    # whole image through the GEMM (0 * nan = nan, 0 * -inf = nan) — the
+    # reference's np.where filter drops such anchors before any arithmetic
+    # (blazeFaceDetectorH5.py:319-327), so clean scores are the parity
+    # behavior (and what the fused Pallas kernel computes)
+    safe_logits = jnp.where(scores_logits > logit_thr, scores_logits, 0.0)
+    sel_logits = jnp.dot(onehot, safe_logits[:, None],
                          precision=_HIGHEST)[:, 0]                   # (F,)
 
     # pose lookup: anchor → flat cell in [front 16x16 | back 8x8] table

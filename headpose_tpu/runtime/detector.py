@@ -133,30 +133,33 @@ class FaceDetector:
     # splits wide batches into <=128-image branches INSIDE the one jit.
     CHUNK = 128
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
     def _pipeline(self, params, images, score_threshold, iou_threshold,
-                  max_faces, precision, postprocess_backend="xla"):
+                  max_faces, precision, postprocess_backend="xla",
+                  turbo_island=None):
         b = images.shape[0]
         if b <= self.CHUNK:
             return self._pipeline_body(params, images, score_threshold,
                                        iou_threshold, max_faces, precision,
-                                       postprocess_backend)
+                                       postprocess_backend, turbo_island)
         posts = [self._pipeline_body(params, images[i:i + self.CHUNK],
                                      score_threshold, iou_threshold,
                                      max_faces, precision,
-                                     postprocess_backend)
+                                     postprocess_backend, turbo_island)
                  for i in range(0, b, self.CHUNK)]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *posts)
 
     def _pipeline_body(self, params, images, score_threshold, iou_threshold,
-                       max_faces, precision, postprocess_backend="xla"):
+                       max_faces, precision, postprocess_backend="xla",
+                       turbo_island=None):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program.
 
         The threshold/precision config enters as STATIC jit arguments (not
         read off `self` at trace time) so that mutating detector attributes
         between calls correctly retraces instead of silently reusing the
         program compiled for the old values.  Only score/iou thresholds,
-        max_faces, and precision are mutation-safe this way: input_size,
+        max_faces, precision, postprocess, and turbo_island are
+        mutation-safe this way: input_size,
         channel_order, and the anchor table are fixed at construction (they
         describe the model, not the serving config) — rebuild the detector
         to change them."""
@@ -178,7 +181,7 @@ class FaceDetector:
         kwargs = {"dense": True} if fast and spec is not None else {}
         if spec is not None:
             if precision == "turbo":
-                kwargs["fast_blocks"] = (self.turbo_island if self.turbo_island
+                kwargs["fast_blocks"] = (turbo_island if turbo_island
                                          is not None else turbo_fast_blocks(spec))
             elif precision == "max":
                 kwargs["fast_blocks"] = tuple(range(len(spec.block_channels)))
@@ -214,7 +217,8 @@ class FaceDetector:
             images = images[None]
         post = self._pipeline(self.params, images, self.score_threshold,
                               self.iou_threshold, self.max_faces,
-                              self.precision, self.postprocess)
+                              self.precision, self.postprocess,
+                              self.turbo_island)
         return BatchResults(boxes=post["boxes"], keypoints=post["keypoints"],
                             scores=post["scores"], poses=post["poses"],
                             valid=post["valid"])

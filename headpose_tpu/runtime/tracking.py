@@ -19,6 +19,7 @@ runtime.smoothing.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -61,7 +62,10 @@ def associate(track_boxes: jax.Array, track_active: jax.Array,
     Highest-IoU (detection, active track) pairs match first (each side used
     once, matches require IoU > iou_threshold); remaining valid detections
     open new tracks on free slots (or steal the stalest unmatched slot if
-    none are free — unreachable while T >= 2*F).
+    none are free; with sustained track churn — more than T distinct faces
+    inside a max_missed window — the stolen slot can hold a recently-missed
+    track, whose filter then re-seeds on reappearance instead of resuming.
+    Raise num_slots or lower max_missed if that matters).
 
     Returns (slot (F,) int32 — track slot per detection, junk for invalid
     detections; new_track (F,) bool — detection starts a fresh track)."""
@@ -175,13 +179,21 @@ class IoUTrackSmoother:
     def reset(self) -> None:
         self._state = None
 
+    @functools.cached_property
+    def _step(self):
+        # ONE jitted program per tracker: eager tracks_update would dispatch
+        # its ~40 small ops per frame individually — through the axon TPU
+        # tunnel that is ~40 round trips per frame (CLAUDE.md: jit every
+        # tool path)
+        return jax.jit(functools.partial(
+            tracks_update, alpha=self.alpha,
+            iou_threshold=self.iou_threshold, max_missed=self.max_missed))
+
     def __call__(self, boxes, valid, signals: Any) -> Any:
         boxes = jnp.asarray(boxes)
         valid = jnp.asarray(valid)
         if self._state is None:
             slots = self.num_slots or 2 * boxes.shape[0]
             self._state = tracks_init(signals, slots)
-        self._state, smoothed = tracks_update(
-            self._state, boxes, valid, signals, self.alpha,
-            self.iou_threshold, self.max_missed)
+        self._state, smoothed = self._step(self._state, boxes, valid, signals)
         return smoothed

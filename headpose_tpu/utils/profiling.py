@@ -11,7 +11,47 @@ import contextlib
 import time
 from collections import defaultdict
 
-__all__ = ["FpsCounter", "Timer", "trace"]
+import numpy as np
+
+__all__ = ["FpsCounter", "Timer", "trace", "staged_uint8_frames",
+           "sustained_seconds_per_dispatch"]
+
+
+def staged_uint8_frames(batch: int, size: int = 128, n_buffers: int = 8,
+                        seed: int = 0) -> list:
+    """Stage `n_buffers` distinct random uint8 frame batches on device.
+
+    The ONE benchmarking input recipe (docs/BENCH.md methodology): distinct
+    buffers cycled through the loop rule out same-input dispatch elision by
+    this container's runtime, and staging via device_put keeps the ~0.5 s /
+    12 MB tunnel transfer out of the timed loop."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    return [jax.device_put(rng.integers(0, 256, size=(batch, size, size, 3),
+                                        dtype=np.int64).astype(np.uint8))
+            for _ in range(n_buffers)]
+
+
+def sustained_seconds_per_dispatch(fn, inputs: list, iters: int = 500) -> float:
+    """Sustained-throughput timing of `fn` over cycled staged inputs.
+
+    THE methodology every benchmark/probe in this repo must share
+    (docs/BENCH.md): one warmup dispatch (triggers compile), then `iters`
+    back-to-back dispatches cycling the staged buffers with a single
+    block_until_ready at the end — results stay on device between
+    iterations, as in serving.  500 iterations measures the sustained rate
+    (50-iteration loops under-report by ~25% while the dispatch pipeline
+    and chip clocks ramp).  Returns seconds per dispatch."""
+    import jax
+
+    jax.block_until_ready(fn(inputs[0]))
+    n = len(inputs)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(inputs[i % n])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
 
 class FpsCounter:

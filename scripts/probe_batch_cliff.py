@@ -23,7 +23,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -73,20 +72,12 @@ def make_pipeline(variant: str):
 
 
 def timeit(fn, params, batch: int, iters: int = 300) -> float:
-    import jax
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
 
-    rng = np.random.default_rng(0)
-    bufs = [jax.device_put(rng.integers(0, 256, size=(batch, 128, 128, 3),
-                                        dtype=np.int64).astype(np.uint8))
-            for _ in range(8)]
-    out = fn(params, bufs[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, bufs[i % 8])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+    bufs = staged_uint8_frames(batch)
+    return sustained_seconds_per_dispatch(lambda b: fn(params, b), bufs,
+                                          iters)
 
 
 def main():

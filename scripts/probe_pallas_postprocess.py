@@ -34,13 +34,13 @@ def main():
 
     from headpose_tpu.pretrained import flagship_detector
 
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
+
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     batch = 128
-    rng = np.random.default_rng(0)
     print("staging input buffers...", flush=True)
-    bufs = [jax.device_put(rng.integers(0, 256, (batch, 128, 128, 3),
-                                        dtype=np.int64).astype(np.uint8))
-            for _ in range(8)]
+    bufs = staged_uint8_frames(batch)
     jax.block_until_ready(bufs)
     print("staged.", flush=True)
     golden = np.load(os.path.join(REPO, "tests", "golden",
@@ -68,18 +68,13 @@ def main():
 
         outs[backend] = {k: np.asarray(v) for k, v in run(gimg).items()}
 
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = run(bufs[i % 8])
-        jax.block_until_ready(jax.tree.leaves(out))
-        dt = time.perf_counter() - t0
-        fps = batch * iters / dt
+        sec = sustained_seconds_per_dispatch(run, bufs, iters)
+        fps = batch / sec
         report[backend] = {"frames_per_sec": round(fps, 1),
-                           "ms_per_dispatch": round(dt / iters * 1e3, 3),
+                           "ms_per_dispatch": round(sec * 1e3, 3),
                            "compile_s": round(compile_s, 1)}
         print(f"[{backend}] {fps:,.0f} frames/s sustained "
-              f"({dt / iters * 1e3:.3f} ms/dispatch, {iters} iters)",
-              flush=True)
+              f"({sec * 1e3:.3f} ms/dispatch, {iters} iters)", flush=True)
 
     worst = max(float(np.abs(outs["xla"][k].astype(np.float64) -
                              outs["pallas"][k].astype(np.float64)).max())

@@ -30,19 +30,13 @@ STARTS = (10, 11, 12, 13, 14, 15)   # island = blocks start..15 (+ SSD heads)
 
 
 def throughput(det, batch=128, iters=500) -> float:
-    import jax
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
 
-    rng = np.random.default_rng(0)
-    bufs = [jax.device_put(rng.integers(0, 256, size=(batch, 128, 128, 3),
-                                        dtype=np.int64).astype(np.uint8))
-            for _ in range(8)]
-    out = det.detect(bufs[0])
-    jax.block_until_ready(out.scores)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = det.detect(bufs[i % 8])
-    jax.block_until_ready(out.scores)
-    return batch * iters / (time.perf_counter() - t0)
+    bufs = staged_uint8_frames(batch)
+    sec = sustained_seconds_per_dispatch(lambda b: det.detect(b).scores,
+                                         bufs, iters)
+    return batch / sec
 
 
 if __name__ == "__main__":

@@ -229,3 +229,33 @@ class TestFusedPostprocess:
             np.testing.assert_array_equal(np.asarray(getattr(rp, k)),
                                           np.asarray(getattr(rx, k)),
                                           err_msg=k)
+
+    def test_nonfinite_logits_stay_clean_and_agree(self):
+        """A NaN or -inf logit on an UNSELECTED anchor must not poison the
+        image's extracted scores (the reference's np.where filter drops such
+        anchors before any arithmetic).  Regression: the XLA one-hot GEMM
+        used to NaN the whole image while the kernel stayed clean."""
+        from headpose_tpu.models.anchors import generate_anchors
+        from headpose_tpu.ops import detection as det
+        from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+
+        anchors = jnp.asarray(generate_anchors().astype(np.float32))
+        a = anchors.shape[0]
+        rng = np.random.default_rng(11)
+        logits = rng.normal(0.0, 2.0, (2, a)).astype(np.float32)
+        logits[0, 5] = np.nan
+        logits[1, 7] = -np.inf
+        loc = rng.normal(0.0, 8.0, (2, a, 16)).astype(np.float32)
+        pf = rng.normal(0, 0.5, (2, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 0.5, (2, 8, 8, 3)).astype(np.float32)
+        ref = jax.vmap(lambda s, l, f, bk: det.postprocess(
+            s, l, f, bk, anchors, max_faces=16))(
+            jnp.asarray(logits), jnp.asarray(loc),
+            jnp.asarray(pf), jnp.asarray(pb))
+        got = postprocess_pallas(jnp.asarray(logits), jnp.asarray(loc),
+                                 jnp.asarray(pf), jnp.asarray(pb), anchors,
+                                 max_faces=16, interpret=True)
+        assert np.isfinite(np.asarray(ref["scores"])).all()
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(ref[k]), err_msg=k)
