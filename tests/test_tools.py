@@ -3,6 +3,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -164,6 +165,23 @@ class TestProfiling:
             pass
         rep = t.report()
         assert rep["a"]["count"] == 1
+
+    def test_sustained_methodology_helpers(self):
+        """The shared bench/probe loop: stages distinct buffers, cycles
+        them, warms up once, blocks once at the end."""
+        from headpose_tpu.utils.profiling import (
+            staged_uint8_frames, sustained_seconds_per_dispatch)
+
+        bufs = staged_uint8_frames(4, size=8, n_buffers=3)
+        assert len(bufs) == 3
+        assert all(np.asarray(b).shape == (4, 8, 8, 3) for b in bufs)
+        assert not np.array_equal(np.asarray(bufs[0]), np.asarray(bufs[1]))
+
+        seen = []
+        sec = sustained_seconds_per_dispatch(
+            lambda b: seen.append(1) or jnp.sum(b), bufs, iters=7)
+        assert sec > 0.0
+        assert len(seen) == 8          # 1 warmup + 7 timed dispatches
 
 
 def test_learning_curve_summary():
