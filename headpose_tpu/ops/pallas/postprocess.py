@@ -30,6 +30,11 @@ score over ALL candidates, lower-index tie-break, IoU > threshold
 suppresses; fixed MAX_FACES slab + validity mask) — fuzz-tested against it
 in tests/test_pallas.py.
 
+Scope: single-chip serving.  A compiled pallas_call is an opaque custom
+call to XLA's sharding propagation, so under a dp-sharded jit it forces
+replication instead of partitioning — multi-chip serving keeps the default
+'xla' postprocess (numerically identical; see tests/test_parallel.py).
+
 Reference behavior: BlazePoser/blazeFaceDetectorH5.py:284-357.
 """
 from __future__ import annotations

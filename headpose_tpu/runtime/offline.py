@@ -2,10 +2,12 @@
 
 The reference can only process video frame-by-frame through its batch-1 model
 (webcam loop, blazeFaceDetectorH5.py:366-449).  This pipeline reads a video,
-runs detection in large device batches, applies EMA smoothing as a lax.scan
-over the whole timeline (runtime.smoothing.smooth_sequence), and optionally
-writes the annotated video — the high-throughput path for processing recorded
-footage.
+runs detection in large device batches, applies identity-matched EMA
+smoothing as a lax.scan over the whole timeline (runtime.tracking.
+track_sequence — filters follow faces via IoU association, not NMS score
+ranks; pass tracking=False for the reference-like per-slot filters), and
+optionally writes the annotated video — the high-throughput path for
+processing recorded footage.
 
     python -m headpose_tpu.runtime.offline in.mp4 --model unified.h5 --out annotated.mp4
 """
@@ -19,6 +21,7 @@ import numpy as np
 
 from .detector import FaceDetector
 from .smoothing import smooth_sequence
+from .tracking import track_sequence
 
 __all__ = ["process_video", "process_frames"]
 
@@ -35,10 +38,11 @@ class VideoResults:
 
 
 def process_frames(detector: FaceDetector, frames: np.ndarray,
-                   batch_size: int = 64, smooth_alpha: float | None = 0.15
-                   ) -> VideoResults:
+                   batch_size: int = 64, smooth_alpha: float | None = 0.15,
+                   tracking: bool = True) -> VideoResults:
     """frames (T, H, W, 3) BGR → VideoResults, detection batched on device,
-    smoothing as one scan over the timeline."""
+    smoothing as one scan over the timeline (identity-matched IoU tracking
+    by default; tracking=False keys filters by NMS slot instead)."""
     chunks = []
     for start in range(0, len(frames), batch_size):
         chunk = frames[start:start + batch_size]
@@ -56,9 +60,13 @@ def process_frames(detector: FaceDetector, frames: np.ndarray,
                        scores=cat("scores"), poses=cat("poses"),
                        valid=cat("valid"))
     if smooth_alpha is not None:
-        smoothed = smooth_sequence(
-            {"poses": out.poses, "boxes": out.boxes, "keypoints": out.keypoints},
-            smooth_alpha, valid=out.valid)
+        signals = {"poses": out.poses, "boxes": out.boxes,
+                   "keypoints": out.keypoints}
+        if tracking:
+            smoothed = track_sequence(out.boxes, out.valid, signals,
+                                      smooth_alpha)
+        else:
+            smoothed = smooth_sequence(signals, smooth_alpha, valid=out.valid)
         out.poses = np.asarray(smoothed["poses"])
         out.boxes = np.asarray(smoothed["boxes"])
         out.keypoints = np.asarray(smoothed["keypoints"])
@@ -67,7 +75,8 @@ def process_frames(detector: FaceDetector, frames: np.ndarray,
 
 def process_video(detector: FaceDetector, path: str, out_path: str | None = None,
                   batch_size: int = 64, smooth_alpha: float | None = 0.15,
-                  max_frames: int | None = None) -> VideoResults:
+                  max_frames: int | None = None,
+                  tracking: bool = True) -> VideoResults:
     """Read a video file chunk by chunk (bounded host memory — an hour of
     1080p would not fit RAM whole), detect per chunk, optionally write the
     annotated copy as it goes.  Detection slabs for the full timeline are
@@ -102,12 +111,18 @@ def process_video(detector: FaceDetector, path: str, out_path: str | None = None
             total += len(frames)
             res = process_frames(detector, chunk, batch_size, smooth_alpha=None)
             if smooth_alpha is not None:
-                # EMA state carries across chunks — identical to one big scan
-                smoothed, ema_state = smooth_sequence(
-                    {"poses": res.poses, "boxes": res.boxes,
-                     "keypoints": res.keypoints},
-                    smooth_alpha, valid=res.valid,
-                    state=ema_state, return_state=True)
+                # smoothing state carries across chunks — identical to one
+                # big scan over the whole timeline
+                signals = {"poses": res.poses, "boxes": res.boxes,
+                           "keypoints": res.keypoints}
+                if tracking:
+                    smoothed, ema_state = track_sequence(
+                        res.boxes, res.valid, signals, smooth_alpha,
+                        state=ema_state, return_state=True)
+                else:
+                    smoothed, ema_state = smooth_sequence(
+                        signals, smooth_alpha, valid=res.valid,
+                        state=ema_state, return_state=True)
                 res = VideoResults(boxes=np.asarray(smoothed["boxes"]),
                                    keypoints=np.asarray(smoothed["keypoints"]),
                                    scores=res.scores,
@@ -145,6 +160,8 @@ def main(argv=None) -> None:
     p.add_argument("--out", default=None)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no_smooth", action="store_true")
+    p.add_argument("--no_tracking", action="store_true",
+                   help="key filters by NMS slot instead of IoU identity")
     p.add_argument("--max_frames", type=int, default=None)
     args = p.parse_args(argv)
     if args.model is None:
@@ -156,7 +173,8 @@ def main(argv=None) -> None:
     else:
         det = FaceDetector.from_h5(args.model)
     res = process_video(det, args.video, args.out, args.batch_size,
-                        None if args.no_smooth else 0.15, args.max_frames)
+                        None if args.no_smooth else 0.15, args.max_frames,
+                        tracking=not args.no_tracking)
     counts = res.valid.sum(axis=1)
     print(f"{len(counts)} frames, faces/frame min {counts.min()} "
           f"max {counts.max()} mean {counts.mean():.2f}")

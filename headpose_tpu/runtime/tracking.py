@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .smoothing import EmaState, ema_init, ema_update
 
 __all__ = ["TrackState", "tracks_init", "associate", "tracks_update",
-           "IoUTrackSmoother"]
+           "track_sequence", "IoUTrackSmoother"]
 
 _FREE_PRIORITY = 1 << 20   # free slots always beat stealing a stale track
 
@@ -161,6 +161,40 @@ def tracks_update(state: TrackState, boxes: jax.Array, valid: jax.Array,
     age = jnp.where(got, 0, state.age + 1)
     active = (state.active | got) & (age <= max_missed)
     return TrackState(track_boxes, active, age, ema), smoothed
+
+
+def track_sequence(boxes: jax.Array, valid: jax.Array, signals: Any,
+                   alpha: float, iou_threshold: float = 0.3,
+                   max_missed: int = 10, num_slots: int | None = None,
+                   state: TrackState | None = None,
+                   return_state: bool = False) -> Any:
+    """Identity-matched smoothing over a whole timeline as ONE lax.scan.
+
+    boxes (N, F, 4) / valid (N, F) / signals pytree of (N, F, ...) in frame
+    order → smoothed signals, same shapes.  The scan carries TrackState, so
+    filters follow faces (IoU association) across the video — the timeline
+    analogue of IoUTrackSmoother, used by runtime.offline.
+
+    state/return_state mirror smoothing.smooth_sequence: pass the returned
+    state into the next call to process a long video in chunks with results
+    identical to one big scan."""
+    boxes = jnp.asarray(boxes)
+    valid = jnp.asarray(valid)
+    if state is None:
+        slots = num_slots or 2 * boxes.shape[1]
+        state = tracks_init(
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a)[0], signals),
+            slots)
+
+    def step(st, frame):
+        b, v, sig = frame
+        st, smoothed = tracks_update(st, b, v, sig, alpha,
+                                     iou_threshold, max_missed)
+        return st, smoothed
+
+    signals = jax.tree_util.tree_map(jnp.asarray, signals)
+    state, smoothed = jax.lax.scan(step, state, (boxes, valid, signals))
+    return (smoothed, state) if return_state else smoothed
 
 
 class IoUTrackSmoother:

@@ -157,3 +157,67 @@ class TestComposability:
         s, out = step(state, jnp.stack([BOX_A, BOX_B]),
                       jnp.asarray([True, True]), jnp.ones((2, 3)))
         np.testing.assert_allclose(out["poses"], 1.0, atol=1e-6)
+
+
+class TestTrackSequence:
+    """track_sequence: the whole-timeline scan API used by runtime.offline."""
+
+    @staticmethod
+    def _timeline(T=12, F=3, seed=5):
+        rng = np.random.default_rng(seed)
+        boxes = rng.uniform(0.0, 0.4, size=(T, F, 4)).astype(np.float32)
+        boxes[..., 2:] += 0.3
+        valid = rng.random((T, F)) > 0.3
+        poses = rng.normal(size=(T, F, 3)).astype(np.float32)
+        return boxes, valid, poses
+
+    def test_matches_stateful_tracker(self):
+        from headpose_tpu.runtime.tracking import (IoUTrackSmoother,
+                                                   track_sequence)
+
+        boxes, valid, poses = self._timeline()
+        seq = track_sequence(boxes, valid, {"poses": poses}, alpha=0.3)
+        tr = IoUTrackSmoother(alpha=0.3)
+        frames = [np.asarray(tr(boxes[t], valid[t],
+                                {"poses": poses[t]})["poses"])
+                  for t in range(len(boxes))]
+        np.testing.assert_allclose(np.asarray(seq["poses"]),
+                                   np.stack(frames), atol=1e-6)
+
+    def test_chunked_state_carry_equals_one_scan(self):
+        from headpose_tpu.runtime.tracking import track_sequence
+
+        boxes, valid, poses = self._timeline(T=10)
+        whole = track_sequence(boxes, valid, {"poses": poses}, alpha=0.25)
+        a, st = track_sequence(boxes[:4], valid[:4], {"poses": poses[:4]},
+                               alpha=0.25, return_state=True)
+        b = track_sequence(boxes[4:], valid[4:], {"poses": poses[4:]},
+                           alpha=0.25, state=st)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(a["poses"]), np.asarray(b["poses"])]),
+            np.asarray(whole["poses"]), atol=1e-6)
+
+    def test_offline_process_frames_tracks_crossing_faces(self):
+        """Two faces swap NMS slot order mid-timeline; the tracked offline
+        smoothing must keep each face's filter, where slot-keyed smoothing
+        would swap them."""
+        from headpose_tpu.runtime.tracking import track_sequence
+
+        T = 6
+        box_a = np.array([0.1, 0.1, 0.3, 0.3], np.float32)
+        box_b = np.array([0.6, 0.6, 0.8, 0.8], np.float32)
+        boxes = np.zeros((T, 2, 4), np.float32)
+        poses = np.zeros((T, 2, 3), np.float32)
+        for t in range(T):
+            order = (0, 1) if t < 3 else (1, 0)   # slot swap at t=3
+            boxes[t, order[0]] = box_a
+            boxes[t, order[1]] = box_b
+            poses[t, order[0]] = 10.0             # face A's signal
+            poses[t, order[1]] = -10.0            # face B's signal
+        valid = np.ones((T, 2), bool)
+        sm = np.asarray(track_sequence(boxes, valid, {"poses": poses},
+                                       alpha=0.2)["poses"])
+        for t in range(T):
+            a_slot = 0 if t < 3 else 1
+            assert np.allclose(sm[t, a_slot], 10.0, atol=1e-5), t
+            assert np.allclose(sm[t, 1 - a_slot], -10.0, atol=1e-5), t
