@@ -259,3 +259,28 @@ class TestFusedPostprocess:
         for k in ref:
             np.testing.assert_array_equal(np.asarray(got[k]),
                                           np.asarray(ref[k]), err_msg=k)
+
+    def test_back_camera_config_bit_exact(self):
+        """The kernel is layout-generic: the 256-input back-camera anchor
+        table and input_size must agree with the XLA backend too."""
+        from headpose_tpu.models.anchors import BACK_CONFIG, generate_anchors
+        from headpose_tpu.ops import detection as det
+        from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+
+        anchors = jnp.asarray(generate_anchors(BACK_CONFIG).astype(np.float32))
+        a = anchors.shape[0]
+        rng = np.random.default_rng(21)
+        logits = rng.normal(0.0, 2.0, (4, a)).astype(np.float32)
+        loc = rng.normal(0.0, 16.0, (4, a, 16)).astype(np.float32)
+        pf = rng.normal(0, 0.5, (4, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 0.5, (4, 8, 8, 3)).astype(np.float32)
+        ref = jax.vmap(lambda s, l, f, bk: det.postprocess(
+            s, l, f, bk, anchors, input_size=256, max_faces=16))(
+            jnp.asarray(logits), jnp.asarray(loc),
+            jnp.asarray(pf), jnp.asarray(pb))
+        got = postprocess_pallas(jnp.asarray(logits), jnp.asarray(loc),
+                                 jnp.asarray(pf), jnp.asarray(pb), anchors,
+                                 input_size=256, max_faces=16, interpret=True)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(ref[k]), err_msg=k)
