@@ -76,12 +76,12 @@ def dist(errs: np.ndarray) -> dict:
             "max": float(errs.max())}
 
 
-def certify(detector_factory, data) -> dict:
+def certify(detector_factory, data, modes=None) -> dict:
     import jax
 
     n = len(data["imgs"])
     report = {}
-    for mode in MODES:
+    for mode in (MODES if modes is None else modes):
         det = detector_factory(mode)
         batch = det.detect(data["imgs"])       # one jitted program, batch n
         jax.block_until_ready(batch.scores)
@@ -121,10 +121,22 @@ def certify(detector_factory, data) -> dict:
 
 
 def main():
+    # usage: certify_modes.py [--postprocess pallas] [mode ...]
+    # with --postprocess pallas, results are MERGED into the existing
+    # certificate under "modes_pallas_postprocess" (the primary 4-mode
+    # XLA-postprocess certificate is left untouched)
     import jax
 
     from headpose_tpu.pretrained import load_flagship
     from headpose_tpu.runtime.detector import FaceDetector
+
+    args = sys.argv[1:]
+    postprocess = "xla"
+    if "--postprocess" in args:
+        i = args.index("--postprocess")
+        postprocess = args[i + 1]
+        del args[i:i + 2]
+    modes = tuple(args) or None
 
     data = dict(np.load(CORPUS))
     sha = hashlib.sha256(open(CORPUS, "rb").read()).hexdigest()
@@ -132,17 +144,25 @@ def main():
 
     def factory(mode):
         return FaceDetector(model, params, score_threshold=0.4,
-                            iou_threshold=0.3, precision=mode)
+                            iou_threshold=0.3, precision=mode,
+                            postprocess=postprocess)
 
-    report = certify(factory, data)
-    out = {
-        "corpus": os.path.relpath(CORPUS, REPO),
-        "corpus_sha256": sha,
-        "images": int(len(data["imgs"])),
-        "reference_detections": int(data["counts"].sum()),
-        "backend": jax.devices()[0].platform,
-        "modes": report,
-    }
+    report = certify(factory, data, modes)
+    if postprocess == "xla" and modes is None:
+        out = {
+            "corpus": os.path.relpath(CORPUS, REPO),
+            "corpus_sha256": sha,
+            "images": int(len(data["imgs"])),
+            "reference_detections": int(data["counts"].sum()),
+            "backend": jax.devices()[0].platform,
+            "modes": report,
+        }
+    else:
+        out = json.load(open(OUT))
+        assert out["corpus_sha256"] == sha, "corpus changed — run full certify"
+        key = ("modes_pallas_postprocess" if postprocess == "pallas"
+               else "modes_partial")
+        out.setdefault(key, {}).update(report)
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", OUT)
