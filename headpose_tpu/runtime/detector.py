@@ -86,12 +86,15 @@ class FaceDetector:
         # Postprocess selection stays at HIGHEST in every mode.
         self.precision = precision
         # postprocess backend: 'xla' (ops.detection.postprocess, batched
-        # lax.while_loop NMS + one-hot-GEMM extraction) or 'pallas' (the
+        # lax.while_loop NMS + one-hot-GEMM extraction), 'pallas' (the
         # fused single-kernel NMS of ops/pallas/postprocess.py — bit-exact
-        # vs 'xla' by construction, tests/test_pallas.py)
-        if postprocess not in ("xla", "pallas"):
-            raise ValueError(f"postprocess must be 'xla' or 'pallas', "
-                             f"got {postprocess!r}")
+        # vs 'xla' by construction, tests/test_pallas.py), or 'auto'
+        # (per-chunk: the kernel processes a full 128-lane tile regardless
+        # of occupancy, so small batches keep the XLA path — measured
+        # crossover guidance in docs/BENCH.md)
+        if postprocess not in ("xla", "pallas", "auto"):
+            raise ValueError(f"postprocess must be 'xla', 'pallas' or "
+                             f"'auto', got {postprocess!r}")
         self.postprocess = postprocess
         # anchors follow the model's input resolution: 128 → front-camera
         # config (blazeFaceDetectorH5.py:236-241), 256 → the back-camera
@@ -188,6 +191,12 @@ class FaceDetector:
         with jax.default_matmul_precision("high" if fast else precision):
             x = preprocess(images, self.input_size, self.channel_order)
             out = self.model.apply(params, x, **kwargs)
+        if postprocess_backend == "auto":
+            # the kernel pays for its full 128-lane tile only when enough
+            # lanes are occupied: measured win at batch >= 64, loss at 1
+            # (docs/BENCH.md); 64 is the lowest measured win point
+            postprocess_backend = ("pallas" if images.shape[0] >= 64
+                                   else "xla")
         if postprocess_backend == "pallas":
             from ..ops.pallas.postprocess import postprocess_pallas
 

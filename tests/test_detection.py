@@ -270,3 +270,26 @@ def test_wide_batch_chunking_exact(production_detector):
                                  np.asarray(getattr(hi, k))])
         np.testing.assert_array_equal(np.asarray(getattr(wide, k)), merged,
                                       err_msg=k)
+
+
+def test_postprocess_auto_backend():
+    """'auto' picks the XLA path for small batches and the fused kernel for
+    >=64-lane occupancy, per chunk — always bit-equal to the explicit
+    backends."""
+    from headpose_tpu.pretrained import flagship_detector
+
+    g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+    img = np.asarray(g["img"], np.uint8)
+    auto = flagship_detector(postprocess="auto")
+    explicit = flagship_detector()
+    for n in (2, 64):
+        batch = np.broadcast_to(img, (n, *img.shape)).copy()
+        a = auto.detect(batch)
+        b = explicit.detect(batch)
+        for k in ("boxes", "keypoints", "scores", "poses", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, k)),
+                                          np.asarray(getattr(b, k)),
+                                          err_msg=f"{k}@{n}")
+    import pytest
+    with pytest.raises(ValueError):
+        flagship_detector(postprocess="bogus")
