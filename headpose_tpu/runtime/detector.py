@@ -45,7 +45,7 @@ class FaceDetector:
                  channel_order: str = "bgr", precision: str = "highest",
                  anchor_config: AnchorConfig | None = None,
                  turbo_island: tuple[int, ...] | None = None,
-                 postprocess: str = "xla"):
+                 postprocess: str = "auto"):
         self.model = model
         self.params = params
         # optional override of the bf16 block island used by 'turbo'
@@ -88,9 +88,10 @@ class FaceDetector:
         # postprocess backend: 'xla' (ops.detection.postprocess, batched
         # lax.while_loop NMS + one-hot-GEMM extraction), 'pallas' (the
         # fused single-kernel NMS of ops/pallas/postprocess.py — bit-exact
-        # vs 'xla' by construction, tests/test_pallas.py), or 'auto'
-        # (per-chunk: the kernel processes a full 128-lane tile regardless
-        # of occupancy, so small batches keep the XLA path — measured
+        # vs 'xla' by construction, tests/test_pallas.py), or 'auto' (the
+        # default; per-chunk: the fused kernel on TPU at >=64-lane
+        # occupancy, XLA for small batches and off-TPU — the kernel
+        # processes a full 128-lane tile regardless of occupancy; measured
         # crossover guidance in docs/BENCH.md)
         if postprocess not in ("xla", "pallas", "auto"):
             raise ValueError(f"postprocess must be 'xla', 'pallas' or "
@@ -194,9 +195,11 @@ class FaceDetector:
         if postprocess_backend == "auto":
             # the kernel pays for its full 128-lane tile only when enough
             # lanes are occupied: measured win at batch >= 64, loss at 1
-            # (docs/BENCH.md); 64 is the lowest measured win point
-            postprocess_backend = ("pallas" if images.shape[0] >= 64
-                                   else "xla")
+            # (docs/BENCH.md); 64 is the lowest measured win point.  Off-TPU
+            # the kernel runs in interpret mode (slow) — keep XLA there.
+            postprocess_backend = (
+                "pallas" if images.shape[0] >= 64
+                and jax.default_backend() == "tpu" else "xla")
         if postprocess_backend == "pallas":
             from ..ops.pallas.postprocess import postprocess_pallas
 
