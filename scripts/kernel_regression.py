@@ -17,7 +17,8 @@ segment A-D it
 and appends the result to docs/kernel_regression.json.
 
 Mosaic compiles through the tunnel cost 100-550 s EACH — run one segment per
-invocation:   python scripts/kernel_regression.py A     (then B, C, D)
+invocation:   python scripts/kernel_regression.py A     (then B, C, D, and P
+— the fused postprocess kernel vs the XLA postprocess, bit-exact gate)
 """
 from __future__ import annotations
 
@@ -103,6 +104,83 @@ def segment_io(seg, spec, bounds):
     return x, want, h
 
 
+def postprocess_regression(interp: bool):
+    """'P': the fused postprocess kernel vs the XLA postprocess on REAL
+    model outputs (flagship forward on noise + the golden production image),
+    asserting bit-exactness, with chained-dependency timing of the
+    kernel-side program."""
+    import jax
+    import jax.numpy as jnp
+
+    from headpose_tpu.models.anchors import generate_anchors
+    from headpose_tpu.ops.detection import postprocess
+    from headpose_tpu.ops.image import preprocess
+    from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+    from headpose_tpu.pretrained import load_flagship
+
+    model, params = load_flagship()
+    anchors = jnp.asarray(generate_anchors(), jnp.float32)
+    golden = np.load(os.path.join(REPO, "tests", "golden",
+                                  "e2e_production.npz"))
+    img = np.asarray(golden["img"], np.uint8)[64:192, 64:192]
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (128, 128, 128, 3)).astype(np.uint8)
+    frames[:16] = img[None]
+
+    @jax.jit
+    def heads(imgs):
+        with jax.default_matmul_precision("highest"):
+            x = preprocess(imgs, 128, "bgr")
+            return model.apply(params, x)
+
+    out = heads(jnp.asarray(frames))
+    args = (out["scores"], out["loc"], out["pose_front"], out["pose_back"])
+
+    want = jax.jit(jax.vmap(
+        lambda s, l, pf, pb: postprocess(s, l, pf, pb, anchors)))(*args)
+    run = jax.jit(lambda s, l, pf, pb: postprocess_pallas(
+        s, l, pf, pb, anchors, interpret=interp))
+    t0 = time.time()
+    got = jax.block_until_ready(run(*args))
+    compile_s = time.time() - t0
+    err = max(float(np.abs(np.asarray(got[k], np.float64)
+                           - np.asarray(want[k], np.float64)).max())
+              for k in want)
+    ok = err == 0.0
+    print(f"segment P: maxerr {err:.2e} vs XLA postprocess "
+          f"({'OK' if ok else 'FAIL'}, tol bit-exact); "
+          f"compile+first-run {compile_s:.0f} s")
+
+    iters = 50
+
+    @jax.jit
+    def chained(s, rest):
+        def body(_, s):
+            r = run(s, *rest)
+            return s + (jnp.sum(r["scores"]) + jnp.sum(r["boxes"])) * 1e-30
+        return jax.lax.fori_loop(0, iters, body, s)
+
+    rest = args[1:]
+    jax.block_until_ready(chained(args[0], rest))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chained(args[0], rest))
+    per_call_ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"segment P: {per_call_ms:.3f} ms/call chained (batch 128, "
+          f"prep GEMMs + kernel)")
+
+    if not interp:
+        report = json.load(open(OUT)) if os.path.exists(OUT) else {}
+        report["P"] = {"maxerr_vs_xla": err, "ok": ok, "tol": 0.0,
+                       "chained_ms_per_call": round(per_call_ms, 3),
+                       "batch": 128, "compile_s": round(compile_s, 1)}
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+        print("wrote", OUT)
+    else:
+        print("(interpret plumbing check — docs JSON not written)")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -111,10 +189,14 @@ def main():
     from headpose_tpu.pretrained import load_flagship
 
     seg = sys.argv[1].upper()
-    assert seg in bb2.SEGMENTS, f"segment must be one of {list(bb2.SEGMENTS)}"
     interp = len(sys.argv) > 2 and sys.argv[2] == "interpret"
     if interp:   # CPU plumbing check (fast); on-chip numbers need the real run
         jax.config.update("jax_platforms", "cpu")
+    if seg == "P":
+        postprocess_regression(interp)
+        return
+    assert seg in bb2.SEGMENTS, \
+        f"segment must be one of {list(bb2.SEGMENTS)} or P"
 
     model, params = load_flagship()
     spec, bp = model.backbone, params["backbone"]
