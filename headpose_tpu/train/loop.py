@@ -139,6 +139,110 @@ def _make_epoch_fn(spec, cfg: TrainConfig, optimizer, batch_size: int):
     return epoch_fn
 
 
+def _make_block_fn(spec, cfg: TrainConfig, optimizer, batch_size: int,
+                   k: int):
+    """k training epochs + early-stop/NaN/plateau bookkeeping as ONE device
+    program (TrainConfig.epochs_per_sync).
+
+    The reference syncs with the host every epoch (Keras callbacks); so does
+    fit()'s default loop — through this container's TPU tunnel that costs a
+    ~0.2 s round trip per epoch, dominating small-head training.  This block
+    form keeps the SAME semantics (EarlyStopping patience/min_delta on
+    val_loss, restore-best, NaN rollback to best weights with fresh
+    optimizer, ReduceLROnPlateau) but carries the bookkeeping state on
+    device and syncs once per k epochs.
+
+    Carry: (params, opt_state, estate) where estate = {best_val, best_params,
+    best_epoch, wait, stop, nan_recoveries}.  Per-epoch stacked outputs let
+    the host reconstruct the exact per-epoch history/log stream."""
+    epoch_core = _make_epoch_fn(spec, cfg, optimizer, batch_size)
+    eval_core = _make_eval_fn(spec, cfg)
+    plateau = cfg.reduce_lr_on_plateau
+
+    def one_epoch(params, opt_state, estate, data, val_data, root_rng, epoch):
+        erng = jax.random.fold_in(root_rng, epoch)
+        new_params, new_opt, train_m = epoch_core(params, opt_state, data, erng)
+        val_m = eval_core(new_params, val_data)
+        finite = (jnp.isfinite(train_m["loss"]) & jnp.isfinite(val_m["loss"]))
+
+        def on_nan(_):
+            # roll back to the best weights with a fresh optimizer; keep a
+            # plateau-reduced LR (resuming at the full initial LR would
+            # likely diverge again); 4th recovery stops the run
+            nan_rec = estate["nan_recoveries"] + 1
+            p = estate["best_params"]
+            o = optimizer.init(p)
+            if plateau:
+                o = o._replace(hyperparams=dict(
+                    o.hyperparams,
+                    learning_rate=opt_state.hyperparams["learning_rate"]))
+            est = dict(estate, nan_recoveries=nan_rec,
+                       stop=estate["stop"] | (nan_rec > 3))
+            return p, o, est
+
+        def on_finite(_):
+            improved = val_m["loss"] < estate["best_val"] - \
+                cfg.early_stopping_min_delta
+            best_val = jnp.where(improved, val_m["loss"], estate["best_val"])
+            best_epoch = jnp.where(improved, epoch, estate["best_epoch"])
+            best_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved, new, old),
+                new_params, estate["best_params"])
+            wait = jnp.where(improved, 0, estate["wait"] + 1)
+            stop = estate["stop"] | (wait >= cfg.early_stopping_patience)
+            o = new_opt
+            if plateau:
+                cur = o.hyperparams["learning_rate"]
+                reduce = (~improved) & (wait > 0) & \
+                    (wait % cfg.reduce_lr_patience == 0) & ~stop
+                new_lr = jnp.where(
+                    reduce, jnp.maximum(cur * cfg.reduce_lr_factor,
+                                        cfg.min_lr), cur)
+                o = o._replace(hyperparams=dict(o.hyperparams,
+                                                learning_rate=new_lr))
+            est = dict(estate, best_val=best_val, best_epoch=best_epoch,
+                       best_params=best_params, wait=wait, stop=stop)
+            return new_params, o, est
+
+        params2, opt2, est2 = jax.lax.cond(finite, on_finite, on_nan, None)
+        rec = {"train_loss": train_m["loss"], "train_mae": train_m["mae"],
+               "val_loss": val_m["loss"], "val_mae": val_m["mae"],
+               "nan": ~finite,
+               "lr": (opt2.hyperparams["learning_rate"] if plateau
+                      else jnp.float32(cfg.learning_rate))}
+        return params2, opt2, est2, rec
+
+    def block_fn(params, opt_state, estate, data, val_data, root_rng, epoch0):
+        def step(carry, i):
+            params, opt_state, estate = carry
+            epoch = epoch0 + i
+            # a block may extend past total_epochs (total % k != 0) — those
+            # trailing epochs must be no-ops, exactly like the host loop
+            active = ~estate["stop"] & (epoch < cfg.total_epochs)
+
+            def run(_):
+                return one_epoch(params, opt_state, estate, data, val_data,
+                                 root_rng, epoch)
+
+            def skip(_):
+                rec = {"train_loss": jnp.float32(0), "train_mae": jnp.float32(0),
+                       "val_loss": jnp.float32(0), "val_mae": jnp.float32(0),
+                       "nan": jnp.bool_(False),
+                       "lr": (opt_state.hyperparams["learning_rate"]
+                              if plateau else jnp.float32(cfg.learning_rate))}
+                return params, opt_state, estate, rec
+
+            p, o, e, rec = jax.lax.cond(active, run, skip, None)
+            rec["active"] = active
+            return (p, o, e), rec
+
+        (params, opt_state, estate), recs = jax.lax.scan(
+            step, (params, opt_state, estate), jnp.arange(k))
+        return params, opt_state, estate, recs
+
+    return block_fn
+
+
 def _make_eval_fn(spec, cfg: TrainConfig):
     def eval_fn(params, data):
         _, metrics = _loss_and_metrics(spec, params, data, None,
@@ -249,7 +353,73 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
     t0 = time.time()
     epoch = start_epoch
     nan_recoveries = 0
-    for epoch in range(start_epoch, cfg.total_epochs):
+    k = max(1, int(cfg.epochs_per_sync))
+    if k > 1:
+        # -------- block mode: k epochs per device program, one host sync --
+        block_fn = jax.jit(_make_block_fn(spec, cfg, optimizer, batch_size, k),
+                           donate_argnums=(0, 1, 2))
+        estate = {"best_val": jnp.float32(best_val),
+                  "best_params": _copy(best_params),
+                  "best_epoch": jnp.int32(best_epoch),
+                  "wait": jnp.int32(wait),
+                  "stop": jnp.bool_(False),
+                  "nan_recoveries": jnp.int32(0)}
+        prev_lr = cfg.learning_rate
+        prev_best_epoch = best_epoch
+        for block_start in range(start_epoch, cfg.total_epochs, k):
+            params, opt_state, estate, recs = block_fn(
+                params, opt_state, estate, data, val_data, rng,
+                jnp.int32(block_start))
+            recs = {kk: np.asarray(v) for kk, v in recs.items()}  # ONE sync
+            for i in range(k):
+                epoch_i = block_start + i
+                if epoch_i >= cfg.total_epochs or not recs["active"][i]:
+                    continue
+                epoch = epoch_i        # last epoch actually executed
+                if recs["nan"][i]:
+                    nan_recoveries += 1
+                    if logger is not None:
+                        logger.log({"epoch": epoch,
+                                    "nan_recovery": nan_recoveries},
+                                   step=epoch)
+                    continue
+                rec = {"epoch": epoch,
+                       "train_loss": float(recs["train_loss"][i]),
+                       "train_mae": float(recs["train_mae"][i]),
+                       "val_loss": float(recs["val_loss"][i]),
+                       "val_mae": float(recs["val_mae"][i])}
+                history.append(rec)
+                if logger is not None:
+                    logger.log(rec, step=epoch)
+                if progress_every and epoch % progress_every == 0:
+                    print(f"[{run_id}] epoch {epoch} "
+                          f"loss {rec['train_loss']:.4f} "
+                          f"val {rec['val_loss']:.4f} "
+                          f"({time.time() - t0:.1f}s)")
+                lr_i = float(recs["lr"][i])
+                if cfg.reduce_lr_on_plateau and lr_i != prev_lr:
+                    if logger is not None:
+                        logger.log({"epoch": epoch, "learning_rate": lr_i},
+                                   step=epoch)
+                    prev_lr = lr_i
+            best_val = float(estate["best_val"])
+            best_epoch = int(estate["best_epoch"])
+            wait = int(estate["wait"])
+            if best_epoch > prev_best_epoch:
+                # on-disk checkpoint at sync granularity: best params,
+                # sync-point optimizer state (in-memory restore is exact)
+                save_checkpoint(ckpt_dir, epoch, estate["best_params"],
+                                opt_state,
+                                extra={"best_val": best_val,
+                                       "best_epoch": best_epoch,
+                                       "wait": wait, "run_id": run_id})
+                prev_best_epoch = best_epoch
+            if bool(estate["stop"]):
+                break
+        best_params = _copy(estate["best_params"])
+        nan_recoveries = int(estate["nan_recoveries"])
+    for epoch in range(start_epoch if k == 1 else cfg.total_epochs,
+                       cfg.total_epochs):
         # keyed by epoch index (not a running split chain) so a resumed run
         # continues the SAME shuffle/dropout stream instead of replaying
         # epochs 0..N's randomness from the start

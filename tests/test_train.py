@@ -1,5 +1,6 @@
 """Training-stack tests: data, loop semantics, early stopping, checkpointing,
 sweeps, evaluator parity."""
+import jax
 import json
 import os
 import sys
@@ -80,6 +81,33 @@ class TestFit:
         m = evaluate(res.spec, res.params, val)
         best = min(h["val_loss"] for h in res.history)
         np.testing.assert_allclose(m["loss"], best, rtol=1e-4)
+
+    @pytest.mark.parametrize("extra", [
+        dict(),                                          # plain early stop
+        dict(reduce_lr_on_plateau=True, reduce_lr_patience=3),
+    ])
+    def test_epochs_per_sync_matches_per_epoch_loop(self, tmp_path, extra):
+        """Block mode (k epochs per device program, one host sync) must
+        reproduce the per-epoch host loop: same history, same best epoch,
+        same restored weights — incl. when total_epochs % k != 0 and when
+        early stopping fires mid-block."""
+        ds = synthetic_dataset()
+        cfg1 = self._cfg(tmp_path, total_epochs=23,
+                         early_stopping_patience=6, run_name="sync1", **extra)
+        cfgk = cfg1.replace(epochs_per_sync=4, run_name="synck")
+        r1 = fit(cfg1, ds)
+        rk = fit(cfgk, ds)
+        assert len(r1.history) == len(rk.history)
+        assert r1.best_epoch == rk.best_epoch
+        for h1, hk in zip(r1.history, rk.history):
+            assert h1["epoch"] == hk["epoch"]
+            for key in ("train_loss", "val_loss", "train_mae", "val_mae"):
+                np.testing.assert_allclose(hk[key], h1[key], rtol=1e-5,
+                                           atol=1e-7, err_msg=f"{key}@{h1['epoch']}")
+        for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                        jax.tree_util.tree_leaves(rk.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-7)
 
     def test_checkpoint_resume(self, tmp_path):
         ds = synthetic_dataset()
