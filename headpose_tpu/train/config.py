@@ -101,6 +101,10 @@ def parse_cli(base: TrainConfig, argv: list[str] | None = None) -> TrainConfig:
     parser.add_argument("--optimizer", type=str, default=base.optimizer)
     parser.add_argument("--head", type=str, default=base.head)
     parser.add_argument("--total_epochs", type=int, default=base.total_epochs)
+    parser.add_argument("--epochs_per_sync", type=int,
+                        default=base.epochs_per_sync,
+                        help="epochs per device program (k>1: on-device "
+                        "early-stop bookkeeping, one host sync per block)")
     parser.add_argument("--run_name", type=str, default=base.run_name)
     parser.add_argument("--checkpoint_dir", type=str, default=base.checkpoint_dir)
     args = parser.parse_args(argv)
