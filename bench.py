@@ -33,9 +33,6 @@ def main() -> None:
     # greedy selection + survivor extraction + pose lookup in ONE Mosaic
     # kernel) is BIT-exact vs the XLA postprocess on-chip and 14% faster
     # end to end (88.1k -> 100.5k f/s, docs/pallas_postprocess_probe.json)
-    fn, (params, _) = ge.entry(precision="fast", postprocess="pallas")
-    fn = jax.jit(fn)
-
     from headpose_tpu.utils.profiling import (staged_uint8_frames,
                                               sustained_seconds_per_dispatch)
 
@@ -46,12 +43,27 @@ def main() -> None:
     # trailing block) lives in utils.profiling — shared with every probe.
     batch = 128
     bufs = staged_uint8_frames(batch)
+
+    postprocess = "pallas"
+    fn, (params, _) = ge.entry(precision="fast", postprocess=postprocess)
+    fn = jax.jit(fn)
+    try:
+        jax.block_until_ready(jax.tree.leaves(fn(params, bufs[0])))
+    except Exception as e:  # Mosaic toolchain/tunnel flake — don't lose the
+        print(f"# pallas postprocess compile failed ({type(e).__name__}); "
+              "falling back to the XLA postprocess", flush=True)
+        postprocess = "xla"
+        fn, (params, _) = ge.entry(precision="fast", postprocess=postprocess)
+        fn = jax.jit(fn)
+
     sec = sustained_seconds_per_dispatch(lambda b: fn(params, b), bufs)
     frames_per_sec = batch / sec
+    pp = ("fused Pallas postprocess kernel" if postprocess == "pallas"
+          else "XLA postprocess (pallas compile failed this run)")
     print(json.dumps({
         "metric": "end-to-end detect+pose throughput",
         "value": round(frames_per_sec, 1),
-        "unit": "frames/sec/chip (batch 128 uint8 128x128 frames on-device, NMS'd results out, sustained 500-dispatch loop, fast mode + fused Pallas postprocess kernel: corpus-certified pose err p99 0.0039deg / max 0.0064deg vs reference, identical detection sets)",
+        "unit": f"frames/sec/chip (batch 128 uint8 128x128 frames on-device, NMS'd results out, sustained 500-dispatch loop, fast mode + {pp}: corpus-certified pose err p99 0.0039deg / max 0.0064deg vs reference, identical detection sets)",
         "vs_baseline": round(frames_per_sec / BASELINE_FACES_PER_SEC, 1),
     }))
 
