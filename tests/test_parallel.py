@@ -53,6 +53,29 @@ class TestShardedTraining:
             np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-4)
             np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-4)
 
+    def test_dp_fit_block_mode_matches(self, tmp_path):
+        """epochs_per_sync>1 (on-device bookkeeping, one sync per block)
+        must compose with the dp mesh and match the per-epoch mesh run."""
+        from headpose_tpu.data import Dataset
+        from headpose_tpu.train import config_96, fit
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(256, 16)).astype(np.float32)
+        w = rng.normal(size=(16, 3)).astype(np.float32)
+        ds = Dataset(x, x @ w)
+
+        cfg = config_96(in_features=16, num_filters=8, total_epochs=5,
+                        batch_size=64, checkpoint_dir=str(tmp_path))
+        mesh = create_mesh(8)
+        r1 = fit(cfg.replace(run_name="m1"), ds, mesh=mesh)
+        rk = fit(cfg.replace(run_name="mk", epochs_per_sync=3), ds, mesh=mesh)
+        assert len(r1.history) == len(rk.history)
+        for a, b in zip(r1.history, rk.history):
+            np.testing.assert_allclose(b["train_loss"], a["train_loss"],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(b["val_loss"], a["val_loss"],
+                                       rtol=1e-5)
+
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
