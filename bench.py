@@ -50,8 +50,12 @@ def main() -> None:
     try:
         jax.block_until_ready(jax.tree.leaves(fn(params, bufs[0])))
     except Exception as e:  # Mosaic toolchain/tunnel flake — don't lose the
-        print(f"# pallas postprocess compile failed ({type(e).__name__}); "
-              "falling back to the XLA postprocess", flush=True)
+        # round's artifact.  Notice goes to STDERR: stdout is contractually
+        # ONE JSON line (CLAUDE.md).
+        import sys
+        print(f"pallas postprocess compile failed ({type(e).__name__}); "
+              "falling back to the XLA postprocess",
+              file=sys.stderr, flush=True)
         postprocess = "xla"
         fn, (params, _) = ge.entry(precision="fast", postprocess=postprocess)
         fn = jax.jit(fn)

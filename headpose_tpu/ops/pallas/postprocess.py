@@ -32,8 +32,10 @@ in tests/test_pallas.py.
 
 Scope: single-chip serving.  A compiled pallas_call is an opaque custom
 call to XLA's sharding propagation, so under a dp-sharded jit it forces
-replication instead of partitioning — multi-chip serving keeps the default
-'xla' postprocess (numerically identical; see tests/test_parallel.py).
+replication instead of partitioning — multi-chip serving keeps the 'xla'
+postprocess (numerically identical; see tests/test_parallel.py).  The
+detector's 'auto' mode enforces this: it selects the kernel only when
+jax.device_count() == 1.
 
 Reference behavior: BlazePoser/blazeFaceDetectorH5.py:284-357.
 """

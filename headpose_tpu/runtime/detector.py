@@ -196,10 +196,14 @@ class FaceDetector:
             # the kernel pays for its full 128-lane tile only when enough
             # lanes are occupied: measured win at batch >= 64, loss at 1
             # (docs/BENCH.md); 64 is the lowest measured win point.  Off-TPU
-            # the kernel runs in interpret mode (slow) — keep XLA there.
+            # the kernel runs in interpret mode (slow), and on multi-chip
+            # hosts the opaque Mosaic call would force replication under a
+            # dp-sharded jit — 'auto' therefore takes the kernel only for
+            # single-chip TPU serving.
             postprocess_backend = (
                 "pallas" if images.shape[0] >= 64
-                and jax.default_backend() == "tpu" else "xla")
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1 else "xla")
         if postprocess_backend == "pallas":
             from ..ops.pallas.postprocess import postprocess_pallas
 

@@ -37,6 +37,20 @@ class VideoResults:
     valid: np.ndarray      # (T, F)
 
 
+def _smooth_timeline(res: "VideoResults", alpha: float, tracking: bool,
+                     state=None, return_state: bool = False):
+    """One smoothing dispatch shared by process_frames and process_video's
+    chunked loop: identity-matched (track_sequence) or slot-keyed
+    (smooth_sequence), with optional state carry across chunks."""
+    signals = {"poses": res.poses, "boxes": res.boxes,
+               "keypoints": res.keypoints}
+    if tracking:
+        return track_sequence(res.boxes, res.valid, signals, alpha,
+                              state=state, return_state=return_state)
+    return smooth_sequence(signals, alpha, valid=res.valid,
+                           state=state, return_state=return_state)
+
+
 def process_frames(detector: FaceDetector, frames: np.ndarray,
                    batch_size: int = 64, smooth_alpha: float | None = 0.15,
                    tracking: bool = True) -> VideoResults:
@@ -60,13 +74,7 @@ def process_frames(detector: FaceDetector, frames: np.ndarray,
                        scores=cat("scores"), poses=cat("poses"),
                        valid=cat("valid"))
     if smooth_alpha is not None:
-        signals = {"poses": out.poses, "boxes": out.boxes,
-                   "keypoints": out.keypoints}
-        if tracking:
-            smoothed = track_sequence(out.boxes, out.valid, signals,
-                                      smooth_alpha)
-        else:
-            smoothed = smooth_sequence(signals, smooth_alpha, valid=out.valid)
+        smoothed = _smooth_timeline(out, smooth_alpha, tracking)
         out.poses = np.asarray(smoothed["poses"])
         out.boxes = np.asarray(smoothed["boxes"])
         out.keypoints = np.asarray(smoothed["keypoints"])
@@ -113,16 +121,9 @@ def process_video(detector: FaceDetector, path: str, out_path: str | None = None
             if smooth_alpha is not None:
                 # smoothing state carries across chunks — identical to one
                 # big scan over the whole timeline
-                signals = {"poses": res.poses, "boxes": res.boxes,
-                           "keypoints": res.keypoints}
-                if tracking:
-                    smoothed, ema_state = track_sequence(
-                        res.boxes, res.valid, signals, smooth_alpha,
-                        state=ema_state, return_state=True)
-                else:
-                    smoothed, ema_state = smooth_sequence(
-                        signals, smooth_alpha, valid=res.valid,
-                        state=ema_state, return_state=True)
+                smoothed, ema_state = _smooth_timeline(
+                    res, smooth_alpha, tracking, state=ema_state,
+                    return_state=True)
                 res = VideoResults(boxes=np.asarray(smoothed["boxes"]),
                                    keypoints=np.asarray(smoothed["keypoints"]),
                                    scores=res.scores,

@@ -157,6 +157,14 @@ def main():
             "backend": jax.devices()[0].platform,
             "modes": report,
         }
+        # a full re-certification must not silently delete previously
+        # merged sections (e.g. modes_pallas_postprocess) if the corpus is
+        # unchanged
+        if os.path.exists(OUT):
+            prev = json.load(open(OUT))
+            if prev.get("corpus_sha256") == sha:
+                for k, v in prev.items():
+                    out.setdefault(k, v)
     else:
         out = json.load(open(OUT))
         assert out["corpus_sha256"] == sha, "corpus changed — run full certify"

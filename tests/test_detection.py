@@ -281,15 +281,19 @@ def test_postprocess_auto_backend():
     g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
     img = np.asarray(g["img"], np.uint8)
     auto = flagship_detector(postprocess="auto")
-    explicit = flagship_detector()
+    # compare against BOTH explicit backends (flagship_detector() defaults
+    # to 'auto' itself, so comparing against the default would be vacuous)
+    explicit = {b: flagship_detector(postprocess=b)
+                for b in ("xla", "pallas")}
     for n in (2, 64):
         batch = np.broadcast_to(img, (n, *img.shape)).copy()
         a = auto.detect(batch)
-        b = explicit.detect(batch)
-        for k in ("boxes", "keypoints", "scores", "poses", "valid"):
-            np.testing.assert_array_equal(np.asarray(getattr(a, k)),
-                                          np.asarray(getattr(b, k)),
-                                          err_msg=f"{k}@{n}")
+        for name, det in explicit.items():
+            b = det.detect(batch)
+            for k in ("boxes", "keypoints", "scores", "poses", "valid"):
+                np.testing.assert_array_equal(np.asarray(getattr(a, k)),
+                                              np.asarray(getattr(b, k)),
+                                              err_msg=f"{k}@{n} vs {name}")
     import pytest
     with pytest.raises(ValueError):
         flagship_detector(postprocess="bogus")
