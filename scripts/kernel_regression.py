@@ -17,8 +17,11 @@ segment A-D it
 and appends the result to docs/kernel_regression.json.
 
 Mosaic compiles through the tunnel cost 100-550 s EACH — run one segment per
-invocation:   python scripts/kernel_regression.py A     (then B, C, D, and P
-— the fused postprocess kernel vs the XLA postprocess, bit-exact gate)
+invocation:   python scripts/kernel_regression.py A     (then B, C, D, P
+— the fused postprocess kernel vs the XLA postprocess on real model
+outputs, bit-exact gate — and W — the same kernel under WORST-CASE NMS
+load: score_threshold 0 keeps all 896 anchors and iou_threshold 0.01
+forces every lane through the full max_faces=100 extraction trips)
 """
 from __future__ import annotations
 
@@ -181,6 +184,59 @@ def postprocess_regression(interp: bool):
     sys.exit(0 if ok else 1)
 
 
+def worstcase_regression(interp: bool):
+    """'W': the fused postprocess kernel under WORST-CASE NMS load —
+    score_threshold 0.0 admits all 896 anchors, iou_threshold 0.01 defeats
+    suppression, so every one of the 128 lanes runs the full max_faces=100
+    selection/extraction trips.  Bit-exact gate vs the XLA postprocess
+    (first validated on-chip by hand late round 3: maxerr 0.0, 100
+    survivors/lane)."""
+    import jax
+    import jax.numpy as jnp
+
+    from headpose_tpu.models.anchors import generate_anchors
+    from headpose_tpu.ops.detection import postprocess
+    from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+
+    anchors = jnp.asarray(generate_anchors().astype(np.float32))
+    a = anchors.shape[0]
+    rng = np.random.default_rng(99)
+    b = 128
+    args = (jnp.asarray(rng.normal(0.0, 2.0, (b, a)).astype(np.float32)),
+            jnp.asarray(rng.normal(0.0, 8.0, (b, a, 16)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.5, (b, 16, 16, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.5, (b, 8, 8, 3)).astype(np.float32)))
+    kw = dict(score_threshold=0.0, iou_threshold=0.01, max_faces=100)
+
+    want = jax.jit(jax.vmap(
+        lambda s, l, pf, pb: postprocess(s, l, pf, pb, anchors, **kw)))(*args)
+    run = jax.jit(lambda s, l, pf, pb: postprocess_pallas(
+        s, l, pf, pb, anchors, interpret=interp, **kw))
+    t0 = time.time()
+    got = jax.block_until_ready(run(*args))
+    compile_s = time.time() - t0
+    err = max(float(np.abs(np.asarray(got[k], np.float64)
+                           - np.asarray(want[k], np.float64)).max())
+              for k in want)
+    nval = int(np.asarray(got["valid"]).sum())
+    ok = err == 0.0 and nval == b * kw["max_faces"]
+    print(f"segment W: maxerr {err:.2e} vs XLA postprocess, "
+          f"{nval} survivors ({nval // b}/lane, want {kw['max_faces']}) "
+          f"({'OK' if ok else 'FAIL'}); compile+first-run {compile_s:.0f} s")
+
+    if not interp:
+        report = json.load(open(OUT)) if os.path.exists(OUT) else {}
+        report["W"] = {"maxerr_vs_xla": err, "ok": ok, "tol": 0.0,
+                       "survivors_per_lane": nval // b, "batch": b,
+                       "compile_s": round(compile_s, 1)}
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+        print("wrote", OUT)
+    else:
+        print("(interpret plumbing check — docs JSON not written)")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -195,8 +251,11 @@ def main():
     if seg == "P":
         postprocess_regression(interp)
         return
+    if seg == "W":
+        worstcase_regression(interp)
+        return
     assert seg in bb2.SEGMENTS, \
-        f"segment must be one of {list(bb2.SEGMENTS)} or P"
+        f"segment must be one of {list(bb2.SEGMENTS)}, P, or W"
 
     model, params = load_flagship()
     spec, bp = model.backbone, params["backbone"]

@@ -209,6 +209,9 @@ class TestFusedPostprocess:
         dict(b=8, thr=0.99, iou=0.3, mf=16, seed=5, bias=-8.0),  # all empty
         dict(b=4, thr=0.0, iou=0.3, mf=100, seed=6),             # keep all
         dict(b=8, thr=0.4, iou=0.01, mf=32, seed=8),             # heavy NMS
+        dict(b=2, thr=0.0, iou=0.01, mf=100, seed=99),  # worst case: all 896
+        # anchors admitted AND suppression defeated -> full 100-trip
+        # extraction in every lane (scripts/kernel_regression.py segment W)
         dict(b=8, thr=0.4, iou=0.3, mf=16, seed=9, loc_std=0.5),  # clusters
     ])
     def test_bit_exact_vs_xla(self, case):
