@@ -38,7 +38,8 @@ import numpy as np
 
 __all__ = [
     "MLPHead", "ResidualMLPHead", "SkipMLPHead", "SEMLPHead",
-    "SETransformerHead", "head_from_h5", "head_from_keras_json", "se_transformer_from_h5",
+    "SETransformerHead", "EnsembleHead",
+    "head_from_h5", "head_from_keras_json", "se_transformer_from_h5",
     "mlp_head_from_modeldef", "HEAD_REGISTRY",
 ]
 
@@ -340,12 +341,65 @@ class SETransformerHead:
         return 0.0
 
 
+@dataclasses.dataclass(frozen=True)
+class EnsembleHead:
+    """Uniform average of K member heads, evaluated as ONE fused program.
+
+    The reference sweeps 109 runs (Model-96/sweep.yaml) and ships only the
+    single winner (blazeFaceDetectorH5.py:102) — the rest of the pool is
+    discarded.  Here the pool is an asset: pose heads are a few thousand
+    params each, so averaging K of them adds K tiny matmul chains to a
+    program dominated by the backbone — XLA fuses them side by side and the
+    marginal serving cost is negligible, while the variance reduction beats
+    any single member (see scripts/ensemble88.py and docs/TRAINING.md).
+
+    Members may mix families (MLP/residual/skip/SE/SE-Transformer) as long
+    as they agree on `in_features`.  The dataclass is a valid head itself:
+    `init`/`apply`/`l2_penalty` follow the family protocol, so an ensemble
+    can also be trained jointly through `train.fit`, grafted into a
+    UnifiedPoseModel, sharded by the TP rules, and exported to H5 (members
+    side by side + a Keras `Average` layer).
+    """
+
+    members: tuple[Any, ...]
+
+    def __post_init__(self):
+        if not self.members:
+            raise ValueError("EnsembleHead needs at least one member")
+        feats = {m.in_features for m in self.members}
+        if len(feats) != 1:
+            raise ValueError(f"members disagree on in_features: {sorted(feats)}")
+
+    @property
+    def in_features(self) -> int:
+        return self.members[0].in_features
+
+    def init(self, key) -> Params:
+        return {"members": [m.init(jax.random.fold_in(key, i))
+                            for i, m in enumerate(self.members)]}
+
+    def apply(self, params: Params, x, *, train: bool = False, rng=None):
+        acc = None
+        for i, (m, p) in enumerate(zip(self.members, params["members"])):
+            r = None if rng is None else jax.random.fold_in(rng, i)
+            y = m.apply(p, x, train=train, rng=r)
+            acc = y if acc is None else acc + y
+        return acc / len(self.members)
+
+    def l2_penalty(self, params: Params, rate: float):
+        if rate == 0.0:
+            return 0.0
+        return sum(m.l2_penalty(p, rate)
+                   for m, p in zip(self.members, params["members"]))
+
+
 HEAD_REGISTRY = {
     "mlp": MLPHead,
     "residual_mlp": ResidualMLPHead,
     "skip_mlp": SkipMLPHead,
     "se_mlp": SEMLPHead,
     "se_transformer": SETransformerHead,
+    "ensemble": EnsembleHead,
 }
 
 

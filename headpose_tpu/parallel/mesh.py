@@ -130,6 +130,11 @@ def head_param_specs(spec: Any, params: Any, tp: int) -> Any:
                 "ff1": ff_pair[0], "ff2": ff_pair[1],
                 "ln2": {"g": P(), "b": P()},
                 "fc": fc_pair[0], "out": fc_pair[1]}
+    if isinstance(spec, H.EnsembleHead):
+        # each member shards independently under its own family rule; the
+        # final average is elementwise on replicated outputs
+        return {"members": [head_param_specs(m, p, tp)
+                            for m, p in zip(spec.members, params["members"])]}
     # unknown family: replicate everything (correct, just not model-parallel)
     return jax.tree_util.tree_map(lambda _: P(), params)
 

@@ -17,7 +17,7 @@ from typing import Any
 
 from ..models.blazeface import BlazeFace
 from ..models.heads import (MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead,
-                            SETransformerHead)
+                            SETransformerHead, EnsembleHead)
 from ..models.unified import UnifiedPoseModel
 from ..train.checkpoints import restore_pytree, save_pytree
 
@@ -25,7 +25,7 @@ __all__ = ["save_model", "load_model", "spec_to_dict", "spec_from_dict"]
 
 _SPEC_CLASSES = {cls.__name__: cls for cls in (
     MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead, SETransformerHead,
-    BlazeFace, UnifiedPoseModel)}
+    EnsembleHead, BlazeFace, UnifiedPoseModel)}
 
 
 def _encode(value: Any) -> Any:

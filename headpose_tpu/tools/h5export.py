@@ -75,11 +75,15 @@ class _Graph:
         self.name = name
         self.layers: list[dict] = []
         self.weights: dict[str, dict[str, np.ndarray]] = {}
+        # layer-name prefix, so one emitter can run several times in a graph
+        # (ensemble members) without its fixed Keras layer names colliding
+        self.prefix = ""
 
     def add(self, class_name: str, name: str, config: dict,
             inbound: list[str] | None,
             weights: dict[str, np.ndarray] | None = None,
             raw_inbound: list | None = None) -> str:
+        name = self.prefix + name
         config = {"name": name, "trainable": True, "dtype": "float32",
                   **config}
         if raw_inbound is not None:
@@ -398,33 +402,49 @@ def _emit_se_transformer_head(g: _Graph, spec, params, prev: str) -> str:
                     activation="linear")
 
 
+def _emit_head(g: _Graph, spec, params, prev: str) -> str:
+    """Emit any head family into the graph, returning its output layer."""
+    from ..models import (MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead,
+                          SETransformerHead, EnsembleHead)
+
+    if isinstance(spec, MLPHead):
+        return _emit_mlp_head(g, spec, params, prev)
+    if isinstance(spec, ResidualMLPHead):
+        return _emit_residual_head(g, spec, params, prev)
+    if isinstance(spec, SkipMLPHead):
+        return _emit_skip_head(g, spec, params, prev)
+    if isinstance(spec, SEMLPHead):
+        return _emit_se_head(g, spec, params, prev)
+    if isinstance(spec, SETransformerHead):
+        return _emit_se_transformer_head(g, spec, params, prev)
+    if isinstance(spec, EnsembleHead):
+        # members side by side off the shared input, joined by an Average
+        # layer (the Keras spelling of models.heads.EnsembleHead.apply)
+        outer = g.prefix
+        outs = []
+        for k, (m, mp) in enumerate(zip(spec.members, params["members"])):
+            g.prefix = f"{outer}m{k}_"
+            outs.append(_emit_head(g, m, mp, prev))
+        g.prefix = outer
+        return g.add("Average", "average", {}, outs)
+    raise NotImplementedError(
+        f"H5 export not implemented for {type(spec).__name__}")
+
+
 def save_head_h5(spec, params, path: str, *, name: str = "model") -> None:
     """Export a pose head as a Keras-2 H5 with dynamic (None, None, C) input —
     the reference's converted "NoFlatten" head format, directly consumable by
-    JoinModels.py and InputShapeConvertor.py.  Supports all five families:
+    JoinModels.py and InputShapeConvertor.py.  Supports all five families —
     MLP, residual, skip, SE, and SE-Transformer (the latter with
     marshalled-bytecode Lambda layers, exactly the serialization the
     reference's own builder produces; such files load only under the CPython
     version that wrote them — a limitation inherited from the format, shared
-    by the reference's shipped MHA artifacts)."""
-    from ..models import (MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead,
-                          SETransformerHead)
-
+    by the reference's shipped MHA artifacts) — plus EnsembleHead averages of
+    any of them (members emitted side by side under `m{k}_` name prefixes,
+    joined by a Keras `Average` layer)."""
     g = _Graph(name)
     inp = g.input("input_1", (None, None, None, spec.in_features))
-    if isinstance(spec, MLPHead):
-        out = _emit_mlp_head(g, spec, params, inp)
-    elif isinstance(spec, ResidualMLPHead):
-        out = _emit_residual_head(g, spec, params, inp)
-    elif isinstance(spec, SkipMLPHead):
-        out = _emit_skip_head(g, spec, params, inp)
-    elif isinstance(spec, SEMLPHead):
-        out = _emit_se_head(g, spec, params, inp)
-    elif isinstance(spec, SETransformerHead):
-        out = _emit_se_transformer_head(g, spec, params, inp)
-    else:
-        raise NotImplementedError(
-            f"H5 export not implemented for {type(spec).__name__}")
+    out = _emit_head(g, spec, params, inp)
     g.save(path, [out], [inp])
 
 
@@ -481,10 +501,14 @@ def save_unified_h5(model, params, path: str) -> None:
     o_cls_b = g.reshape("classificators_2", cls_b, (384, 1))
     o_loc_f = g.reshape("regressors_1", loc_f, (512, 16))
     o_loc_b = g.reshape("regressors_2", loc_b, (384, 16))
-    pose_f = _emit_mlp_head(g, model.head88, params["head88"], feat88,
-                            prefix="pose1_conv2d")
-    pose_b = _emit_mlp_head(g, model.head96, params["head96"], feat96,
-                            prefix="pose2_conv2d")
+    # pose heads under pose1_/pose2_ name prefixes (any family, incl.
+    # ensembles); for MLP chains this yields the same pose1_conv2d_i names
+    # as always
+    g.prefix = "pose1_"
+    pose_f = _emit_head(g, model.head88, params["head88"], feat88)
+    g.prefix = "pose2_"
+    pose_b = _emit_head(g, model.head96, params["head96"], feat96)
+    g.prefix = ""
     g.save(path, [o_cls_f, o_cls_b, o_loc_f, o_loc_b, pose_f, pose_b], [inp])
 
 

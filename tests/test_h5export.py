@@ -132,16 +132,23 @@ class TestAllFamilyExports:
     reference's shipped MHA artifacts share)."""
 
     @pytest.mark.parametrize("family",
-                             ["residual", "skip", "se", "se_transformer"])
+                             ["residual", "skip", "se", "se_transformer",
+                              "ensemble"])
     def test_family_roundtrip(self, family, tmpdir):
         keras = pytest.importorskip("tf_keras")
-        from headpose_tpu.models import (ResidualMLPHead, SkipMLPHead,
-                                         SEMLPHead, SETransformerHead)
+        from headpose_tpu.models import (MLPHead, ResidualMLPHead,
+                                         SkipMLPHead, SEMLPHead,
+                                         SETransformerHead, EnsembleHead)
 
         spec = {"residual": ResidualMLPHead(in_features=88),
                 "skip": SkipMLPHead(in_features=88),
                 "se": SEMLPHead(in_features=88),
-                "se_transformer": SETransformerHead(in_features=88)}[family]
+                "se_transformer": SETransformerHead(in_features=88),
+                # mixed-family members: name-prefix isolation is the point
+                "ensemble": EnsembleHead(members=(
+                    MLPHead(88, ((32, "tanh"), (3, "linear"))),
+                    SkipMLPHead(in_features=88),
+                    SEMLPHead(in_features=88)))}[family]
         params = spec.init(jax.random.PRNGKey(1))
         path = os.path.join(tmpdir, f"{family}.h5")
         save_head_h5(spec, params, path)

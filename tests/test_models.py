@@ -9,7 +9,7 @@ import pytest
 from headpose_tpu.models import (
     AnchorConfig, generate_anchors,
     MLPHead, ResidualMLPHead, SkipMLPHead, SEMLPHead, SETransformerHead,
-    BLAZEFACE_FRONT, head_from_h5, unified_from_h5,
+    EnsembleHead, BLAZEFACE_FRONT, head_from_h5, unified_from_h5,
 )
 
 from conftest import REFERENCE_ROOT, has_reference
@@ -50,6 +50,8 @@ class TestHeadZoo:
         SkipMLPHead(in_features=88),
         SEMLPHead(in_features=88),
         SETransformerHead(in_features=88),
+        EnsembleHead(members=(MLPHead(88, ((32, "tanh"), (3, "linear"))),
+                              SkipMLPHead(in_features=88))),
     ])
     def test_shapes(self, spec):
         key = jax.random.PRNGKey(0)
@@ -154,6 +156,78 @@ def test_se_transformer_import_three_way_agreement():
     y_pallas = np.asarray(se_transformer_forward(spec, params, xm, interpret=True))
     np.testing.assert_allclose(y_native, y_graph, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(y_pallas, y_graph, rtol=1e-4, atol=1e-4)
+
+
+class TestEnsembleHead:
+    """EnsembleHead: average-of-members semantics, validation, and the
+    serialization/TP plumbing that makes it a first-class head family.  The
+    reference sweeps 109 runs and ships one winner (Model-96/sweep.yaml,
+    blazeFaceDetectorH5.py:102); the ensemble turns the discarded pool into
+    accuracy (scripts/ensemble88.py)."""
+
+    def _mixed(self):
+        spec = EnsembleHead(members=(
+            MLPHead(88, ((64, "softsign"), (3, "linear"))),
+            SkipMLPHead(in_features=88),
+            SEMLPHead(in_features=88)))
+        return spec, spec.init(jax.random.PRNGKey(0))
+
+    def test_apply_is_member_mean(self):
+        spec, params = self._mixed()
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(6, 88)).astype(np.float32))
+        want = sum(m.apply(p, x)
+                   for m, p in zip(spec.members, params["members"])) / 3
+        np.testing.assert_allclose(np.asarray(spec.apply(params, x)),
+                                   np.asarray(want), atol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="at least one"):
+            EnsembleHead(members=())
+        with pytest.raises(ValueError, match="in_features"):
+            EnsembleHead(members=(MLPHead(88, ((3, "linear"),)),
+                                  MLPHead(96, ((3, "linear"),))))
+
+    def test_l2_is_member_sum(self):
+        spec, params = self._mixed()
+        want = sum(float(m.l2_penalty(p, 1e-3))
+                   for m, p in zip(spec.members, params["members"]))
+        assert np.isclose(float(spec.l2_penalty(params, 1e-3)), want)
+        assert spec.l2_penalty(params, 0.0) == 0.0
+
+    def test_native_serialization_roundtrip(self, tmp_path):
+        from headpose_tpu.tools.export import load_model, save_model
+
+        spec, params = self._mixed()
+        save_model(str(tmp_path / "ens"), spec, params)
+        spec2, params2 = load_model(str(tmp_path / "ens"))
+        assert spec2 == spec
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(4, 2, 2, 88)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spec2.apply(params2, x)),
+                                   np.asarray(spec.apply(params, x)),
+                                   atol=1e-6)
+
+    def test_joint_training_fits(self):
+        """The ensemble satisfies the head protocol end-to-end: train.fit
+        optimizes all members jointly (dropout rngs fold per member)."""
+        from headpose_tpu.data import Dataset
+        from headpose_tpu.train import TrainConfig, fit
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(128, 16)).astype(np.float32)
+        w = rng.normal(size=(16, 3)).astype(np.float32)
+        ds = Dataset(x, x @ w)
+        spec = EnsembleHead(members=(
+            MLPHead(16, ((8, "tanh"), (3, "linear")), dropout_rate=0.1),
+            MLPHead(16, ((3, "linear"),))))
+        cfg = TrainConfig(in_features=16, total_epochs=40, batch_size=32,
+                          learning_rate=1e-2, optimizer="adam",
+                          early_stopping_patience=40)
+        res = fit(cfg, ds, spec=spec)
+        assert np.isfinite(res.best_val_loss)
+        first = float(res.history[0]["val_loss"])
+        assert res.best_val_loss < first
 
 
 def test_back_camera_anchor_config():

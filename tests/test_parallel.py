@@ -135,7 +135,7 @@ class TestTensorParallelFamilies:
     def _families(self):
         from headpose_tpu.models import (MLPHead, ResidualMLPHead,
                                          SkipMLPHead, SEMLPHead,
-                                         SETransformerHead)
+                                         SETransformerHead, EnsembleHead)
         return [
             MLPHead(96, ((32, "tanh"), (16, "tanh"), (3, "linear"))),
             MLPHead(88, ((64, "softsign"), (3, "linear"))),
@@ -143,6 +143,9 @@ class TestTensorParallelFamilies:
             SkipMLPHead(in_features=88),
             SEMLPHead(in_features=88),
             SETransformerHead(in_features=88),
+            EnsembleHead(members=(
+                MLPHead(88, ((64, "softsign"), (3, "linear"))),
+                SkipMLPHead(in_features=88))),
         ]
 
     def test_sharded_inference_numeric_parity(self):
