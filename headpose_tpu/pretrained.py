@@ -33,7 +33,16 @@ def load_pretrained(name: str):
       docs/sweep96_arch_gp_result.json): AFLW2000 MAE 12.051 on the shipped
       96-d data — the best any trainer reaches here (the reference's own
       tf-keras trainer lands at 13.6-15.1 on the same data, docs/TRAINING.md;
-      its production 8.03 needed the unshipped training file)."""
+      its production 8.03 needed the unshipped training file).
+    - 'ensemble88' (scripts/ensemble88.py, docs/ensemble88_result.json):
+      EnsembleHead over a trained-here pool (best GP config per architecture
+      x 2 seeds, shipped data only), members greedily selected by the sweep
+      objective — the reference's own best-of-pool procedure: AFLW-Enlarged
+      7.749, beating both sweep88-best (7.778) and stoqa9pt (7.810).
+    - 'ensemble88-mixed': our mlp128 member averaged with the IMPORTED
+      reference production head (labeled as such — not a trained-here
+      claim): AFLW-Enlarged 7.653 / BIWI 3.623, the best 88-d head on the
+      reference's sweep objective in either ecosystem."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)

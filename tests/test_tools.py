@@ -337,6 +337,53 @@ def test_sweep88_best_pretrained_beats_reference_objective():
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_ensemble88_pretrained_beats_single_heads():
+    """The shipped trained-here ensemble (scripts/ensemble88.py: 16-member
+    pool = best GP config per architecture x 2 seeds on shipped data, greedy
+    member selection by the sweep objective — the reference's own
+    best-of-pool procedure) must reproduce its recorded metrics and beat
+    BOTH single heads on that objective: our sweep88-best (7.778) and the
+    reference production head stoqa9pt (measured 7.810, BASELINE.md)."""
+    from headpose_tpu.models import EnsembleHead
+    from headpose_tpu.pretrained import load_pretrained
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("ensemble88")
+    assert isinstance(spec, EnsembleHead) and len(spec.members) >= 2
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_Enlarged_features_88_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"] - 7.7489) < 2e-3
+    assert aflw["MAE"]["average"] < 7.778  # our best single head
+    assert aflw["MAE"]["average"] < 7.810  # reference stoqa9pt, measured
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_ensemble88_mixed_pretrained_beats_everything():
+    """The import+ensemble composition (our mlp128 + the IMPORTED reference
+    production head — honestly labeled, not a trained-here claim) is the
+    best 88-d head on the sweep objective in either ecosystem: AFLW 7.653
+    vs the reference's best-of-109 7.810.  Off-objective it trades a little
+    BIWI error for that gain (3.623 vs stoqa9pt's 3.446)."""
+    from headpose_tpu.pretrained import load_pretrained
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("ensemble88-mixed")
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_Enlarged_features_88_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"] - 7.6526) < 2e-3
+    assert aflw["MAE"]["average"] < 7.810  # reference best-of-109, measured
+    biwi = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "BIWI_Test_Enlarged_features_88_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(biwi["MAE"]["average"] - 3.6228) < 2e-3
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
 def test_distill96_pretrained_hits_reference_accuracy():
     """The shipped distilled 96-head (scripts/distill96.py: fresh-init
     96→256→128→3 student of hrchr82r, trained with train/ on shipped +
