@@ -201,8 +201,11 @@ BLAZEFACE_FRONT = BlazeFace()
 def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
     """Block indices of the trailing bf16 island (see above — a non-parity
     accuracy/speed trade certified on the corpus for the front spec; for
-    other specs (e.g. BLAZEFACE_BACK, no weights exist to measure) the
-    structural boundary is a heuristic."""
+    BLAZEFACE_BACK no trained weights exist anywhere, so the island's
+    propagation through that topology is measured on-chip at random init
+    instead — pose p99 8e-4 deg, scripts/certify_back.py →
+    docs/certification_back.json — indicative of the structural boundary,
+    not a trained-weight parity certificate)."""
     return tuple(range(spec.downsample_blocks[-1] - 1, len(spec.block_channels)))
 
 
