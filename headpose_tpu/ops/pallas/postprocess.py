@@ -30,11 +30,14 @@ score over ALL candidates, lower-index tie-break, IoU > threshold
 suppresses; fixed MAX_FACES slab + validity mask) — fuzz-tested against it
 in tests/test_pallas.py.
 
-Scope: single-chip serving.  A compiled pallas_call is an opaque custom
-call to XLA's sharding propagation, so under a dp-sharded jit it forces
-replication instead of partitioning — multi-chip serving keeps the 'xla'
-postprocess (numerically identical; see tests/test_parallel.py).  The
-detector's 'auto' mode enforces this: it selects the kernel only when
+Multi-chip: a compiled pallas_call is an opaque custom call to XLA's
+sharding propagation, so under a plain dp-sharded jit it would force
+replication instead of partitioning.  FaceDetector built with a
+`mesh=` therefore wraps this function in `jax.shard_map` over the data
+axis — each device runs the kernel on its local batch shard, numerically
+identical to the XLA postprocess (tests/test_parallel.py::
+test_sharded_pallas_postprocess_numeric_parity).  Without a mesh, the
+detector's 'auto' mode selects the kernel only when
 jax.device_count() == 1.
 
 Reference behavior: BlazePoser/blazeFaceDetectorH5.py:284-357.

@@ -45,9 +45,22 @@ class FaceDetector:
                  channel_order: str = "bgr", precision: str = "highest",
                  anchor_config: AnchorConfig | None = None,
                  turbo_island: tuple[int, ...] | None = None,
-                 postprocess: str = "auto"):
+                 postprocess: str = "auto",
+                 mesh: Any | None = None, data_axis: str = "data"):
         self.model = model
         self.params = params
+        # Multi-chip dp serving: pass the jax.sharding.Mesh the input batch
+        # is sharded over (batch axis partitioned along `data_axis`).  The
+        # backbone/decode stages partition under jit's auto-sharding on
+        # their own (tests/test_parallel.py numeric parity); the fused
+        # Pallas postprocess is an opaque custom call that auto-sharding
+        # would replicate, so with a mesh it is wrapped in jax.shard_map —
+        # each device runs the kernel on its local 128-lane shard.  Like
+        # input_size/anchors this describes the serving topology and is
+        # fixed at construction.  Global batch must divide by the mesh's
+        # data-axis size.
+        self.mesh = mesh
+        self.data_axis = data_axis
         # optional override of the bf16 block island used by 'turbo'
         # (default: models.blazeface.turbo_fast_blocks — the corpus-certified
         # set); exposed for island-width probes (scripts/probe_turbo_island.py)
@@ -142,15 +155,19 @@ class FaceDetector:
                   max_faces, precision, postprocess_backend="xla",
                   turbo_island=None):
         b = images.shape[0]
-        if b <= self.CHUNK:
+        # the 128-lane cliff is per DEVICE: under a dp mesh each device
+        # holds b/n of the batch, so one chunk covers CHUNK lanes per shard
+        chunk = self.CHUNK * (self.mesh.shape[self.data_axis]
+                              if self.mesh is not None else 1)
+        if b <= chunk:
             return self._pipeline_body(params, images, score_threshold,
                                        iou_threshold, max_faces, precision,
                                        postprocess_backend, turbo_island)
-        posts = [self._pipeline_body(params, images[i:i + self.CHUNK],
+        posts = [self._pipeline_body(params, images[i:i + chunk],
                                      score_threshold, iou_threshold,
                                      max_faces, precision,
                                      postprocess_backend, turbo_island)
-                 for i in range(0, b, self.CHUNK)]
+                 for i in range(0, b, chunk)]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *posts)
 
     def _pipeline_body(self, params, images, score_threshold, iou_threshold,
@@ -192,28 +209,47 @@ class FaceDetector:
         with jax.default_matmul_precision("high" if fast else precision):
             x = preprocess(images, self.input_size, self.channel_order)
             out = self.model.apply(params, x, **kwargs)
+        n_shards = (self.mesh.shape[self.data_axis]
+                    if self.mesh is not None else 1)
         if postprocess_backend == "auto":
             # the kernel pays for its full 128-lane tile only when enough
             # lanes are occupied: measured win at batch >= 64, loss at 1
-            # (docs/BENCH.md); 64 is the lowest measured win point.  Off-TPU
-            # the kernel runs in interpret mode (slow), and on multi-chip
-            # hosts the opaque Mosaic call would force replication under a
-            # dp-sharded jit — 'auto' therefore takes the kernel only for
-            # single-chip TPU serving.
+            # (docs/BENCH.md); 64 is the lowest measured win point —
+            # counted PER DEVICE under a dp mesh.  Off-TPU the kernel runs
+            # in interpret mode (slow).  Without a mesh, multi-chip hosts
+            # keep XLA (the opaque Mosaic call would force replication
+            # under auto-sharding); with a mesh the shard_map wrapper below
+            # makes the kernel partitionable, so 'auto' may take it.
+            single = self.mesh is None and jax.device_count() == 1
             postprocess_backend = (
-                "pallas" if images.shape[0] >= 64
+                "pallas" if images.shape[0] // n_shards >= 64
                 and jax.default_backend() == "tpu"
-                and jax.device_count() == 1 else "xla")
+                and (single or n_shards > 1) else "xla")
         if postprocess_backend == "pallas":
             from ..ops.pallas.postprocess import postprocess_pallas
 
-            post = postprocess_pallas(
-                out["scores"], out["loc"], out["pose_front"],
-                out["pose_back"], self.anchors,
-                score_threshold=score_threshold,
-                iou_threshold=iou_threshold,
-                input_size=self.input_size, max_faces=max_faces,
-                interpret=jax.default_backend() == "cpu")
+            def pallas_call(scores, loc, pose_front, pose_back):
+                return postprocess_pallas(
+                    scores, loc, pose_front, pose_back, self.anchors,
+                    score_threshold=score_threshold,
+                    iou_threshold=iou_threshold,
+                    input_size=self.input_size, max_faces=max_faces,
+                    interpret=jax.default_backend() == "cpu")
+
+            if n_shards > 1:
+                # dp serving: run the kernel per device on its local shard
+                # (auto-sharding cannot partition an opaque custom call)
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(self.data_axis)
+                # check_vma=False: pallas_call's out_shape carries no vma
+                # annotation, which the varying-mesh-axes checker requires
+                pallas_call = jax.shard_map(
+                    pallas_call, mesh=self.mesh,
+                    in_specs=(spec,) * 4, out_specs=spec,
+                    check_vma=False)
+            post = pallas_call(out["scores"], out["loc"],
+                               out["pose_front"], out["pose_back"])
         else:
             post = jax.vmap(
                 lambda s, l, pf, pb: postprocess(

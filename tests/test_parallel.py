@@ -126,6 +126,48 @@ class TestShardedTraining:
         np.testing.assert_allclose(got["boxes"][m], want["boxes"][m],
                                    rtol=1e-5, atol=1e-5)
 
+    def test_sharded_pallas_postprocess_numeric_parity(self):
+        """dp serving with the FUSED Pallas postprocess: a detector built
+        with a mesh wraps the kernel in jax.shard_map (auto-sharding would
+        replicate the opaque custom call), so each device runs the kernel
+        on its local batch shard.  Must equal the unsharded XLA-postprocess
+        run bit-for-bit on real image content."""
+        import os
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from conftest import UNIFIED_H5, has_reference
+        if not has_reference():
+            pytest.skip("reference artifacts not mounted")
+        from headpose_tpu.models import unified_from_h5
+        from headpose_tpu.runtime import FaceDetector
+
+        g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                 "e2e_production.npz"))
+        img128 = np.asarray(
+            jax.image.resize(jnp.asarray(g["img"], jnp.float32),
+                             (128, 128, 3), "linear")).astype(np.uint8)
+        frames = np.stack([np.roll(img128, i, axis=1) for i in range(8)])
+
+        model, params = unified_from_h5(UNIFIED_H5)
+        want = FaceDetector(model, params, score_threshold=0.05,
+                            postprocess="xla").detect(frames)
+
+        mesh = create_mesh(8)
+        det_dp = FaceDetector(model, params, score_threshold=0.05,
+                              postprocess="pallas", mesh=mesh)
+        sharded = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P(DATA_AXIS)))
+        got = det_dp.detect(sharded)
+
+        assert int(np.asarray(want.valid).sum()) > 0
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(want.valid))
+        m = np.asarray(want.valid).astype(bool)
+        for name in ("boxes", "keypoints", "scores", "poses"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name))[m],
+                np.asarray(getattr(want, name))[m],
+                err_msg=name)
+
 
 class TestTensorParallelFamilies:
     """General TP sharding rules (parallel.head_param_specs) for EVERY head
