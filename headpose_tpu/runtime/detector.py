@@ -267,6 +267,14 @@ class FaceDetector:
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
+        if self.mesh is not None:
+            n = self.mesh.shape[self.data_axis]
+            if images.shape[0] % n:
+                raise ValueError(
+                    f"batch {images.shape[0]} does not divide over the "
+                    f"{n}-way '{self.data_axis}' mesh axis — dp serving "
+                    "shards the batch evenly (pad the batch or drop the "
+                    "mesh)")
         post = self._pipeline(self.params, images, self.score_threshold,
                               self.iou_threshold, self.max_faces,
                               self.precision, self.postprocess,

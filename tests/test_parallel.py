@@ -168,6 +168,11 @@ class TestShardedTraining:
                 np.asarray(getattr(want, name))[m],
                 err_msg=name)
 
+        # an indivisible batch must fail loudly BEFORE tracing (shard_map's
+        # own divisibility error is cryptic)
+        with pytest.raises(ValueError, match="does not divide"):
+            det_dp.detect(frames[:5])
+
 
 class TestTensorParallelFamilies:
     """General TP sharding rules (parallel.head_param_specs) for EVERY head
