@@ -42,7 +42,14 @@ def load_pretrained(name: str):
     - 'ensemble88-mixed': our mlp128 member averaged with the IMPORTED
       reference production head (labeled as such — not a trained-here
       claim): AFLW-Enlarged 7.653 / BIWI 3.623, the best 88-d head on the
-      reference's sweep objective in either ecosystem."""
+      reference's sweep objective in either ecosystem.
+    - 'ensemble96' (scripts/ensemble96.py, docs/ensemble96_result.json):
+      the 96-family pool ensemble (no teacher, shipped data only) —
+      AFLW2000 10.537, beating the best single trained-here draw (12.05)
+      by 1.5 deg; split-half control wins 40/40 (docs/ensemble96_holdout
+      .json).  Objective-specific: BIWI 4.91 vs ~4.2 for the best singles
+      — prefer 'distill96' (8.02) when teacher-derived weights are
+      acceptable."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)
