@@ -211,6 +211,12 @@ class FaceDetector:
             out = self.model.apply(params, x, **kwargs)
         n_shards = (self.mesh.shape[self.data_axis]
                     if self.mesh is not None else 1)
+        # the platform the postprocess actually RUNS on: with a mesh it is
+        # the mesh's devices, which can differ from the process default
+        # backend (this container keeps a TPU default even when the caller
+        # builds a forced-CPU virtual mesh — dryrun_multichip's mode)
+        platform = (self.mesh.devices.flat[0].platform
+                    if self.mesh is not None else jax.default_backend())
         if postprocess_backend == "auto":
             # the kernel pays for its full 128-lane tile only when enough
             # lanes are occupied: measured win at batch >= 64, loss at 1
@@ -223,7 +229,7 @@ class FaceDetector:
             single = self.mesh is None and jax.device_count() == 1
             postprocess_backend = (
                 "pallas" if images.shape[0] // n_shards >= 64
-                and jax.default_backend() == "tpu"
+                and platform == "tpu"
                 and (single or n_shards > 1) else "xla")
         if postprocess_backend == "pallas":
             from ..ops.pallas.postprocess import postprocess_pallas
@@ -234,7 +240,7 @@ class FaceDetector:
                     score_threshold=score_threshold,
                     iou_threshold=iou_threshold,
                     input_size=self.input_size, max_faces=max_faces,
-                    interpret=jax.default_backend() == "cpu")
+                    interpret=platform == "cpu")
 
             if n_shards > 1:
                 # dp serving: run the kernel per device on its local shard

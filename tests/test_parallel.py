@@ -173,6 +173,34 @@ class TestShardedTraining:
         with pytest.raises(ValueError, match="does not divide"):
             det_dp.detect(frames[:5])
 
+    def test_mesh_platform_decides_interpret_not_default_backend(
+            self, monkeypatch):
+        """In this container a process can keep a TPU *default* backend while
+        serving over a forced-CPU virtual mesh (dryrun_multichip invoked
+        without JAX_PLATFORMS=cpu).  The pallas interpret flag and the 'auto'
+        backend pick must follow the MESH's device platform, not
+        jax.default_backend() — otherwise the kernel is compiled for CPU
+        ("Only interpret mode is supported on CPU backend")."""
+        from headpose_tpu.models import MLPHead
+        from headpose_tpu.models.unified import join_models
+        from headpose_tpu.runtime import FaceDetector
+
+        spec_b = __import__("headpose_tpu.models", fromlist=["BlazeFace"]
+                            ).BlazeFace()
+        bparams = spec_b.init(jax.random.PRNGKey(0))
+        h88 = MLPHead(88, ((8, "softsign"), (3, "linear")))
+        h96 = MLPHead(96, ((8, "tanh"), (3, "linear")))
+        model, params = join_models(spec_b, bparams,
+                                    h88, h88.init(jax.random.PRNGKey(1)),
+                                    h96, h96.init(jax.random.PRNGKey(2)))
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        mesh = create_mesh(8)
+        det = FaceDetector(model, params, postprocess="pallas", mesh=mesh)
+        frames = np.zeros((8, 128, 128, 3), np.uint8)
+        out = det.detect(frames)  # must trace with interpret=True, not crash
+        assert np.asarray(out.valid).shape == (8, det.max_faces)
+
 
 class TestTensorParallelFamilies:
     """General TP sharding rules (parallel.head_param_specs) for EVERY head
