@@ -1,0 +1,103 @@
+"""Documentation drift guards.
+
+The docs (README.md, docs/API.md, docs/TRAINING.md) name importable symbols,
+module paths, CLI entry points, and shipped pretrained artifacts.  These
+tests resolve every such mention against the package so renames/removals
+fail loudly instead of rotting the docs.
+"""
+import importlib
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = ["README.md", os.path.join("docs", "API.md"),
+        os.path.join("docs", "TRAINING.md"), os.path.join("docs", "BENCH.md"),
+        os.path.join("docs", "PARITY.md")]
+
+
+def _read(rel):
+    with open(os.path.join(REPO, rel), encoding="utf-8") as f:
+        return f.read()
+
+
+def _all_docs():
+    return [(rel, _read(rel)) for rel in DOCS]
+
+
+def test_doc_import_statements_resolve():
+    """Every `from headpose_tpu... import a, b` line shown in a doc must
+    execute: the named module exists and exports every named symbol."""
+    pat = re.compile(r"^from (headpose_tpu[\w.]*) import ([\w, ]+)$",
+                     re.MULTILINE)
+    checked = 0
+    for rel, text in _all_docs():
+        for mod_name, names in pat.findall(text):
+            mod = importlib.import_module(mod_name)
+            for name in (n.strip() for n in names.split(",") if n.strip()):
+                assert hasattr(mod, name), (
+                    f"{rel} shows `from {mod_name} import {name}` "
+                    f"but {mod_name} has no attribute {name!r}")
+                checked += 1
+    assert checked >= 6  # the quickstart examples alone name this many
+
+
+def test_doc_module_paths_import():
+    """Every dotted headpose_tpu.* module path mentioned anywhere in the
+    docs must be importable (e.g. `python -m headpose_tpu.tools.train_cli`)."""
+    pat = re.compile(r"\bheadpose_tpu(?:\.[a-z_][a-z0-9_]*)+\b")
+    seen = set()
+    for _, text in _all_docs():
+        seen.update(pat.findall(text))
+    assert seen
+    for dotted in sorted(seen):
+        # trim trailing attribute segments until a module imports; the full
+        # path must then resolve attribute by attribute
+        parts = dotted.split(".")
+        mod, idx = None, len(parts)
+        while idx > 0:
+            try:
+                mod = importlib.import_module(".".join(parts[:idx]))
+                break
+            except ImportError:
+                idx -= 1
+        assert mod is not None, f"docs mention unimportable {dotted}"
+        obj = mod
+        for attr in parts[idx:]:
+            assert hasattr(obj, attr), (
+                f"docs mention {dotted} but {'.'.join(parts[:idx])} "
+                f"has no attribute {attr!r}")
+            obj = getattr(obj, attr)
+
+
+def test_doc_pretrained_names_exist():
+    """Every load_pretrained('name') / `pretrained_models/name` mention must
+    correspond to a shipped artifact directory."""
+    from headpose_tpu.pretrained import PRETRAINED_DIR
+
+    shipped = {d for d in os.listdir(PRETRAINED_DIR)
+               if os.path.isdir(os.path.join(PRETRAINED_DIR, d))}
+    pats = [re.compile(r"load_pretrained\(['\"]([\w-]+)['\"]\)"),
+            re.compile(r"pretrained_models/([\w-]+)")]
+    mentioned = set()
+    for _, text in _all_docs():
+        for pat in pats:
+            mentioned.update(pat.findall(text))
+    assert mentioned
+    missing = sorted(mentioned - shipped)
+    assert not missing, (
+        f"docs mention pretrained artifacts that are not shipped: {missing} "
+        f"(shipped: {sorted(shipped)})")
+
+
+def test_doc_script_paths_exist():
+    """Every scripts/*.py and docs/*.json artifact a doc cites must exist."""
+    pat = re.compile(r"\b(scripts/[\w]+\.py|docs/[\w]+\.json)\b")
+    mentioned = set()
+    for _, text in _all_docs():
+        mentioned.update(pat.findall(text))
+    assert mentioned
+    missing = [p for p in sorted(mentioned)
+               if not os.path.exists(os.path.join(REPO, p))]
+    assert not missing, f"docs cite files that do not exist: {missing}"
