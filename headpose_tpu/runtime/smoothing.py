@@ -36,9 +36,10 @@ def ema_update(state: EmaState, measurement: Any, alpha: float,
                valid: Any = None) -> tuple[EmaState, Any]:
     """One smoothing step: y = α·x + (1-α)·y_prev, seeding on first valid sample.
 
-    valid (optional): pytree (or single bool array broadcastable per leaf)
-    marking which measurements are real — invalid slots keep their state, so
-    padded face slots don't pollute the filters.
+    valid (optional): ONE bool array whose shape prefixes every measurement
+    leaf (it is right-padded with singleton axes and broadcast per leaf) —
+    invalid slots keep their state, so padded face slots don't pollute the
+    filters.  Per-leaf validity pytrees are not supported.
     """
 
     def step(v_prev, init, x, ok):

@@ -65,10 +65,13 @@ def associate(track_boxes: jax.Array, track_active: jax.Array,
     none are free; with sustained track churn — more than T distinct faces
     inside a max_missed window — the stolen slot can hold a recently-missed
     track, whose filter then re-seeds on reappearance instead of resuming.
-    Raise num_slots or lower max_missed if that matters).
+    Raise num_slots or lower max_missed if that matters).  If fresh
+    detections outnumber the assignable slots, the overflow gets slot -1
+    (callers pass the raw measurement through unsmoothed).
 
-    Returns (slot (F,) int32 — track slot per detection, junk for invalid
-    detections; new_track (F,) bool — detection starts a fresh track)."""
+    Returns (slot (F,) int32 — track slot per detection, -1 for unassigned,
+    junk for invalid detections; new_track (F,) bool — detection actually
+    opened a fresh track)."""
     F, T = boxes.shape[0], track_boxes.shape[0]
     # IoU matrix detections x tracks
     x1 = jnp.maximum(boxes[:, None, 0], track_boxes[None, :, 0])
@@ -112,8 +115,15 @@ def associate(track_boxes: jax.Array, track_active: jax.Array,
                   track_age))
     order = jnp.argsort(-priority, stable=True)                     # (T,)
     rank = jnp.cumsum(new_track.astype(jnp.int32)) - 1              # (F,)
-    slot = jnp.where(new_track, order[jnp.clip(rank, 0, T - 1)], slot)
-    return slot, new_track
+    # more fresh detections than assignable slots (free + stealable): the
+    # overflow gets NO slot (-1) rather than colliding on a clipped index —
+    # a collision would sum two faces into one track measurement, and
+    # clipping could also land on a slot matched this very frame
+    n_avail = jnp.sum(priority >= 0)
+    overflow = new_track & (rank >= n_avail)
+    slot = jnp.where(new_track & ~overflow,
+                     order[jnp.clip(rank, 0, T - 1)], slot)
+    return slot, new_track & ~overflow
 
 
 def tracks_update(state: TrackState, boxes: jax.Array, valid: jax.Array,
@@ -156,6 +166,16 @@ def tracks_update(state: TrackState, boxes: jax.Array, valid: jax.Array,
         return (scatter.T @ flat).reshape((F,) + a.shape[1:])
 
     smoothed = jax.tree_util.tree_map(to_dets, smoothed_tracks)
+    # valid detections that received no slot (slot overflow — more fresh
+    # faces than free+stealable slots) pass through UNSMOOTHED rather than
+    # as the zeros the empty scatter column would produce
+    unassigned = valid & (slot < 0)
+
+    def _fallback(s, raw):
+        m = jnp.reshape(unassigned, unassigned.shape + (1,) * (s.ndim - 1))
+        return jnp.where(m, raw.astype(s.dtype), s)
+
+    smoothed = jax.tree_util.tree_map(_fallback, smoothed, signals)
 
     track_boxes = jnp.where(got[:, None], to_tracks(boxes), state.boxes)
     age = jnp.where(got, 0, state.age + 1)

@@ -57,13 +57,23 @@ def evaluate_head_pose_model(model: Any, dataset: Any,
         dataset = load_dataset(dataset)
     assert isinstance(dataset, Dataset)
 
+    def _apply_highest(fn):
+        # parity numbers (compared to the reference at 0.01-deg resolution)
+        # must not drift with the ambient MXU precision: pin 'highest'
+        # inside the trace, like convert.validate_conversion (CLAUDE.md)
+        def wrapped(p, x):
+            with jax.default_matmul_precision("highest"):
+                return fn(p, x)
+        return jax.jit(wrapped)
+
     if isinstance(model, str):
         from ..models.heads import head_from_h5
         spec, params = head_from_h5(model)
-        preds = jax.jit(spec.apply)(params, dataset.features)
+        preds = _apply_highest(spec.apply)(params, dataset.features)
     elif params is not None:
-        preds = jax.jit(model.apply)(params, dataset.features)
-    else:  # GraphModel-like callable; reference feeds (N,1,1,C)
+        preds = _apply_highest(model.apply)(params, dataset.features)
+    else:  # GraphModel-like callable; reference feeds (N,1,1,C) — GraphModel
+        # already defaults to matmul_precision='highest'
         x = dataset.features.reshape(len(dataset), 1, 1, dataset.num_features)
         preds = model(x)
 

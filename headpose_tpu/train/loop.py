@@ -49,6 +49,14 @@ def build_head(cfg: TrainConfig):
         return MLPHead(cfg.in_features,
                        ((cfg.num_filters, cfg.activation), (3, "linear")),
                        dropout_rate=cfg.dropout_rate)
+    if cfg.head == "ensemble":
+        # an ensemble's members cannot be described by the scalar config
+        # fields — construct EnsembleHead yourself and pass it as
+        # fit(..., spec=ensemble)
+        raise ValueError(
+            "head='ensemble' is not buildable from TrainConfig alone "
+            "(members are full head specs); construct models.EnsembleHead "
+            "directly and pass it via fit(cfg, ds, spec=...)")
     cls = HEAD_REGISTRY[cfg.head]
     kwargs: dict[str, Any] = {"in_features": cfg.in_features}
     if cfg.head in ("residual_mlp", "skip_mlp"):
@@ -267,9 +275,16 @@ def evaluate(spec, params, ds: Dataset) -> dict[str, float]:
 def _eval_jit(spec):
     """Cached jitted evaluator per (hashable, frozen) head spec — a fresh
     jit(lambda) per evaluate() call would recompile every time, and through
-    this container's TPU tunnel a compile costs ~30-90 s."""
-    return jax.jit(
-        lambda p, d: _loss_and_metrics(spec, p, d, None, 0.0, False)[1])
+    this container's TPU tunnel a compile costs ~30-90 s.
+
+    Matmuls pin 'highest': reported test metrics are PARITY numbers compared
+    against the reference evaluator at 0.01-degree resolution, so they must
+    not drift with the backend's ambient MXU precision (CLAUDE.md)."""
+    def _metrics(p, d):
+        with jax.default_matmul_precision("highest"):
+            return _loss_and_metrics(spec, p, d, None, 0.0, False)[1]
+
+    return jax.jit(_metrics)
 
 
 @dataclasses.dataclass
@@ -341,10 +356,20 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
     history: list[dict[str, float]] = []
 
     if resume:
+        if cfg.run_name is None:
+            # a fresh random run_id can never name an existing checkpoint
+            # directory — silently starting over would betray the request
+            raise ValueError(
+                "fit(resume=True) needs cfg.run_name to locate the prior "
+                "run's checkpoints (a fresh run gets a random id)")
         restored = restore_checkpoint(
             ckpt_dir, like={"params": params, "opt_state": opt_state})
         if restored is not None:
-            start_epoch, params, opt_state, meta = restored
+            step, params, opt_state, meta = restored
+            # checkpoints are written AFTER epoch `step` completes, so the
+            # resumed loop continues at step+1 — re-running `step` would
+            # apply its update twice (same fold_in(rng, step) randomness)
+            start_epoch = step + 1
             best_val = meta.get("best_val", best_val)
             best_epoch = meta.get("best_epoch", best_epoch)
             wait = meta.get("wait", 0)

@@ -123,6 +123,44 @@ class TestLifecycle:
         np.testing.assert_allclose(out["poses"][0], 0.5 * pose_a, atol=1e-6)
 
 
+class TestSlotOverflow:
+    def test_overflow_detections_pass_through_raw(self):
+        """More fresh faces than assignable slots: the overflow must NOT
+        collide onto occupied slots (summing two faces into one track
+        measurement) — it gets no slot and passes through unsmoothed."""
+        tr = IoUTrackSmoother(alpha=0.5, num_slots=2)
+        box_c = jnp.asarray([0.1, 0.6, 0.3, 0.8])
+        box_d = jnp.asarray([0.6, 0.1, 0.8, 0.3])
+        pose_a = jnp.asarray([40.0, 0.0, 0.0])
+        pose_b = jnp.asarray([-40.0, 0.0, 0.0])
+        boxes, valid, sig = _frame([BOX_A, BOX_B, box_c, box_d],
+                                   [pose_a, pose_b, jnp.zeros(3),
+                                    jnp.zeros(3)], [True, True, False, False])
+        tr(boxes, valid, sig)   # A and B occupy both slots
+        # frame 2: A and B match; C and D are fresh but no slot is available
+        pose_a2 = jnp.asarray([44.0, 0.0, 0.0])
+        pose_b2 = jnp.asarray([-44.0, 0.0, 0.0])
+        pose_c = jnp.asarray([7.0, 8.0, 9.0])
+        pose_d = jnp.asarray([-7.0, -8.0, -9.0])
+        boxes, valid, sig = _frame([BOX_A, BOX_B, box_c, box_d],
+                                   [pose_a2, pose_b2, pose_c, pose_d],
+                                   [True, True, True, True])
+        out = tr(boxes, valid, sig)
+        # matched tracks smooth normally — uncorrupted by the overflow
+        np.testing.assert_allclose(out["poses"][0],
+                                   0.5 * pose_a + 0.5 * pose_a2, atol=1e-5)
+        np.testing.assert_allclose(out["poses"][1],
+                                   0.5 * pose_b + 0.5 * pose_b2, atol=1e-5)
+        # overflow faces pass through raw (not zeros, not blended)
+        np.testing.assert_allclose(out["poses"][2], pose_c, atol=1e-6)
+        np.testing.assert_allclose(out["poses"][3], pose_d, atol=1e-6)
+        # track boxes hold the matched faces' boxes, not sums
+        st = tr._state
+        got = np.sort(np.asarray(st.boxes)[np.asarray(st.active)], axis=0)
+        want = np.sort(np.stack([BOX_A, BOX_B]), axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestComposability:
     def test_scan_matches_python_loop(self):
         rng = np.random.default_rng(0)
