@@ -16,11 +16,8 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
 
 
 def main() -> None:
@@ -32,25 +29,19 @@ def main() -> None:
 
     import jax
     import __graft_entry__ as ge
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
 
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.default_rng(0)
     for mode in args.modes.split(","):
         fn, (params, _) = ge.entry(precision=mode)
         fn = jax.jit(fn)
         for batch in (int(b) for b in args.batches.split(",")):
-            bufs = [jax.device_put(rng.integers(
-                0, 256, size=(batch, 128, 128, 3),
-                dtype=np.int64).astype(np.uint8)) for _ in range(8)]
-            out = fn(params, bufs[0])
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for i in range(args.iters):
-                out = fn(params, bufs[i % 8])
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            print(f"{mode:8s} batch {batch:4d}: {dt/args.iters*1e3:7.3f} ms "
-                  f"{batch*args.iters/dt:9.0f} frames/sec", flush=True)
+            bufs = staged_uint8_frames(batch)
+            sec = sustained_seconds_per_dispatch(
+                lambda b: fn(params, b), bufs, args.iters)
+            print(f"{mode:8s} batch {batch:4d}: {sec*1e3:7.3f} ms "
+                  f"{batch/sec:9.0f} frames/sec", flush=True)
 
 
 if __name__ == "__main__":

@@ -308,12 +308,20 @@ def capture_e2e_production(model):
     det.interpreter = model
     det.generateAnchors()
     res = det.detectFaces(img)
+    # the synthesized img exists ONLY in this npz (the gradient-ascent run
+    # is not re-runnable here) — never truncate it in place; write to a
+    # temp file and atomically swap so an interrupted write cannot destroy
+    # the input we just read
+    path = os.path.join(OUT, "e2e_production.npz")
+    tmp = os.path.join(OUT, "e2e_production.tmp.npz")  # savez appends .npz
+                                                       # to suffix-less names
     np.savez_compressed(
-        os.path.join(OUT, "e2e_production.npz"),
+        tmp,
         img=img, boxes=np.asarray(res.boxes, np.float32),
         keypoints=np.asarray(res.keypoints, np.float32),
         scores=np.asarray(res.scores, np.float32),
         poses=np.asarray(res.poses, np.float32))
+    os.replace(tmp, path)
     print(f"e2e production golden captured ({len(res.scores)} detections)")
 
 

@@ -134,12 +134,26 @@ def main():
     postprocess = "xla"
     if "--postprocess" in args:
         i = args.index("--postprocess")
+        if i + 1 >= len(args):
+            raise SystemExit("--postprocess needs a value: xla | pallas")
         postprocess = args[i + 1]
         del args[i:i + 2]
     modes = tuple(args) or None
 
     data = dict(np.load(CORPUS))
     sha = hashlib.sha256(open(CORPUS, "rb").read()).hexdigest()
+    partial = not (postprocess == "xla" and modes is None)
+    if partial:
+        # partial runs MERGE into the primary certificate — check it exists
+        # and matches this corpus BEFORE the expensive certification, not
+        # after (and not via `assert`, which python -O strips)
+        if not os.path.exists(OUT):
+            raise SystemExit(
+                f"{OUT} does not exist — run the full certification first "
+                "(no flags), then merge partial/pallas runs into it")
+        if json.load(open(OUT)).get("corpus_sha256") != sha:
+            raise SystemExit("corpus changed since the primary certificate "
+                             "— run the full certification first")
     model, params = load_flagship()
 
     def factory(mode):
@@ -166,8 +180,7 @@ def main():
                 for k, v in prev.items():
                     out.setdefault(k, v)
     else:
-        out = json.load(open(OUT))
-        assert out["corpus_sha256"] == sha, "corpus changed — run full certify"
+        out = json.load(open(OUT))   # existence/sha guarded before certify
         key = ("modes_pallas_postprocess" if postprocess == "pallas"
                else "modes_partial")
         out.setdefault(key, {}).update(report)

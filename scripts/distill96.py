@@ -179,6 +179,20 @@ def main():
 
     result, metrics, seed = best
     if args.ship:
+        # `best` tracks only THIS invocation's seeds; the accumulated
+        # summary may hold a better earlier run whose weights we no longer
+        # have — refuse to ship a worse student over it
+        aflw = metrics["AFLW2000_features_96"]
+        global_best = min(summary["runs"],
+                          key=lambda r: r["AFLW2000_features_96"])
+        # beyond-noise margin: the 3-seed spread is 0.015 deg and argmin
+        # differences inside ~0.01 are selection noise (docs/TRAINING.md)
+        if global_best["AFLW2000_features_96"] < aflw - 0.01:
+            raise SystemExit(
+                f"refusing to ship seed {seed} (AFLW {aflw:.3f}): the "
+                f"recorded pool has a meaningfully better run (seed "
+                f"{global_best['seed']}, {global_best['AFLW2000_features_96']:.3f}) "
+                "— re-run that seed in the same invocation as --ship")
         summary["shipped_seed"] = seed
         with open(RESULT, "w") as f:
             json.dump(summary, f, indent=1)

@@ -98,8 +98,11 @@ def main() -> None:
     per_arch: dict[str, dict] = {}
     for r in sweep["runs"]:
         a, m = r["params"]["arch"], r["metrics"].get("test_aflw2000_mae")
-        if m is not None and (a not in per_arch
-                              or m < per_arch[a]["metrics"]["test_aflw2000_mae"]):
+        # a NaN metric would win every `<` comparison's complement and
+        # poison best-per-arch selection (the 96 twin already guards this)
+        if m is not None and np.isfinite(m) and (
+                a not in per_arch
+                or m < per_arch[a]["metrics"]["test_aflw2000_mae"]):
             per_arch[a] = r
     print(f"member configs: best-per-arch from the GP sweep — "
           f"{sorted(per_arch)}", flush=True)

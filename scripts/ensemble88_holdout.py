@@ -47,12 +47,14 @@ DATA_DIR = "/root/reference/FeatureMaps-Datasets"
 
 def main() -> None:
     pool_dir = os.path.join(_HERE, "out", "pool88")
+    if not os.path.isdir(pool_dir):
+        raise SystemExit("member pool missing — run scripts/ensemble88.py first")
     members = []
     for name in sorted(os.listdir(pool_dir)):
         spec, params = load_model(os.path.join(pool_dir, name))
         members.append((spec, params, name))
     if not members:
-        raise SystemExit("member pool missing — run scripts/ensemble88.py first")
+        raise SystemExit("member pool empty — run scripts/ensemble88.py first")
     s_spec, s_params = load_pretrained("stoqa9pt-88")
     members.append((s_spec, s_params, "stoqa9pt-88(imported)"))
     n_native = len(members) - 1

@@ -42,12 +42,14 @@ DATA_DIR = "/root/reference/FeatureMaps-Datasets"
 
 def main() -> None:
     pool_dir = os.path.join(_HERE, "out", "pool96")
+    if not os.path.isdir(pool_dir):
+        raise SystemExit("member pool missing — run scripts/ensemble96.py first")
     members = []
     for name in sorted(os.listdir(pool_dir)):
         spec, params = load_model(os.path.join(pool_dir, name))
         members.append((spec, params, name))
     if not members:
-        raise SystemExit("member pool missing — run scripts/ensemble96.py first")
+        raise SystemExit("member pool empty — run scripts/ensemble96.py first")
     t_spec, t_params = load_pretrained("hrchr82r-96")
     members.append((t_spec, t_params, "hrchr82r-96(imported)"))
     n_native = len(members) - 1

@@ -262,6 +262,17 @@ def main():
     rng = np.random.default_rng(0)
     x_img = rng.uniform(-1, 1, (BATCH, 128, 128, 3)).astype(np.float32)
     bounds = xla_boundaries(spec, bp, jnp.asarray(x_img))
+    # drift guard: xla_boundaries re-implements the block forward to expose
+    # segment boundaries; its tap activations must match the REAL serving
+    # forward (models.blazeface.apply) or the <= TOL gate below would
+    # validate kernels against a stale reference
+    with jax.default_matmul_precision("highest"):
+        ref = spec.apply(bp, jnp.asarray(x_img))
+    for name, key in (("feat88", "b10"), ("feat96", "b15")):
+        err = float(jnp.abs(ref[name] - bounds[key]).max())
+        assert err <= 1e-5, (
+            f"xla_boundaries drifted from blazeface.apply: {name} maxerr "
+            f"{err:.2e}")
     packed = bb2.pack_backbone(spec, bp)
 
     x, want, h = segment_io(seg, spec, bounds)

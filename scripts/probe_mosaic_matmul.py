@@ -110,8 +110,14 @@ def main():
         set_size(512, 2)
     elif len(sys.argv) > 1:
         # e.g. `python scripts/probe_mosaic_matmul.py 4096` — bigger sizes
-        # amortize per-call overhead and expose the true MXU ceiling
-        set_size(int(sys.argv[1]), max(4, 30 // (int(sys.argv[1]) // 2048)))
+        # amortize per-call overhead and expose the true MXU ceiling.
+        # Iterations scale inversely with the n^3 work; sizes must divide
+        # the largest block dims or the grid would silently truncate.
+        n = int(sys.argv[1])
+        if n % 2048:
+            raise SystemExit(f"size {n} must be a multiple of 2048 "
+                             "(the largest probe block dims)")
+        set_size(n, max(4, 30 * 2048 ** 3 // n ** 3))
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)

@@ -69,10 +69,8 @@ if __name__ == "__main__":
                                 iou_threshold=0.3, precision="turbo",
                                 turbo_island=island)
 
-        import certify_modes
-        certify_modes.MODES = ("turbo",)
         print(f"--- island start {start} (blocks {start}..15 + SSD heads) ---")
-        r = certify(factory, data)["turbo"]
+        r = certify(factory, data, modes=("turbo",))["turbo"]
         det = factory("turbo")
         fps = throughput(det)
         r["frames_per_sec_batch128"] = round(fps, 1)
