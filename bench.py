@@ -51,10 +51,14 @@ def main() -> None:
         jax.block_until_ready(jax.tree.leaves(fn(params, bufs[0])))
     except Exception as e:  # Mosaic toolchain/tunnel flake — don't lose the
         # round's artifact.  Notice goes to STDERR: stdout is contractually
-        # ONE JSON line (CLAUDE.md).
+        # ONE JSON line (CLAUDE.md).  The real message is logged because the
+        # failure may NOT be the pallas kernel (e.g. a backbone compile or
+        # tunnel drop) — in that case the XLA retry below will fail too and
+        # the trail should say why.
         import sys
-        print(f"pallas postprocess compile failed ({type(e).__name__}); "
-              "falling back to the XLA postprocess",
+        print(f"first compile failed ({type(e).__name__}: "
+              f"{str(e).splitlines()[0][:300]}); "
+              "retrying with the XLA postprocess",
               file=sys.stderr, flush=True)
         postprocess = "xla"
         fn, (params, _) = ge.entry(precision="fast", postprocess=postprocess)

@@ -10,7 +10,12 @@ through jax.config instead.
 """
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# APPEND to any pre-existing XLA_FLAGS — setdefault would silently drop the
+# virtual-device flag (and with it the whole parallel test suite, which
+# skips itself below 8 devices) whenever the caller exported e.g. a dump dir
+_FLAG = "--xla_force_host_platform_device_count=8"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
 
 import jax
 
@@ -41,12 +46,10 @@ def unified_native():
 
 
 @pytest.fixture(scope="session")
-def production_detector():
-    """Session-cached FaceDetector at the e2e-golden capture threshold."""
-    if not has_reference():
-        pytest.skip("reference artifacts not mounted")
+def production_detector(unified_native):
+    """Session-cached FaceDetector at the e2e-golden capture threshold
+    (reuses unified_native's one-per-session H5 import)."""
     from headpose_tpu.runtime import FaceDetector
 
-    model, params = __import__("headpose_tpu.models", fromlist=["unified_from_h5"]
-                               ).unified_from_h5(UNIFIED_H5)
+    model, params = unified_native
     return FaceDetector(model, params, score_threshold=0.05)

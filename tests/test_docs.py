@@ -14,7 +14,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = ["README.md", os.path.join("docs", "API.md"),
         os.path.join("docs", "TRAINING.md"), os.path.join("docs", "BENCH.md"),
-        os.path.join("docs", "PARITY.md")]
+        os.path.join("docs", "PARITY.md"), os.path.join("docs", "ROADMAP.md")]
 
 
 def _read(rel):

@@ -64,8 +64,9 @@ class TestSEAttentionKernel:
 
 class TestFusedBackbone:
     @pytest.mark.skipif(
-        __import__("os").path.isdir("/root/reference") is False,
-        reason="needs pretrained flagship")
+        __import__("headpose_tpu.pretrained",
+                   fromlist=["flagship_path"]).flagship_path() is None,
+        reason="needs the shipped pretrained flagship")
     def test_matches_xla_backbone(self):
         """The fully-fused backbone kernel (all 17 layers VMEM-resident)
         matches the XLA backbone at f32 within float accumulation noise."""

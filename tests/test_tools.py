@@ -134,7 +134,7 @@ class TestVizAndDemo:
         assert out.sum() > 0  # something was drawn
 
     @needs_reference
-    def test_demo_on_video_file(self, tmp_path):
+    def test_demo_on_video_file(self, tmp_path, monkeypatch):
         cv2 = pytest.importorskip("cv2")
         video = str(tmp_path / "in.mp4")
         w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (160, 120))
@@ -144,7 +144,7 @@ class TestVizAndDemo:
         w.release()
         from headpose_tpu.runtime.demo import run_demo
         import os as _os
-        _os.chdir(tmp_path)  # demo records into cwd
+        monkeypatch.chdir(tmp_path)  # demo records into cwd; restored on teardown
         n = run_demo(model_path=os.path.join(
             REFERENCE_ROOT,
             "BlazePoser/UnifiedModels/reg1-stoqa9pt-reg2-hrchr82r-selected.h5"),
