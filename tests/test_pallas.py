@@ -180,7 +180,7 @@ class TestFusedPostprocess:
     lower-index tie-break), so there is no tolerance to hide behind."""
 
     @staticmethod
-    def _run(b, thr, iou, mf, seed, loc_std=8.0, bias=0.0):
+    def _run(b, thr, iou, mf, seed, loc_std=8.0, bias=0.0, quantize=False):
         from headpose_tpu.models.anchors import generate_anchors
         from headpose_tpu.ops import detection as det
         from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
@@ -189,6 +189,11 @@ class TestFusedPostprocess:
         a = anchors.shape[0]
         rng = np.random.default_rng(seed)
         logits = (rng.normal(0.0, 2.0, (b, a)) + bias).astype(np.float32)
+        if quantize:
+            # many EXACT score ties — the greedy argmax's lower-index
+            # tie-break (tf.image.non_max_suppression semantics) must agree
+            # between the kernel and the XLA path; random floats never tie
+            logits = np.round(logits).astype(np.float32)
         loc = rng.normal(0.0, loc_std, (b, a, 16)).astype(np.float32)
         pf = rng.normal(0, 0.5, (b, 16, 16, 3)).astype(np.float32)
         pb = rng.normal(0, 0.5, (b, 8, 8, 3)).astype(np.float32)
@@ -214,6 +219,11 @@ class TestFusedPostprocess:
         # anchors admitted AND suppression defeated -> full 100-trip
         # extraction in every lane (scripts/kernel_regression.py segment W)
         dict(b=8, thr=0.4, iou=0.3, mf=16, seed=9, loc_std=0.5),  # clusters
+        dict(b=4, thr=1.0, iou=0.3, mf=16, seed=2),     # keep-NONE endpoint
+        dict(b=8, thr=0.4, iou=0.3, mf=32, seed=11, quantize=True),  # exact
+        # score ties -> lower-index tie-break must match
+        dict(b=4, thr=0.0, iou=0.01, mf=100, seed=12, quantize=True,
+             loc_std=0.5),  # ties + defeated suppression + clustered boxes
     ])
     def test_bit_exact_vs_xla(self, case):
         self._run(**case)
