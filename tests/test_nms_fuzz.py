@@ -67,6 +67,42 @@ def test_nms_matches_numpy_greedy(seed, score_threshold):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_nms_tie_break_matches_numpy_greedy(seed):
+    """EXACT score ties (integer-quantized logits) — the selection argmax's
+    lower-index tie-break must match the stable-sort numpy reference;
+    random float scores never tie, so the parametrized fuzz above cannot
+    exercise this path."""
+    rng = np.random.default_rng(100 + seed)
+    cls = np.round(rng.normal(loc=-1.0, scale=2.0, size=(896,))
+                   ).astype(np.float32)
+    loc = rng.normal(scale=8.0, size=(896, 16)).astype(np.float32)
+    loc[:, 2:4] = rng.uniform(4.0, 64.0, size=(896, 2)).astype(np.float32)
+
+    post = jax.jit(lambda s, l: postprocess(
+        s, l, jnp.zeros((16, 16, 3)), jnp.zeros((8, 8, 3)),
+        jnp.asarray(ANCHORS), score_threshold=0.4))(
+        jnp.asarray(cls), jnp.asarray(loc))
+    valid = np.asarray(post["valid"])
+    n = int(valid.sum())
+
+    ref_idx, ref_scores = numpy_reference(cls, loc, 0.4, 0.3)
+    assert n == len(ref_idx), f"count mismatch: {n} vs {len(ref_idx)}"
+    # with ties, score equality is necessary but not sufficient — the BOXES
+    # must match too (same anchors selected in the same order)
+    np.testing.assert_allclose(np.asarray(post["scores"])[:n], ref_scores,
+                               atol=1e-6)
+    want_boxes = np.asarray(jax.vmap(
+        lambda i: jnp.asarray(ANCHORS)[i])(jnp.asarray(ref_idx)))
+    got_centers = np.asarray(post["boxes"])[:n]
+    # selected boxes' centers = anchor center + loc offset — check the
+    # anchor identity via the decode relation
+    for k, i in enumerate(ref_idx):
+        cx = (got_centers[k, 0] + got_centers[k, 2]) / 2
+        want_cx = loc[i, 0] / 128.0 + want_boxes[k, 0]
+        np.testing.assert_allclose(cx, want_cx, atol=1e-5)
+
+
 def test_saturation_at_max_faces():
     """>100 non-overlapping survivors saturate the slab at exactly 100."""
     rng = np.random.default_rng(0)
