@@ -36,9 +36,11 @@ def load_pretrained(name: str):
       its production 8.03 needed the unshipped training file).
     - 'ensemble88' (scripts/ensemble88.py, docs/ensemble88_result.json):
       EnsembleHead over a trained-here pool (best GP config per architecture
-      x 2 seeds, shipped data only), members greedily selected by the sweep
-      objective — the reference's own best-of-pool procedure: AFLW-Enlarged
-      7.749, beating both sweep88-best (7.778) and stoqa9pt (7.810).
+      x 4 seeds = 32 members, shipped data only), members greedily selected
+      by the sweep objective with a 0.005-deg noise floor — the reference's
+      own best-of-pool procedure: AFLW-Enlarged 7.740, beating both
+      sweep88-best (7.778) and stoqa9pt (7.810); 40/40 split-half control
+      wins (docs/ensemble88_holdout.json).
     - 'ensemble88-mixed': our mlp128 member averaged with the IMPORTED
       reference production head (labeled as such — not a trained-here
       claim): AFLW-Enlarged 7.653 / BIWI 3.623, the best 88-d head on the

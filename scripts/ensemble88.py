@@ -59,9 +59,16 @@ def mae(pred: np.ndarray, y: np.ndarray) -> float:
     return float(np.mean(np.abs(pred - y)))
 
 
-def greedy_select(preds: list[np.ndarray], y: np.ndarray) -> list[int]:
+def greedy_select(preds: list[np.ndarray], y: np.ndarray,
+                  min_gain: float = 0.005) -> list[int]:
     """Greedy forward selection minimizing MAE of the running average of
-    `preds` against `y`; stops when adding any member stops improving."""
+    `preds` against `y`; stops when no candidate improves by at least
+    `min_gain` degrees.  The floor keeps sub-noise members out: the
+    split-half control measures the selection's generalization gain at
+    ±0.015 deg (docs/ensemble88_holdout.json), so a step worth less than
+    0.005 on the selection set is indistinguishable from fitting its noise
+    — and each extra member costs serving throughput
+    (docs/ensemble_cost_probe.json)."""
     chosen: list[int] = []
     acc = np.zeros_like(y)
     best_so_far = float("inf")
@@ -73,7 +80,7 @@ def greedy_select(preds: list[np.ndarray], y: np.ndarray) -> list[int]:
             m = mae((acc + p) / (len(chosen) + 1), y)
             if step_best is None or m < step_best:
                 step_best, step_idx = m, i
-        if step_idx is None or step_best >= best_so_far:
+        if step_idx is None or step_best >= best_so_far - min_gain:
             return chosen
         chosen.append(step_idx)
         acc += preds[step_idx]
