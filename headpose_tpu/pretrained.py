@@ -46,11 +46,11 @@ def load_pretrained(name: str):
       claim): AFLW-Enlarged 7.653 / BIWI 3.623, the best 88-d head on the
       reference's sweep objective in either ecosystem.
     - 'ensemble96' (scripts/ensemble96.py, docs/ensemble96_result.json):
-      the 96-family pool ensemble (no teacher, shipped data only) —
-      AFLW2000 10.537, beating the best single trained-here draw (12.05)
-      by 1.5 deg; split-half control wins 40/40 (docs/ensemble96_holdout
-      .json).  Objective-specific: BIWI 4.91 vs ~4.2 for the best singles
-      — prefer 'distill96' (8.02) when teacher-derived weights are
+      the 96-family pool ensemble (32-member pool, no teacher, shipped
+      data only) — AFLW2000 10.357, beating the best single trained-here
+      draw (12.05) by 1.7 deg at BIWI 4.20 (matching the best singles);
+      split-half control wins 40/40 (docs/ensemble96_holdout.json).
+      Prefer 'distill96' (8.02) when teacher-derived weights are
       acceptable."""
     from .tools.export import load_model
 
