@@ -8,9 +8,11 @@ backbone-dominated program; this probe turns that claim into a measured
 number.  Variants (same precision mode and postprocess backend throughout,
 so the head is the only difference):
 
-  flagship       — stoqa9pt + hrchr82r (the reference production pair)
-  ensemble-mixed — head88 := ensemble88-mixed (2 members), head96 unchanged
-  ensemble-3     — head88 := ensemble88 (3 trained-here members)
+  flagship        — stoqa9pt + hrchr82r (the reference production pair)
+  ensemble-mixed  — head88 := ensemble88-mixed (2 members), head96 unchanged
+  ensemble-3      — head88 := ensemble88 (3 trained-here members)
+  ensemble96-trio — head96 := ensemble96 (3 members, mixed architectures
+                    incl. SE attention), head88 unchanged
 
 Usage:  python scripts/probe_ensemble_cost.py [iters]
 Writes docs/ensemble_cost_probe.json.
@@ -48,6 +50,11 @@ def main():
             UnifiedPoseModel(backbone=model.backbone, head88=espec,
                              head96=model.head96),
             dict(params, head88=eparams))
+    espec96, eparams96 = load_pretrained("ensemble96")
+    variants["ensemble96-trio"] = (
+        UnifiedPoseModel(backbone=model.backbone, head88=model.head88,
+                         head96=espec96),
+        dict(params, head96=eparams96))
 
     print("staging input buffers...", flush=True)
     bufs = staged_uint8_frames(batch)
@@ -74,7 +81,7 @@ def main():
               f"({sec * 1e3:.3f} ms/dispatch)", flush=True)
 
     base = report["flagship"]["frames_per_sec"]
-    for tag in ("ensemble-mixed", "ensemble-3"):
+    for tag in ("ensemble-mixed", "ensemble-3", "ensemble96-trio"):
         report[tag]["cost_pct_vs_flagship"] = round(
             100.0 * (base - report[tag]["frames_per_sec"]) / base, 2)
     with open(OUT, "w") as f:
