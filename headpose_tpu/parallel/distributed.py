@@ -23,6 +23,14 @@ process_id explicitly (or set JAX_COORDINATOR_ADDRESS etc.).  The mesh
 places 'data' outermost so the gradient psum's large all-reduce segments
 stay on ICI within each process's local devices and only the small
 cross-host segment crosses DCN.
+
+Executed multi-process for real (not just the single-process degenerate
+form): tests/test_multihost.py joins two OS processes x 4 CPU devices over
+localhost and runs the full train.fit dp path on the 8-device GLOBAL mesh,
+matching the single-process run.  Checkpoint caveat proven there: orbax's
+save barrier is keyed by the checkpoint path, so cfg.checkpoint_dir and
+run_name must be IDENTICAL on every process (per-process dirs deadlock the
+cluster at the first save).
 """
 from __future__ import annotations
 

@@ -1,0 +1,95 @@
+"""One process of a REAL multi-process (DCN-style) training validation.
+
+Round 2 built the multi-host machinery (parallel/distributed.py:
+initialize_distributed / global_mesh / host_local_batch) but could only
+test its single-process degenerate forms — "real multi-host execution
+needs a pod" (docs/ROADMAP.md).  It does not: JAX's distributed runtime
+runs multiple PROCESSES on one machine over localhost gRPC/Gloo, each
+owning a disjoint set of CPU devices — the same coordinator/collective
+path a TPU pod's hosts use (minus ICI).  This worker is one such process;
+tests/test_multihost.py spawns two of them and asserts the trained result
+equals the single-process run.
+
+Usage (spawned by the test, or by hand):
+  XLA_FLAGS=--xla_force_host_platform_device_count=4 \\
+    python scripts/multihost_worker.py --process_id 0 --num_processes 2 \\
+      --port 39759 --ckpt_dir /shared/tmp --out /tmp/p0.json &
+  ... same with --process_id 1 ...
+
+Checkpoint coordination gotcha (found the hard way): orbax's save runs a
+global barrier KEYED BY THE CHECKPOINT PATH, so ckpt_dir/run_name must be
+IDENTICAL on every process — per-process dirs deadlock the cluster at the
+first improvement save.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--ckpt_dir", required=True,
+                    help="SHARED checkpoint dir (identical on all processes)")
+    ap.add_argument("--out", required=True, help="result JSON path")
+    ap.add_argument("--total_epochs", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    # this container pins an axon TPU plugin via sitecustomize; the env var
+    # is overridden, so force CPU through the config (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
+    from headpose_tpu.parallel.distributed import (global_mesh,
+                                                   initialize_distributed)
+
+    initialize_distributed(
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.num_processes, process_id=args.process_id)
+
+    import numpy as np
+
+    from headpose_tpu.data import Dataset
+    from headpose_tpu.train import config_96, fit
+
+    mesh = global_mesh()
+    assert jax.process_count() == args.num_processes
+    # every process feeds the same (small) dataset; fit shards it over the
+    # global 'data' axis — the same global-semantics device_put a pod uses
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    y = (x @ rng.normal(size=(16, 3))).astype(np.float32)
+    cfg = config_96(in_features=16, num_filters=8,
+                    total_epochs=args.total_epochs, batch_size=64,
+                    checkpoint_dir=args.ckpt_dir, run_name="multihost")
+    res = fit(cfg, Dataset(x, y), mesh=mesh)
+
+    leaves = jax.tree_util.tree_leaves(res.params)
+    out = {
+        "process_id": args.process_id,
+        "process_count": jax.process_count(),
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "mesh": dict(zip(mesh.axis_names,
+                         (int(n) for n in mesh.devices.shape))),
+        "val_history": [float(h["val_loss"]) for h in res.history],
+        "best_epoch": int(res.best_epoch),
+        "param_l1": float(sum(float(np.abs(np.asarray(l)).sum())
+                              for l in leaves)),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"[{args.process_id}] wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
