@@ -41,6 +41,9 @@ def main() -> None:
                     help="SHARED checkpoint dir (identical on all processes)")
     ap.add_argument("--out", required=True, help="result JSON path")
     ap.add_argument("--total_epochs", type=int, default=6)
+    ap.add_argument("--detect", action="store_true",
+                    help="also run dp detection serving over the global "
+                         "mesh and record this process's local shard")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +89,34 @@ def main() -> None:
         "param_l1": float(sum(float(np.abs(np.asarray(l)).sum())
                               for l in leaves)),
     }
+    if args.detect:
+        # dp detection serving over the SAME global mesh: every process
+        # feeds the identical host batch; jit shards it over 'data', each
+        # process computes its local rows ('auto' postprocess resolves to
+        # the XLA backend on this CPU mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from headpose_tpu.pretrained import flagship_detector
+
+        det = flagship_detector(mesh=mesh)
+        g = np.load(os.path.join(REPO, "tests", "golden",
+                                 "e2e_production.npz"))
+        img = np.asarray(jax.image.resize(
+            np.asarray(g["img"], np.float32), (128, 128, 3),
+            "linear")).astype(np.uint8)
+        frames = np.stack([np.roll(img, i, axis=1) for i in range(8)])
+        sharded = jax.device_put(frames,
+                                 NamedSharding(mesh, P(mesh.axis_names[0])))
+        res = det.detect(sharded)
+        shards = {}
+        for name in ("valid", "poses", "boxes", "scores"):
+            arr = getattr(res, name)
+            for sh in arr.addressable_shards:
+                row0 = sh.index[0].start or 0
+                for k, row in enumerate(np.asarray(sh.data)):
+                    shards.setdefault(str(row0 + k), {})[name] = row.tolist()
+        out["detection_local_rows"] = shards
+
     with open(args.out, "w") as f:
         json.dump(out, f)
     print(f"[{args.process_id}] wrote {args.out}", flush=True)

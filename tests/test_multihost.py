@@ -51,7 +51,7 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--process_id", str(pid),
              "--num_processes", "2", "--port", str(port),
-             "--ckpt_dir", str(ckpt), "--out", str(out)],
+             "--ckpt_dir", str(ckpt), "--out", str(out), "--detect"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = [p.communicate(timeout=600)[0].decode(errors="replace")
             for p in procs]
@@ -90,3 +90,33 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
                         for l in jax.tree_util.tree_leaves(res.params)))
     np.testing.assert_allclose(r0["param_l1"], want_l1, rtol=1e-5)
     assert r0["best_epoch"] == res.best_epoch
+
+    # --- dp detection SERVING over the same 2-process global mesh -------
+    # each process recorded its local 4-row shard; together they must cover
+    # all 8 frames and match the single-process detector on real content
+    rows = {**r0["detection_local_rows"], **r1["detection_local_rows"]}
+    assert len(r0["detection_local_rows"]) == 4
+    assert len(r1["detection_local_rows"]) == 4
+    assert sorted(map(int, rows)) == list(range(8))
+
+    from headpose_tpu.pretrained import flagship_detector
+
+    g = np.load(os.path.join(REPO, "tests", "golden", "e2e_production.npz"))
+    img = np.asarray(jax.image.resize(
+        np.asarray(g["img"], np.float32), (128, 128, 3),
+        "linear")).astype(np.uint8)
+    frames = np.stack([np.roll(img, i, axis=1) for i in range(8)])
+    want = flagship_detector().detect(frames)
+    valid = np.asarray(want.valid)
+    assert valid.sum() > 0
+    for i in range(8):
+        got = rows[str(i)]
+        np.testing.assert_array_equal(np.asarray(got["valid"], bool),
+                                      valid[i], err_msg=f"frame {i}")
+        m = valid[i]
+        np.testing.assert_allclose(
+            np.asarray(got["poses"])[m], np.asarray(want.poses)[i][m],
+            rtol=1e-5, atol=1e-5, err_msg=f"frame {i}")
+        np.testing.assert_allclose(
+            np.asarray(got["boxes"])[m], np.asarray(want.boxes)[i][m],
+            rtol=1e-5, atol=1e-5, err_msg=f"frame {i}")
