@@ -66,6 +66,26 @@ def main() -> None:
 
     mesh = global_mesh()
     assert jax.process_count() == args.num_processes
+
+    from headpose_tpu.parallel.distributed import host_local_batch
+
+    # host_local_batch is the pod data path: each host contributes ONLY its
+    # local rows and the results assemble into one global array.  Validate
+    # it for real: per-process disjoint halves must equal the
+    # global-semantics device_put of the full array, shard by shard.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    full = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    n_local = 16 // args.num_processes
+    local = full[args.process_id * n_local:(args.process_id + 1) * n_local]
+    garr = host_local_batch(mesh, local)
+    want = jax.device_put(full, NamedSharding(mesh, P(mesh.axis_names[0])))
+    diff = float(jax.jit(lambda a, b: jnp.abs(a - b).max(),
+                         out_shardings=NamedSharding(mesh, P()))(garr, want))
+    assert diff == 0.0, f"host_local_batch mismatch: {diff}"
+    print(f"[{args.process_id}] host_local_batch assembles the global "
+          "batch exactly", flush=True)
     # every process feeds the same (small) dataset; fit shards it over the
     # global 'data' axis — the same global-semantics device_put a pod uses
     rng = np.random.default_rng(0)
