@@ -109,6 +109,48 @@ def main() -> None:
         "param_l1": float(sum(float(np.abs(np.asarray(l)).sum())
                               for l in leaves)),
     }
+    # tp/dp training step over a 4x2 GLOBAL mesh: head hidden weights shard
+    # over 'model' via the general per-family rules (parallel.
+    # head_param_specs) — executed across processes, not just the
+    # single-process 8-device mesh of tests/test_parallel.py
+    import optax
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+    from headpose_tpu.models import MLPHead
+    from headpose_tpu.parallel import shard_head_params
+    from headpose_tpu.train.loop import _loss_and_metrics
+
+    mesh2 = global_mesh(model_parallel=2)
+    spec = MLPHead(96, ((64, "tanh"), (3, "linear")), dropout_rate=0.01)
+    params = shard_head_params(spec, spec.init(jax.random.PRNGKey(0)), mesh2)
+    optimizer = optax.adam(2.8e-4, eps=1e-7)
+    opt_state = jax.device_put(optimizer.init(params), _NS(mesh2, _P()))
+    rng2 = np.random.default_rng(1)
+    batch = {
+        "x": rng2.normal(size=(64, 96)).astype(np.float32),
+        "y": rng2.normal(size=(64, 3)).astype(np.float32),
+        "w": np.ones((64,), np.float32),
+        "mask": np.ones((64,), np.float32),
+    }
+    row2 = _NS(mesh2, _P(mesh2.axis_names[0]))
+    batch = {k: jax.device_put(v, row2) for k, v in batch.items()}
+
+    @jax.jit
+    def tp_step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: _loss_and_metrics(spec, p, batch, jax.random.PRNGKey(1),
+                                        1e-6, True), has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, tp_loss = tp_step(params, opt_state, batch)
+    jax.block_until_ready(params)
+    out["tp_step_loss"] = float(tp_loss)
+    out["tp_mesh"] = dict(zip(mesh2.axis_names,
+                              (int(n) for n in mesh2.devices.shape)))
+    print(f"[{args.process_id}] tp/dp step on the multi-process 4x2 mesh: "
+          f"loss {out['tp_step_loss']:.6f}", flush=True)
+
     if args.detect:
         # dp detection serving over the SAME global mesh: every process
         # feeds the identical host batch; jit shards it over 'data', each

@@ -91,6 +91,13 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(r0["param_l1"], want_l1, rtol=1e-5)
     assert r0["best_epoch"] == res.best_epoch
 
+    # --- tp/dp training step over the multi-process 4x2 mesh ------------
+    # the general per-family TP rules (parallel.head_param_specs) executed
+    # across processes; both processes compute the same replicated loss
+    assert r0["tp_mesh"] == {"data": 4, "model": 2}
+    assert r0["tp_step_loss"] == r1["tp_step_loss"]
+    assert np.isfinite(r0["tp_step_loss"])
+
     # --- dp detection SERVING over the same 2-process global mesh -------
     # each process recorded its local 4-row shard; together they must cover
     # all 8 frames and match the single-process detector on real content
