@@ -23,7 +23,15 @@ from .utils.profiling import FpsCounter
 
 __all__ = ["blazeFaceDetector", "Results", "KEY_POINT_SIZE", "MAX_FACE_NUM",
            "INPUT_FRONT", "INPUT_BACK",
-           "EMAFilter", "SsdAnchorsCalculatorOptions", "Anchor", "gen_anchors"]
+           "EMAFilter", "SsdAnchorsCalculatorOptions", "Anchor", "gen_anchors",
+           "EulerToMatrix", "drawAxis_simo"]
+
+# Not mirrored: the reference class's PRIVATE pipeline stages
+# (prepareInputForInference / inference / extractDetections /
+# filterDetections / filterWithNonMaxSupression, :247-357) — they are
+# implementation details its own detectFaces composes, replaced here by the
+# fused on-device pipeline (runtime.detector); detectFaces output parity is
+# golden-tested instead (tests/test_detection.py).
 
 # reference constants (blazeFaceDetectorH5.py:8-11)
 KEY_POINT_SIZE = 6
@@ -136,4 +144,81 @@ class blazeFaceDetector:  # noqa: N801 — reference-compatible name
         from .runtime.viz import draw_detections
 
         return draw_detections(img, results, fps=self.fps)
+
+    def updateFps(self) -> int:
+        """Reference method (blazeFaceDetectorH5.py:128-139).  detectFaces
+        already ticks the counter per call, so loops that additionally call
+        updateFps() count the extra tick — same drift the reference has
+        when both paths run."""
+        self.fps = int(self._fps.tick())
+        return self.fps
+
+    def getModelInputDetails(self):
+        """Reference method (:221-229): records the expected input geometry
+        on the instance."""
+        self.inputHeight = self._detector.input_size
+        self.inputWidth = self._detector.input_size
+        self.channels = 3
+
+    def generateAnchors(self):
+        """Reference method (:233-246): (re)build the anchor table on the
+        instance — the detector already holds the same table; this exposes
+        it under the reference's attribute name."""
+        import numpy as np
+
+        self.anchors = [Anchor(x, y, h, w) for x, y, w, h in
+                        np.asarray(self._detector.anchors)]
+        return self.anchors
+
+    def draw_axis(self, img, yaw, pitch, roll, tdx, tdy, size=50,
+                  thickness=2):
+        """The reference's simple 2D-arrow overlay (:142-173): yaw arrow
+        red, pitch green, roll blue — a flat-plane variant distinct from
+        drawAxis_simo's rotation-matrix projection."""
+        import math
+
+        cv2 = _require_cv2()
+        cx, cy = int(tdx), int(tdy)
+        yr, pr, rr = (-math.radians(yaw), math.radians(pitch),
+                      math.radians(roll))
+        cv2.line(img, (cx, cy),
+                 (int(cx + size * math.sin(yr)),
+                  int(cy - size * math.cos(yr))), (0, 0, 255), thickness)
+        cv2.line(img, (cx, cy),
+                 (cx, int(cy - size * math.sin(pr))), (0, 255, 0), thickness)
+        cv2.line(img, (cx, cy),
+                 (int(cx + size * math.cos(rr)),
+                  int(cy + size * math.sin(rr))), (255, 0, 0), thickness)
+        return img
+
+
+def EulerToMatrix(roll, yaw, pitch):
+    """Reference module function (blazeFaceDetectorH5.py:40-62): rotation
+    matrix R = Rx @ Ry @ Rz from degrees — identical math to
+    utils.geometry.euler_to_matrix (same argument order)."""
+    from .utils.geometry import euler_to_matrix
+
+    return euler_to_matrix(roll, yaw, pitch)
+
+
+def drawAxis_simo(img, headpose, tdx, tdy, size=100):
+    """Reference module function (:64-77): 3D axis overlay from headpose =
+    (roll, yaw, pitch); delegates to utils.geometry.pose_axes (same negated-
+    angle projection and endpoint math, verified by test_geometry)."""
+    from .utils.geometry import pose_axes
+
+    cv2 = _require_cv2()
+    roll, yaw, pitch = headpose[0], headpose[1], headpose[2]
+    axes = pose_axes(yaw, pitch, roll, tdx, tdy, size)
+    o = (int(tdx), int(tdy))
+    cv2.line(img, o, (int(axes["x"][0]), int(axes["x"][1])), (0, 255, 0), 3)
+    cv2.line(img, o, (int(axes["y"][0]), int(axes["y"][1])), (0, 0, 255), 3)
+    cv2.line(img, o, (int(axes["z"][0]), int(axes["z"][1])), (255, 0, 0), 2)
+    return img
+
+
+def _require_cv2():
+    from .runtime.viz import _require_cv2 as req
+
+    return req()
 

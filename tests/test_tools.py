@@ -295,6 +295,48 @@ def test_compat_utils():
     np.testing.assert_array_equal(got, golden)
 
 
+def test_compat_geometry_functions():
+    """The reference module functions EulerToMatrix (blazeFaceDetectorH5.py
+    :40-62) and drawAxis_simo (:64-77) exist under their reference names and
+    produce the reference math."""
+    import math
+
+    from headpose_tpu.compat import EulerToMatrix, drawAxis_simo
+
+    m = EulerToMatrix(10.0, -30.0, 45.0)
+    # reference composition: R = Rx(pitch) @ Ry(yaw) @ Rz(roll)
+    r, y, p = (math.radians(a) for a in (10.0, -30.0, 45.0))
+    rz = np.array([[math.cos(r), -math.sin(r), 0], [math.sin(r), math.cos(r), 0], [0, 0, 1]])
+    ry = np.array([[math.cos(y), 0, math.sin(y)], [0, 1, 0], [-math.sin(y), 0, math.cos(y)]])
+    rx = np.array([[1, 0, 0], [0, math.cos(p), -math.sin(p)], [0, math.sin(p), math.cos(p)]])
+    np.testing.assert_allclose(m, rx @ ry @ rz, atol=1e-12)
+
+    cv2 = pytest.importorskip("cv2")
+    img = np.zeros((100, 100, 3), np.uint8)
+    out = drawAxis_simo(img, (5.0, 30.0, -10.0), 50, 50, size=30)
+    assert out.sum() > 0
+
+
+@needs_reference
+def test_compat_detector_methods(production_detector):
+    """The remaining reference-class surface: updateFps, draw_axis,
+    getModelInputDetails, generateAnchors (blazeFaceDetectorH5.py
+    :128-139, :142-173, :221-246)."""
+    from headpose_tpu.compat import blazeFaceDetector
+
+    det = blazeFaceDetector()
+    assert det.updateFps() >= 0
+    det.getModelInputDetails()
+    assert (det.inputHeight, det.inputWidth, det.channels) == (128, 128, 3)
+    anchors = det.generateAnchors()
+    assert len(anchors) == 896 and det.anchors is anchors
+
+    pytest.importorskip("cv2")
+    img = np.zeros((100, 100, 3), np.uint8)
+    out = det.draw_axis(img, yaw=20.0, pitch=-10.0, roll=5.0, tdx=50, tdy=50)
+    assert out.sum() > 0
+
+
 def test_plot_artifacts(tmp_path):
     """The image artifacts of the reference's wandb logging (angle
     distributions, learning curves) render to PNGs."""
