@@ -134,6 +134,17 @@ class blazeFaceDetector:  # noqa: N801 — reference-compatible name
                                     iou_threshold=iouThreshold)
         self._fps = FpsCounter()
         self.fps = 0
+        # the reference __init__ establishes these instance attributes via
+        # initializeModel() (blazeFaceDetectorH5.py:82-107) — drop-in call
+        # sites read detector.anchors / inputWidth / sigmoidScoreThreshold
+        import numpy as np
+
+        self.sigmoidScoreThreshold = float(
+            np.log(scoreThreshold / (1.0 - scoreThreshold))
+            if 0.0 < scoreThreshold < 1.0
+            else (-np.inf if scoreThreshold <= 0.0 else np.inf))
+        self.getModelInputDetails()
+        self.generateAnchors()
 
     def detectFaces(self, image) -> Results:
         results = self._detector.detect_single(image)

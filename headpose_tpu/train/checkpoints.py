@@ -26,9 +26,20 @@ def _checkpointer():
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save one pytree (e.g. best params) at path (replaces existing)."""
+    """Save one pytree (e.g. best params) at path (replaces existing).
+
+    Multi-process safe: orbax's save is a collective every process must
+    enter, but the replace-existing cleanup must happen exactly once and
+    BEFORE anyone starts writing — process 0 deletes, everyone barriers,
+    then all enter the collective save."""
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0 and os.path.exists(path):
+            shutil.rmtree(path)
+        multihost_utils.sync_global_devices(f"save_pytree_clean:{path}")
+    elif os.path.exists(path):
         shutil.rmtree(path)
     _checkpointer().save(path, tree)
 
@@ -58,16 +69,30 @@ def restore_pytree(path: str, like: Any | None = None) -> Any:
 
 
 def save_checkpoint(ckpt_dir: str, step: int, params: Any, opt_state: Any,
-                    extra: dict[str, Any] | None = None, keep: int = 3) -> None:
-    """Save a full training checkpoint at ckpt_dir/step_<N>; prune old ones."""
+                    extra: dict[str, Any] | None = None, keep: int = 3,
+                    best_params: Any | None = None) -> None:
+    """Save a full training checkpoint at ckpt_dir/step_<N>; prune old ones.
+
+    params/opt_state must be a CONSISTENT pair (the live state at `step`).
+    When the best weights differ from the live weights (block-mode training
+    syncs after the best epoch has passed), pass them as `best_params` so
+    resume restores the early-stopping bookkeeping exactly instead of
+    treating the live weights as best."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
-    save_pytree(path, {"params": params, "opt_state": opt_state})
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step, **(extra or {})}, f, default=_to_py)
-    steps = sorted(_steps(ckpt_dir))
-    for old in steps[:-keep]:
-        shutil.rmtree(os.path.join(ckpt_dir, f"step_{old}"), ignore_errors=True)
+    tree = {"params": params, "opt_state": opt_state}
+    if best_params is not None:
+        tree["best_params"] = best_params
+    save_pytree(path, tree)
+    if jax.process_index() == 0:    # host-side metadata/pruning: exactly once
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"step": step,
+                       "has_best_params": best_params is not None,
+                       **(extra or {})}, f, default=_to_py)
+        steps = sorted(_steps(ckpt_dir))
+        for old in steps[:-keep]:
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{old}"),
+                          ignore_errors=True)
 
 
 def _steps(ckpt_dir: str) -> list[int]:
@@ -87,19 +112,23 @@ def latest_step(ckpt_dir: str) -> int | None:
 
 
 def restore_checkpoint(ckpt_dir: str, like: Any | None = None
-                       ) -> tuple[int, Any, Any, dict] | None:
-    """Restore the newest checkpoint → (step, params, opt_state, meta), or None."""
+                       ) -> tuple[int, Any, Any, dict, Any] | None:
+    """Restore the newest checkpoint → (step, params, opt_state, meta,
+    best_params-or-None), or None if no checkpoint exists."""
     step = latest_step(ckpt_dir)
     if step is None:
         return None
     path = os.path.join(ckpt_dir, f"step_{step}")
-    tree = restore_pytree(path, like)
     meta = {}
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    return step, tree["params"], tree["opt_state"], meta
+    if like is not None and meta.get("has_best_params"):
+        like = {**like, "best_params": like["params"]}
+    tree = restore_pytree(path, like)
+    return (step, tree["params"], tree["opt_state"], meta,
+            tree.get("best_params"))
 
 
 def _to_py(v):

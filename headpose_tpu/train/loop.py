@@ -365,7 +365,7 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
         restored = restore_checkpoint(
             ckpt_dir, like={"params": params, "opt_state": opt_state})
         if restored is not None:
-            step, params, opt_state, meta = restored
+            step, params, opt_state, meta, ckpt_best = restored
             # checkpoints are written AFTER epoch `step` completes, so the
             # resumed loop continues at step+1 — re-running `step` would
             # apply its update twice (same fold_in(rng, step) randomness)
@@ -373,7 +373,10 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
             best_val = meta.get("best_val", best_val)
             best_epoch = meta.get("best_epoch", best_epoch)
             wait = meta.get("wait", 0)
-            best_params = _copy(params)
+            # per-epoch checkpoints are written at improvement (params ARE
+            # the best); block-mode ones carry the distinct best weights
+            best_params = _copy(ckpt_best if ckpt_best is not None
+                                else params)
 
     t0 = time.time()
     epoch = start_epoch
@@ -431,10 +434,12 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
             best_epoch = int(estate["best_epoch"])
             wait = int(estate["wait"])
             if best_epoch > prev_best_epoch:
-                # on-disk checkpoint at sync granularity: best params,
-                # sync-point optimizer state (in-memory restore is exact)
-                save_checkpoint(ckpt_dir, epoch, estate["best_params"],
-                                opt_state,
+                # on-disk checkpoint at sync granularity: the LIVE
+                # params/opt_state pair at the sync epoch (so resume replays
+                # the remaining epochs exactly) plus the distinct best
+                # weights for the early-stopping bookkeeping
+                save_checkpoint(ckpt_dir, epoch, params, opt_state,
+                                best_params=estate["best_params"],
                                 extra={"best_val": best_val,
                                        "best_epoch": best_epoch,
                                        "wait": wait, "run_id": run_id})
@@ -461,6 +466,10 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
         if not (np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])):
             nan_recoveries += 1
             if nan_recoveries > 3:
+                # give up — but never RETURN the NaN-poisoned weights: roll
+                # back to best first, exactly like the block-mode on_nan
+                # path (matters when restore_best_weights=False)
+                params = _copy(best_params)
                 break
             params = _copy(best_params)
             cur_lr = (float(opt_state.hyperparams["learning_rate"])

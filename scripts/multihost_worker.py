@@ -60,6 +60,7 @@ def main() -> None:
         num_processes=args.num_processes, process_id=args.process_id)
 
     import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from headpose_tpu.data import Dataset
     from headpose_tpu.train import config_96, fit
@@ -74,7 +75,6 @@ def main() -> None:
     # it for real: per-process disjoint halves must equal the
     # global-semantics device_put of the full array, shard by shard.
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     full = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
     n_local = 16 // args.num_processes
@@ -114,7 +114,6 @@ def main() -> None:
     # head_param_specs) — executed across processes, not just the
     # single-process 8-device mesh of tests/test_parallel.py
     import optax
-    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
 
     from headpose_tpu.models import MLPHead
     from headpose_tpu.parallel import shard_head_params
@@ -124,7 +123,7 @@ def main() -> None:
     spec = MLPHead(96, ((64, "tanh"), (3, "linear")), dropout_rate=0.01)
     params = shard_head_params(spec, spec.init(jax.random.PRNGKey(0)), mesh2)
     optimizer = optax.adam(2.8e-4, eps=1e-7)
-    opt_state = jax.device_put(optimizer.init(params), _NS(mesh2, _P()))
+    opt_state = jax.device_put(optimizer.init(params), NamedSharding(mesh2, P()))
     rng2 = np.random.default_rng(1)
     batch = {
         "x": rng2.normal(size=(64, 96)).astype(np.float32),
@@ -132,7 +131,7 @@ def main() -> None:
         "w": np.ones((64,), np.float32),
         "mask": np.ones((64,), np.float32),
     }
-    row2 = _NS(mesh2, _P(mesh2.axis_names[0]))
+    row2 = NamedSharding(mesh2, P(mesh2.axis_names[0]))
     batch = {k: jax.device_put(v, row2) for k, v in batch.items()}
 
     @jax.jit
@@ -156,8 +155,6 @@ def main() -> None:
         # feeds the identical host batch; jit shards it over 'data', each
         # process computes its local rows ('auto' postprocess resolves to
         # the XLA backend on this CPU mesh)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from headpose_tpu.pretrained import flagship_detector
 
         det = flagship_detector(mesh=mesh)

@@ -32,6 +32,11 @@ def _free_port() -> int:
 
 @pytest.mark.slow
 def test_two_process_dp_training_matches_single_process(tmp_path):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("single-process reference comparison needs 8 virtual "
+                    "devices (see conftest)")
     env = dict(os.environ)
     # each worker process owns 4 virtual CPU devices (the test process's
     # own 8-device flag must not leak through)
@@ -53,8 +58,16 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
              "--num_processes", "2", "--port", str(port),
              "--ckpt_dir", str(ckpt), "--out", str(out), "--detect"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = [p.communicate(timeout=600)[0].decode(errors="replace")
-            for p in procs]
+    try:
+        logs = [p.communicate(timeout=600)[0].decode(errors="replace")
+                for p in procs]
+    finally:
+        # a worker that crashed before joining the cluster leaves its peer
+        # blocked in a collective forever — never leak it past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 

@@ -325,6 +325,10 @@ def test_compat_detector_methods(production_detector):
     from headpose_tpu.compat import blazeFaceDetector
 
     det = blazeFaceDetector()
+    # the reference __init__ establishes these without further calls
+    assert (det.inputHeight, det.inputWidth, det.channels) == (128, 128, 3)
+    assert len(det.anchors) == 896
+    assert np.isclose(det.sigmoidScoreThreshold, np.log(0.4 / 0.6))
     assert det.updateFps() >= 0
     det.getModelInputDetails()
     assert (det.inputHeight, det.inputWidth, det.channels) == (128, 128, 3)

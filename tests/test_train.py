@@ -115,7 +115,7 @@ class TestFit:
         res1 = fit(cfg, ds)
         ckpt = restore_checkpoint(os.path.join(str(tmp_path), "t"))
         assert ckpt is not None
-        step, params, opt_state, meta = ckpt
+        step, params, opt_state, meta, _ = ckpt
         assert step <= 4 and meta["run_id"] == "t"
         # resume continues past the first run's epochs
         cfg2 = cfg.replace(total_epochs=8)
@@ -143,6 +143,42 @@ class TestFit:
         for a, b in zip(jax.tree_util.tree_leaves(res.params),
                         jax.tree_util.tree_leaves(full.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_block_mode_resume_is_exact_continuation(self, tmp_path):
+        """Block-mode checkpoints carry the LIVE params/opt_state pair at
+        the sync epoch PLUS the distinct best weights — resume must replay
+        the remaining blocks exactly (guards the inconsistent-triple bug
+        where best_params@best_epoch was saved with opt_state@sync)."""
+        ds = synthetic_dataset()
+        base = dict(early_stopping_patience=100, epochs_per_sync=2)
+        full = fit(self._cfg(tmp_path, run_name="bfull", total_epochs=6,
+                             **base), ds)
+        cfg_r = self._cfg(tmp_path, run_name="bres", total_epochs=4, **base)
+        fit(cfg_r, ds)
+        res = fit(cfg_r.replace(total_epochs=6), ds, resume=True)
+        assert [r["epoch"] for r in res.history] == [4, 5]
+        for got, want in zip(res.history, full.history[4:]):
+            assert got == want, (got, want)
+        for a, b in zip(jax.tree_util.tree_leaves(res.params),
+                        jax.tree_util.tree_leaves(full.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert res.best_epoch == full.best_epoch
+
+    def test_nan_giveup_returns_best_not_poisoned(self, tmp_path):
+        """After the 4th NaN recovery the run gives up — it must return the
+        rolled-back best weights, not the diverged ones, even with
+        restore_best_weights=False (parity with block mode's on_nan)."""
+        ds = synthetic_dataset(n=128)
+        # SGD at an absurd LR overflows f32 within an epoch (Adam would not:
+        # its normalized updates are bounded by the LR at any gradient)
+        cfg = self._cfg(tmp_path, total_epochs=200, optimizer="sgd",
+                        learning_rate=1e20, early_stopping_patience=1000,
+                        restore_best_weights=False)
+        res = fit(cfg, ds)
+        # the giveup path must actually have fired (every epoch diverges)
+        assert len(res.history) < 10
+        for leaf in jax.tree_util.tree_leaves(res.params):
+            assert np.isfinite(np.asarray(leaf)).all()
 
     def test_resume_without_run_name_raises(self, tmp_path):
         ds = synthetic_dataset()
