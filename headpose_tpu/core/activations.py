@@ -24,7 +24,9 @@ ACTIVATIONS: dict[str, Callable] = {
     "softplus": jax.nn.softplus,
     "swish": jax.nn.swish,
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),
-    "gelu": jax.nn.gelu,
+    # tf-keras gelu defaults to the EXACT erf form; jax.nn.gelu defaults to
+    # the tanh approximation (~1e-3/layer divergence — silent parity rot)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
 }
 
 

@@ -23,6 +23,8 @@ Reference parity targets (file:line in /root/reference):
 """
 from __future__ import annotations
 
+import functools
+import operator
 from typing import Any, Callable
 
 import jax
@@ -41,11 +43,13 @@ def _padding(cfg: dict) -> str:
     return cfg.get("padding", "valid").upper()
 
 
-def _conv2d(x, kernel, bias, strides, padding, feature_group_count=1):
+def _conv2d(x, kernel, bias, strides, padding, feature_group_count=1,
+            dilation=(1, 1)):
     y = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=tuple(strides),
         padding=padding,
+        rhs_dilation=tuple(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=feature_group_count,
     )
@@ -54,13 +58,19 @@ def _conv2d(x, kernel, bias, strides, padding, feature_group_count=1):
     return y
 
 
+def _dilation(cfg: dict) -> tuple[int, int]:
+    d = cfg.get("dilation_rate", (1, 1))
+    return (int(d), int(d)) if isinstance(d, int) else (int(d[0]), int(d[1]))
+
+
 # ---------------------------------------------------------------------------
 # per-layer apply functions: (layer, params_for_layer, inputs) -> output
 # ---------------------------------------------------------------------------
 
 def _apply_conv2d(layer: LayerDef, p, xs):
     cfg = layer.config
-    y = _conv2d(xs[0], p["kernel"], p.get("bias"), cfg["strides"], _padding(cfg))
+    y = _conv2d(xs[0], p["kernel"], p.get("bias"), cfg["strides"],
+                _padding(cfg), dilation=_dilation(cfg))
     return _activation(cfg.get("activation"))(y)
 
 
@@ -70,7 +80,7 @@ def _apply_depthwise_conv2d(layer: LayerDef, p, xs):
     kh, kw, cin, mult = k.shape
     k = k.reshape(kh, kw, 1, cin * mult)
     y = _conv2d(xs[0], k, p.get("bias"), cfg["strides"], _padding(cfg),
-                feature_group_count=cin)
+                feature_group_count=cin, dilation=_dilation(cfg))
     return _activation(cfg.get("activation"))(y)
 
 
@@ -79,7 +89,8 @@ def _apply_separable_conv2d(layer: LayerDef, p, xs):
     dk = p["depthwise_kernel"]
     kh, kw, cin, mult = dk.shape
     y = _conv2d(xs[0], dk.reshape(kh, kw, 1, cin * mult), None,
-                cfg["strides"], _padding(cfg), feature_group_count=cin)
+                cfg["strides"], _padding(cfg), feature_group_count=cin,
+                dilation=_dilation(cfg))
     y = _conv2d(y, p["pointwise_kernel"], p.get("bias"), (1, 1), "VALID")
     return _activation(cfg.get("activation"))(y)
 
@@ -105,10 +116,23 @@ def _apply_dense(layer: LayerDef, p, xs):
     return _activation(layer.config.get("activation"))(y)
 
 
+def _require_last_axis(cfg: dict, x, what: str) -> None:
+    """This compiler normalizes/broadcasts over the LAST axis; any other
+    saved axis would silently broadcast wrong (fail-loud bar, see
+    _apply_tf_op)."""
+    axis = cfg.get("axis", -1)
+    axes = [axis] if isinstance(axis, int) else list(axis)
+    if any(a not in (-1, x.ndim - 1) for a in axes):
+        raise NotImplementedError(
+            f"{what} with axis={axis} on rank-{x.ndim} input — only the "
+            "last axis is supported")
+
+
 def _apply_batchnorm(layer: LayerDef, p, xs):
     cfg = layer.config
     eps = cfg.get("epsilon", 1e-3)
     x = xs[0]
+    _require_last_axis(cfg, x, "BatchNormalization")
     mean = p["moving_mean"]
     var = p["moving_variance"]
     inv = jax.lax.rsqrt(var + eps)
@@ -124,6 +148,7 @@ def _apply_layernorm(layer: LayerDef, p, xs):
     cfg = layer.config
     eps = cfg.get("epsilon", 1e-3)  # Keras LayerNormalization default
     x = xs[0]
+    _require_last_axis(cfg, x, "LayerNormalization")
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
@@ -264,7 +289,7 @@ _LAYER_FNS: dict[str, Callable] = {
     "TensorFlowOpLayer": _apply_tf_op,
     "Lambda": _apply_lambda,
     "Add": lambda l, p, xs: sum(xs[1:], xs[0]),
-    "Multiply": lambda l, p, xs: xs[0] * xs[1],
+    "Multiply": lambda l, p, xs: functools.reduce(operator.mul, xs),
     "Average": lambda l, p, xs: sum(xs[1:], xs[0]) / len(xs),
     "Concatenate": lambda l, p, xs: jnp.concatenate(
         xs, axis=int(l.config.get("axis", -1))),

@@ -86,6 +86,18 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
                             kh = a["config"].get("keras_history")
                             if kh:
                                 refs.append((kh[0], int(kh[1]), int(kh[2])))
+                    # non-tensor call kwargs (axis=..., y=..., keepdims=...)
+                    # must survive: dropping them silently changes op
+                    # semantics (e.g. tf.concat axis falls back to 0)
+                    for k, v in (item.get("kwargs") or {}).items():
+                        if k == "name" or v is None:
+                            continue
+                        if isinstance(v, dict) and "config" in v:
+                            kh = v["config"].get("keras_history")
+                            if kh:  # tensor-valued kwarg (e.g. math.add y=)
+                                refs.append((kh[0], int(kh[1]), int(kh[2])))
+                                continue
+                        kw[k] = v
         nodes.append(refs)
         kwargs.append(kw)
     return nodes, kwargs

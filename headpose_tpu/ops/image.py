@@ -33,15 +33,23 @@ def _keys_cubic(t: np.ndarray, a: float = -0.5) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def bicubic_matrix(src: int, dst: int) -> np.ndarray:
-    """(dst, src) interpolation matrix for one axis (float32)."""
+    """(dst, src) interpolation matrix for one axis (float32).
+
+    TF's ResizeBicubic does not evaluate the kernel at the continuous
+    phase: it indexes a 1024-bin coefficient table with
+    lrintf(delta * 1024) (resize_bicubic_op.cc), so exact parity requires
+    quantizing the fractional phase to the same 1/1024 grid.  Power-of-two
+    shrinks (the production 128 path) land on the grid and are unaffected;
+    arbitrary sizes would otherwise diverge by up to ~1e-3/pixel."""
     scale = src / dst
     x = (np.arange(dst) + 0.5) * scale - 0.5
     i0 = np.floor(x).astype(np.int64)
+    xq = i0 + np.rint((x - i0) * 1024.0) / 1024.0   # TF's table phase
     m = np.zeros((dst, src), np.float64)
     rows = np.arange(dst)
     for k in range(-1, 3):
         idx = i0 + k
-        w = _keys_cubic(x - idx) * ((idx >= 0) & (idx < src))
+        w = _keys_cubic(xq - idx) * ((idx >= 0) & (idx < src))
         np.add.at(m, (rows, np.clip(idx, 0, src - 1)), w)
     m /= m.sum(axis=1, keepdims=True)
     return m.astype(np.float32)
@@ -59,7 +67,10 @@ def resize_bicubic(images: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     B, H, W, C = images.shape
     oh, ow = out_hw
     if (H, W) == (oh, ow):
-        return images[0] if squeeze else images
+        # keep the output contract consistent with the resize paths, which
+        # promote through the f32 interpolation matrices
+        out = images.astype(jnp.float32)
+        return out[0] if squeeze else out
     rh = jnp.asarray(bicubic_matrix(H, oh))
     rw = jnp.asarray(bicubic_matrix(W, ow))
     # rows: (oh, H) @ (B, H, W*C) -> (B, oh, W*C)
@@ -77,6 +88,10 @@ def preprocess(images: jax.Array, input_size: int = 128,
     images: (B, H, W, 3) or (H, W, 3), uint8 or float in [0, 255].
     Returns (B, input_size, input_size, 3) float32 in [-1, 1].
     """
+    if channel_order not in ("bgr", "rgb"):
+        # a typo'd order would otherwise silently mean "no swap"
+        raise ValueError(f"channel_order must be 'bgr' or 'rgb', "
+                         f"got {channel_order!r}")
     squeeze = images.ndim == 3
     if squeeze:
         images = images[None]

@@ -74,6 +74,9 @@ class FaceDetector:
         self.iou_threshold = float(iou_threshold)
         self.max_faces = int(max_faces)
         self.input_size = int(input_size)
+        if channel_order not in ("bgr", "rgb"):
+            raise ValueError(f"channel_order must be 'bgr' or 'rgb', "
+                             f"got {channel_order!r}")
         self.channel_order = channel_order
         # 'highest' pins exact-f32 matmuls/convs — on TPU the default bf16
         # passes cost ~20 degrees on pose maps (errors compound through the
