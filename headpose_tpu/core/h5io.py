@@ -66,19 +66,46 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
     TFOpLambda's FLAT call `[["prev", 0, 0, {"y": 2.0}]]` (the whole call is
     one ref whose 4th element carries non-tensor kwargs), and the newer
     kwargs-style dict nodes."""
+    def consume_kwargs(d: dict, refs, kw, seen):
+        """Fold one saved call-kwargs dict into (refs, kw).
+
+        Non-tensor call kwargs (axis=..., keepdims=...) must survive:
+        dropping them silently changes op semantics (e.g. tf.concat's axis
+        falls back to 0).  Tensor-valued kwargs (e.g. tf.math.add's y=)
+        arrive either as a nested Keras-tensor dict (keras_history inside
+        "config") or, in the flat/classic formats, as a bare history triple
+        [layer, node, idx] — both become inbound refs.  `seen` dedups keys:
+        the classic nested format replicates the same kwargs dict on every
+        positional item of the call."""
+        for k, v in d.items():
+            if k == "name" or v is None or k in seen:
+                continue
+            seen.add(k)
+            if isinstance(v, dict) and "config" in v:
+                kh = v["config"].get("keras_history")
+                if kh:
+                    refs.append((kh[0], int(kh[1]), int(kh[2])))
+                    continue
+            if (isinstance(v, list) and len(v) == 3 and isinstance(v[0], str)
+                    and not isinstance(v[1], (list, dict, str))):
+                refs.append((v[0], int(v[1]), int(v[2])))
+                continue
+            kw[k] = v
+
     nodes, kwargs = [], []
     for call in raw or []:
-        refs, kw = [], {}
+        refs, kw, seen = [], {}, set()
         if (isinstance(call, list) and call and isinstance(call[0], str)):
-            # flat TFOpLambda-style call: one ref + scalar kwargs
+            # flat TFOpLambda-style call: one ref + kwargs
             refs.append((call[0], int(call[1]), int(call[2])))
             if len(call) > 3 and isinstance(call[3], dict):
-                kw = {k: v for k, v in call[3].items()
-                      if k != "name" and v is not None}
+                consume_kwargs(call[3], refs, kw, seen)
         else:
             for item in call:
                 if isinstance(item, list):
                     refs.append((item[0], int(item[1]), int(item[2])))
+                    if len(item) > 3 and isinstance(item[3], dict):
+                        consume_kwargs(item[3], refs, kw, seen)
                 elif isinstance(item, dict):  # newer keras kwargs-style node
                     args = item.get("args", [])
                     for a in args:
@@ -86,18 +113,7 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
                             kh = a["config"].get("keras_history")
                             if kh:
                                 refs.append((kh[0], int(kh[1]), int(kh[2])))
-                    # non-tensor call kwargs (axis=..., y=..., keepdims=...)
-                    # must survive: dropping them silently changes op
-                    # semantics (e.g. tf.concat axis falls back to 0)
-                    for k, v in (item.get("kwargs") or {}).items():
-                        if k == "name" or v is None:
-                            continue
-                        if isinstance(v, dict) and "config" in v:
-                            kh = v["config"].get("keras_history")
-                            if kh:  # tensor-valued kwarg (e.g. math.add y=)
-                                refs.append((kh[0], int(kh[1]), int(kh[2])))
-                                continue
-                        kw[k] = v
+                    consume_kwargs(item.get("kwargs") or {}, refs, kw, seen)
         nodes.append(refs)
         kwargs.append(kw)
     return nodes, kwargs

@@ -33,6 +33,30 @@ class TestResize:
         single = np.asarray(resize_bicubic(jnp.asarray(imgs[1]), (128, 128)))
         np.testing.assert_allclose(out[1], single, atol=1e-6)
 
+    def test_bicubic_nondyadic_phase_matches_tf(self):
+        """TF's ResizeBicubic reads a 1024-bin coefficient table, quantizing
+        the fractional phase to 1/1024 (resize_bicubic_op.cc); non-dyadic
+        output sizes land off-grid, so exact parity needs the same
+        quantization (round-3 fix).  Built in-test — the committed golden
+        covers only 128-output sizes."""
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.default_rng(7)
+        img = rng.uniform(size=(100, 70, 3)).astype(np.float32)
+        want = tf.image.resize(img, [47, 33], method="bicubic").numpy()
+        got = np.asarray(resize_bicubic(jnp.asarray(img), (47, 33)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_same_size_noop_promotes_to_f32(self):
+        """The no-resize fast path must keep the f32 output contract of the
+        resize paths (round-3 fix: uint8 used to pass through unpromoted)."""
+        img = np.random.default_rng(0).integers(0, 256, (128, 128, 3), dtype=np.uint8)
+        out = resize_bicubic(jnp.asarray(img), (128, 128))
+        assert out.dtype == jnp.float32
+
+    def test_channel_order_validated(self):
+        with pytest.raises(ValueError, match="channel_order"):
+            preprocess(jnp.zeros((4, 4, 3), jnp.float32), channel_order="bgra")
+
     def test_preprocess_range(self):
         img = np.random.default_rng(0).integers(0, 256, (240, 320, 3)).astype(np.uint8)
         x = np.asarray(preprocess(jnp.asarray(img)))

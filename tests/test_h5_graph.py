@@ -171,3 +171,55 @@ class TestSharedLayersAndTFOpLambda:
         gm = load_graph_model(path)
         np.testing.assert_allclose(np.asarray(gm(x)), want,
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestDilationGeluKwargsFixes:
+    """Round-3 graph-compiler review fixes, each a silent-wrong-values class:
+    dilated convolutions (dilation_rate was dropped), tf-keras's exact-erf
+    gelu (jax.nn.gelu defaults to the tanh approximation), n-ary Multiply,
+    and non-tensor call kwargs surviving h5 deserialization (reduce_mean's
+    axis/keepdims, concat's axis; without them tf.concat silently falls back
+    to axis 0).  Fixtures are built with tf-keras in-test, like
+    TestSharedLayersAndTFOpLambda above."""
+
+    @pytest.fixture(scope="class")
+    def fixture_h5(self, tmp_path_factory):
+        keras = pytest.importorskip("tf_keras")
+        import tensorflow as tf
+        path = str(tmp_path_factory.mktemp("dil") / "dilation_kwargs.h5")
+        inp = keras.Input(shape=(16, 16, 4))
+        a = keras.layers.Conv2D(8, 3, dilation_rate=2, padding="same",
+                                activation="gelu")(inp)
+        b = keras.layers.DepthwiseConv2D(3, dilation_rate=(2, 2),
+                                         padding="same", activation="relu")(a)
+        c = keras.layers.SeparableConv2D(8, 3, dilation_rate=2,
+                                         padding="same")(b)
+        m3 = keras.layers.Multiply()([a, b, c])          # 3-input multiply
+        r = tf.math.reduce_mean(m3, axis=[1, 2], keepdims=True)
+        s = tf.math.add(m3, y=r)                         # tensor-valued kwarg
+        cat = tf.concat([s, c], axis=3)                  # scalar axis kwarg
+        m = keras.Model(inp, cat)
+        m.save(path)
+        x = np.random.default_rng(3).normal(size=(2, 16, 16, 4)).astype(np.float32)
+        return path, x, m.predict(x, verbose=0)
+
+    def test_numeric_parity(self, fixture_h5):
+        path, x, want = fixture_h5
+        gm = load_graph_model(path)
+        got = np.asarray(gm(x))
+        assert got.shape == want.shape
+        # atol well below the ~1e-3 erf-vs-tanh gelu divergence, so the
+        # approximate-gelu regression cannot slip back in
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+
+    def test_non_last_axis_batchnorm_fails_loud(self, tmp_path):
+        """The compiler normalizes over the last axis only; any other saved
+        axis must raise, not silently broadcast wrong."""
+        keras = pytest.importorskip("tf_keras")
+        inp = keras.Input(shape=(6, 5))
+        out = keras.layers.BatchNormalization(axis=1)(inp)
+        path = str(tmp_path / "bn_axis1.h5")
+        keras.Model(inp, out).save(path)
+        with pytest.raises(NotImplementedError, match="axis"):
+            gm = load_graph_model(path)
+            gm(np.zeros((2, 6, 5), np.float32))
