@@ -122,7 +122,9 @@ def se_transformer_forward(spec: SETransformerHead, params, x, *,
 
     in_specs = [pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)]
-    in_specs += [pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+    # nd=a.ndim binds at definition time — a bare `a.ndim` in the lambda
+    # would late-bind to the LAST arg's rank for every spec
+    in_specs += [pl.BlockSpec(a.shape, lambda b, nd=a.ndim: (0,) * nd,
                               memory_space=pltpu.VMEM) for a in args]
 
     out = pl.pallas_call(

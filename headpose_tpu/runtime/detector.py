@@ -153,10 +153,19 @@ class FaceDetector:
     # splits wide batches into <=128-image branches INSIDE the one jit.
     CHUNK = 128
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
-    def _pipeline(self, params, images, score_threshold, iou_threshold,
-                  max_faces, precision, postprocess_backend="xla",
-                  turbo_island=None):
+    @functools.cached_property
+    def _pipeline(self):
+        # per-INSTANCE jit (not a class-level static-self decoration): a
+        # class-level wrapper would key the process-global jit cache on
+        # `self`, pinning every detector ever used — and its full params
+        # pytree — for the life of the process.  The cached_property's
+        # compiled programs die with the instance.
+        return jax.jit(self._pipeline_dispatch,
+                       static_argnums=(2, 3, 4, 5, 6, 7))
+
+    def _pipeline_dispatch(self, params, images, score_threshold,
+                           iou_threshold, max_faces, precision,
+                           postprocess_backend="xla", turbo_island=None):
         b = images.shape[0]
         # the 128-lane cliff is per DEVICE: under a dp mesh each device
         # holds b/n of the batch, so one chunk covers CHUNK lanes per shard

@@ -9,6 +9,7 @@ the whole thing composes with jit / lax.scan for offline sequences.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -107,8 +108,17 @@ class TrackSmoother:
     def reset(self) -> None:
         self._state = None
 
+    @functools.cached_property
+    def _step(self):
+        # ONE jitted program per smoother (same pattern as
+        # tracking.IoUTrackSmoother._step): eager ema_update dispatches each
+        # of its per-leaf ops individually — through the axon TPU tunnel
+        # that is one round trip per op per frame (CLAUDE.md: jit every
+        # tool path)
+        return jax.jit(functools.partial(ema_update, alpha=self.alpha))
+
     def __call__(self, signals: Any, valid=None) -> Any:
         if self._state is None:
             self._state = ema_init(signals)
-        self._state, smoothed = ema_update(self._state, signals, self.alpha, valid)
+        self._state, smoothed = self._step(self._state, signals, valid=valid)
         return smoothed
