@@ -97,6 +97,14 @@ def _apply_separable_conv2d(layer: LayerDef, p, xs):
 
 def _apply_conv2d_transpose(layer: LayerDef, p, xs):
     cfg = layer.config
+    out_pad = cfg.get("output_padding")
+    if out_pad is not None and any(int(v) != 0 for v in np.atleast_1d(out_pad)):
+        raise NotImplementedError(
+            f"Conv2DTranspose output_padding={out_pad} is not supported")
+    if any(d != 1 for d in _dilation(cfg)):
+        raise NotImplementedError(
+            f"Conv2DTranspose dilation_rate={cfg['dilation_rate']} "
+            "is not supported")
     y = jax.lax.conv_transpose(
         xs[0], p["kernel"],
         strides=tuple(cfg["strides"]),
@@ -165,6 +173,12 @@ def _apply_mha(layer: LayerDef, p, xs):
     Weights (per core.h5io keys): query/kernel (C,H,D), key/kernel, value/kernel,
     attention_output/kernel (H,D,C) and matching biases.
     """
+    if len(xs) > 2:
+        # a distinct key tensor (query, value, key) would need K taken from
+        # xs[2]; silently reusing xs[1] for both computes wrong attention
+        raise NotImplementedError(
+            "MultiHeadAttention with a separate key tensor (3 inputs) "
+            "is not supported — only self/cross attention with key=value")
     q_in = xs[0]
     kv_in = xs[1] if len(xs) > 1 else xs[0]
     q = jnp.einsum("btc,chd->bthd", q_in, p["query/kernel"]) + p["query/bias"]
@@ -220,7 +234,9 @@ def _apply_tf_op(layer: LayerDef, p, xs):
         a, b = operands(2)
         return a / b
     if node_op == "ConcatV2":
-        *ts, axis = operands(len(xs) + 1)
+        # total inputs = graph tensors + ALL captured constants (constant
+        # concat operands count too, not just the trailing axis)
+        *ts, axis = operands(len(xs) + len(constants))
         return jnp.concatenate(ts, axis=int(axis))
     if node_op == "ExpandDims":
         x, axis = operands(2)
@@ -296,7 +312,8 @@ _LAYER_FNS: dict[str, Callable] = {
     "ReLU": lambda l, p, xs: jax.nn.relu(xs[0]),
     "Activation": lambda l, p, xs: _activation(l.config.get("activation"))(xs[0]),
     "Flatten": lambda l, p, xs: xs[0].reshape(xs[0].shape[0], -1),
-    "GlobalAveragePooling2D": lambda l, p, xs: jnp.mean(xs[0], axis=(1, 2)),
+    "GlobalAveragePooling2D": lambda l, p, xs: jnp.mean(
+        xs[0], axis=(1, 2), keepdims=bool(l.config.get("keepdims", False))),
     "MaxPooling2D": lambda l, p, xs: jax.lax.reduce_window(
         xs[0], -jnp.inf, jax.lax.max,
         (1, *l.config["pool_size"], 1), (1, *l.config["strides"], 1),

@@ -66,8 +66,20 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
     TFOpLambda's FLAT call `[["prev", 0, 0, {"y": 2.0}]]` (the whole call is
     one ref whose 4th element carries non-tensor kwargs), and the newer
     kwargs-style dict nodes."""
-    def consume_kwargs(d: dict, refs, kw, seen):
-        """Fold one saved call-kwargs dict into (refs, kw).
+    def arg_refs(a, refs):
+        """Extract keras-tensor refs from one saved positional arg (a
+        Keras-tensor dict, or a LIST of them — e.g. tf.concat's tensor
+        list)."""
+        if isinstance(a, dict) and "config" in a:
+            kh = a["config"].get("keras_history")
+            if kh:
+                refs.append((kh[0], int(kh[1]), int(kh[2])))
+        elif isinstance(a, list):
+            for e in a:
+                arg_refs(e, refs)
+
+    def consume_kwargs(d: dict, kwarg_refs, kw, seen):
+        """Fold one saved call-kwargs dict into (kwarg_refs, kw).
 
         Non-tensor call kwargs (axis=..., keepdims=...) must survive:
         dropping them silently changes op semantics (e.g. tf.concat's axis
@@ -76,7 +88,9 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
         "config") or, in the flat/classic formats, as a bare history triple
         [layer, node, idx] — both become inbound refs.  `seen` dedups keys:
         the classic nested format replicates the same kwargs dict on every
-        positional item of the call."""
+        positional item of the call.  kwarg_refs is kept separate so tensor
+        kwargs always land AFTER every positional ref regardless of which
+        item carried the dict."""
         for k, v in d.items():
             if k == "name" or v is None or k in seen:
                 continue
@@ -84,37 +98,34 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
             if isinstance(v, dict) and "config" in v:
                 kh = v["config"].get("keras_history")
                 if kh:
-                    refs.append((kh[0], int(kh[1]), int(kh[2])))
+                    kwarg_refs.append((kh[0], int(kh[1]), int(kh[2])))
                     continue
             if (isinstance(v, list) and len(v) == 3 and isinstance(v[0], str)
                     and not isinstance(v[1], (list, dict, str))):
-                refs.append((v[0], int(v[1]), int(v[2])))
+                kwarg_refs.append((v[0], int(v[1]), int(v[2])))
                 continue
             kw[k] = v
 
     nodes, kwargs = [], []
     for call in raw or []:
-        refs, kw, seen = [], {}, set()
+        refs, kwarg_refs, kw, seen = [], [], {}, set()
         if (isinstance(call, list) and call and isinstance(call[0], str)):
             # flat TFOpLambda-style call: one ref + kwargs
             refs.append((call[0], int(call[1]), int(call[2])))
             if len(call) > 3 and isinstance(call[3], dict):
-                consume_kwargs(call[3], refs, kw, seen)
+                consume_kwargs(call[3], kwarg_refs, kw, seen)
         else:
             for item in call:
                 if isinstance(item, list):
                     refs.append((item[0], int(item[1]), int(item[2])))
                     if len(item) > 3 and isinstance(item[3], dict):
-                        consume_kwargs(item[3], refs, kw, seen)
+                        consume_kwargs(item[3], kwarg_refs, kw, seen)
                 elif isinstance(item, dict):  # newer keras kwargs-style node
-                    args = item.get("args", [])
-                    for a in args:
-                        if isinstance(a, dict) and "config" in a:
-                            kh = a["config"].get("keras_history")
-                            if kh:
-                                refs.append((kh[0], int(kh[1]), int(kh[2])))
-                    consume_kwargs(item.get("kwargs") or {}, refs, kw, seen)
-        nodes.append(refs)
+                    for a in item.get("args", []):
+                        arg_refs(a, refs)
+                    consume_kwargs(item.get("kwargs") or {}, kwarg_refs, kw,
+                                   seen)
+        nodes.append(refs + kwarg_refs)
         kwargs.append(kw)
     return nodes, kwargs
 

@@ -234,7 +234,12 @@ def blazeface_from_h5(path: str) -> tuple[BlazeFace, Params]:
     (BlazePoser/UnifiedModels/*.h5) into the native parameter pytree."""
     from ..core.h5io import read_model
 
-    md = read_model(path)
+    return blazeface_from_modeldef(read_model(path))
+
+
+def blazeface_from_modeldef(md) -> tuple[BlazeFace, Params]:
+    """Same import from an already-parsed core.h5io.ModelDef — lets callers
+    that also need the graph (unified_from_h5) parse the multi-MB H5 once."""
 
     def w(layer: str) -> dict[str, np.ndarray]:
         return md.layers[layer].weights

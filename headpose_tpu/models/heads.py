@@ -45,7 +45,7 @@ __all__ = [
 
 Params = dict[str, Any]
 
-from ..core.activations import ACTIVATIONS as _ACT
+from ..core.activations import get_activation as _get_act
 
 
 def _glorot(key, cin: int, cout: int, dtype=jnp.float32):
@@ -58,7 +58,7 @@ def _dense_init(key, cin: int, cout: int) -> Params:
 
 
 def _dense(p: Params, x, act: str):
-    return _ACT[act](x @ p["w"] + p["b"])
+    return _get_act(act)(x @ p["w"] + p["b"])
 
 
 def _spatial_dropout(key, x, rate: float):
@@ -554,5 +554,13 @@ def mlp_head_from_modeldef(md) -> tuple[MLPHead, Params]:
             raise ValueError(f"{path}: layer {cls} is not part of an MLP chain")
     if in_features is None:
         raise ValueError(f"{path}: no InputLayer found")
+    if params and int(params[0]["w"].shape[0]) != in_features:
+        # e.g. Flatten of a >1x1 spatial input feeding a Dense: the kernel's
+        # input dim disagrees with the channel count and the spec would
+        # silently mismatch the imported weights
+        raise ValueError(
+            f"{path}: first layer expects {int(params[0]['w'].shape[0])} "
+            f"input features but the InputLayer provides {in_features} "
+            "channels — not a per-cell MLP chain")
     spec = MLPHead(in_features=in_features, layers=tuple(layers))
     return spec, {"layers": params}

@@ -21,7 +21,7 @@ from typing import Any
 
 import jax
 
-from .blazeface import BlazeFace, BLAZEFACE_FRONT, blazeface_from_h5
+from .blazeface import BlazeFace, BLAZEFACE_FRONT, blazeface_from_modeldef
 from .heads import mlp_head_from_modeldef
 
 __all__ = ["UnifiedPoseModel", "unified_from_h5", "join_models"]
@@ -83,8 +83,8 @@ def unified_from_h5(path: str) -> tuple[UnifiedPoseModel, Params]:
     SSD heads, and both nested pose regressors — into the native model."""
     from ..core.h5io import read_model
 
-    spec, backbone_params = blazeface_from_h5(path)
-    md = read_model(path)
+    md = read_model(path)  # parsed ONCE; backbone import shares the graph
+    spec, backbone_params = blazeface_from_modeldef(md)
     heads = []
     for name in md.order:
         layer = md.layers[name]

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.heads import MLPHead, _ACT
+from ...core.activations import get_activation
+from ...models.heads import MLPHead
 
 __all__ = ["mlp_head_forward"]
 
@@ -33,7 +34,7 @@ def _kernel(spec: MLPHead, n_layers: int, x_ref, *refs):
         w = refs[2 * i][:]
         b = refs[2 * i + 1][:]
         h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        h = _ACT[spec.layers[i][1]](h)
+        h = get_activation(spec.layers[i][1])(h)
     out_ref[:] = h
 
 

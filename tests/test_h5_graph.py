@@ -223,3 +223,24 @@ class TestDilationGeluKwargsFixes:
         with pytest.raises(NotImplementedError, match="axis"):
             gm = load_graph_model(path)
             gm(np.zeros((2, 6, 5), np.float32))
+
+
+class TestGapKeepdims:
+    """GlobalAveragePooling2D(keepdims=True) must keep (B,1,1,C) — the
+    SE-gate pattern multiplies it straight back into the feature map, so
+    silently returning (B,C) broadcasts wrong (round-3 review fix)."""
+
+    def test_keepdims_se_gate_parity(self, tmp_path):
+        keras = pytest.importorskip("tf_keras")
+        inp = keras.Input(shape=(8, 8, 6))
+        g = keras.layers.GlobalAveragePooling2D(keepdims=True)(inp)
+        g = keras.layers.Conv2D(6, 1, activation="sigmoid")(g)
+        out = keras.layers.Multiply()([inp, g])
+        m = keras.Model(inp, out)
+        path = str(tmp_path / "gap_keepdims.h5")
+        m.save(path)
+        x = np.random.default_rng(11).normal(size=(3, 8, 8, 6)).astype(np.float32)
+        want = m.predict(x, verbose=0)
+        got = np.asarray(load_graph_model(path)(x))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

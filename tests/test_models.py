@@ -282,3 +282,19 @@ def test_back_camera_backbone_and_detector():
     batch = det.detect(imgs)
     assert batch.boxes.shape[0] == 2
     assert np.all(np.isfinite(np.asarray(batch.poses)))
+
+
+def test_mlp_import_rejects_flattened_spatial_input(tmp_path):
+    """A Flatten of a >1x1 spatial input feeding Dense is NOT a per-cell MLP
+    chain: the kernel input dim disagrees with the channel count, and the
+    importer must fail loud instead of returning a spec whose init() shape
+    disagrees with the imported weights (round-3 review fix)."""
+    keras = pytest.importorskip("tf_keras")
+    from headpose_tpu.models.heads import head_from_h5
+    inp = keras.Input(shape=(2, 2, 88))
+    x = keras.layers.Flatten()(inp)
+    out = keras.layers.Dense(3)(x)
+    path = str(tmp_path / "flat_spatial.h5")
+    keras.Model(inp, out).save(path)
+    with pytest.raises(ValueError, match="input features"):
+        head_from_h5(path)
