@@ -37,8 +37,13 @@ class Dataset:
 
     def concat(self, other: "Dataset") -> "Dataset":
         w = None
-        if self.weights is not None and other.weights is not None:
-            w = np.concatenate([self.weights, other.weights])
+        if self.weights is not None or other.weights is not None:
+            # mixing a weighted and an unweighted dataset must not silently
+            # drop the weights — the unweighted side gets the neutral 1.0
+            def _w(d: "Dataset"):
+                return (d.weights if d.weights is not None
+                        else np.ones(len(d.poses), np.float32))
+            w = np.concatenate([_w(self), _w(other)])
         return Dataset(np.concatenate([self.features, other.features]),
                        np.concatenate([self.poses, other.poses]), w)
 
@@ -116,12 +121,31 @@ def standard_splits(root: str, channels: int = 96,
                     with_weights: bool = False) -> dict[str, Dataset]:
     """Load the canonical train/test datasets for one head family from a
     directory of the reference .npz files."""
+    from .native import load_many, native_available
+
     files = SPLIT_FILES_88 if channels == 88 else SPLIT_FILES_96
+    present = {role: [os.path.join(root, n) for n in names
+                      if os.path.exists(os.path.join(root, n))]
+               for role, names in files.items()}
+    all_paths = [p for paths in present.values() for p in paths]
+    if native_available():
+        # the GIL-free C++ loader parallelizes across real threads: the
+        # whole directory loads in roughly one file's time
+        raw = load_many(all_paths)
+    else:
+        raw = {p: dict(np.load(p)) for p in all_paths}
+
+    def to_dataset(path: str) -> Dataset:
+        d = raw[path]
+        ds = Dataset(np.asarray(d["features"], np.float32),
+                     np.asarray(d["poses"], np.float32))
+        if with_weights:
+            ds.weights = difficulty_weights(ds.poses)
+        return ds
+
     out: dict[str, Dataset] = {}
-    load = load_dataset_with_weights if with_weights else load_dataset
-    for role, names in files.items():
-        parts = [load(os.path.join(root, n)) for n in names
-                 if os.path.exists(os.path.join(root, n))]
+    for role, paths in present.items():
+        parts = [to_dataset(p) for p in paths]
         if not parts:
             continue
         ds = parts[0]

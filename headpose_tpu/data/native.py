@@ -46,7 +46,20 @@ def _load() -> ctypes.CDLL | None:
             if not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            # a prebuilt .so can be ABI-incompatible with this host (arch/
+            # glibc/libz); rebuild from source once, then fall back to the
+            # numpy path instead of crashing every dataset load
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                _build_failed = True
+                return None
         lib.npz_open.restype = ctypes.c_void_p
         lib.npz_open.argtypes = [ctypes.c_char_p]
         lib.npz_num_entries.argtypes = [ctypes.c_void_p]
@@ -92,6 +105,12 @@ def load_npz_native(path: str) -> dict[str, np.ndarray]:
             order = "F" if lib.npz_entry_fortran(handle, i) else "C"
             arr = np.empty([shape[d] for d in range(ndim.value)], dtype=dt,
                            order=order)
+            if lib.npz_entry_bytes(handle, i) != arr.nbytes:
+                # second line of defence behind the C-side size validation:
+                # npz_read memcpys entry_bytes into arr's buffer
+                raise OSError(
+                    f"npz entry {name} in {path}: payload size "
+                    f"{lib.npz_entry_bytes(handle, i)} != array {arr.nbytes}")
             if lib.npz_read(handle, i,
                             arr.ctypes.data_as(ctypes.c_void_p)) != 0:
                 raise OSError(f"native read failed for {name} in {path}")

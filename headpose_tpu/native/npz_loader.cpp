@@ -196,7 +196,28 @@ bool load_central_directory(Archive* a) {
                     std::min<uint64_t>(hlen, head.size() - hstart));
     if (!parse_npy_header(hdr, &e)) { a->error = "bad npy header"; return false; }
     e.header_bytes = hstart + hlen;
+    // npz_read memcpys array_bytes into a caller buffer sized from
+    // shape x itemsize — validate they agree HERE so a malformed/truncated
+    // archive (or a zip64 size marker) becomes a clean open error instead
+    // of a heap overflow
+    if (e.raw_size == 0xFFFFFFFFull || e.comp_size == 0xFFFFFFFFull) {
+      a->error = "zip64 member not supported: " + e.name;
+      return false;
+    }
+    if (e.raw_size < e.header_bytes) {
+      a->error = "truncated npy member: " + e.name;
+      return false;
+    }
     e.array_bytes = e.raw_size - e.header_bytes;
+    uint64_t expect = static_cast<uint64_t>(itemsize(e.dtype));
+    for (long d : e.shape) {
+      if (d < 0) { a->error = "bad npy shape: " + e.name; return false; }
+      expect *= static_cast<uint64_t>(d);
+    }
+    if (e.array_bytes != expect) {
+      a->error = "npy payload size mismatch: " + e.name;
+      return false;
+    }
     a->entries.push_back(std::move(e));
   }
   return true;

@@ -116,20 +116,30 @@ def nms_static(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     return sel, jnp.arange(max_out) < count
 
 
-def gather_poses(sel_idx: jax.Array, pose_front: jax.Array,
-                 pose_back: jax.Array) -> jax.Array:
-    """Anchor indices (K,) → (K, 3) yaw/pitch/roll from the pose maps.
+def anchor_cells(sel_idx: jax.Array):
+    """Anchor indices → (is_front, r16, c16, r8, c8) grid coordinates.
 
-    Front anchors (idx < 512): 2 per cell on the 16x16 map.
-    Back anchors: 6 per cell on the 8x8 map."""
+    Front anchors (idx < NUM_ANCHORS_FRONT=512): 2 per cell on the 16x16
+    map; back anchors: 6 per cell on the 8x8 map (SURVEY.md §3.1).  Rows/
+    cols come back clipped into range so padded/sentinel indices index
+    safely.  Single source of the anchor→cell layout — the pose lookup
+    (gather_poses) and the feature extractor both use it."""
     is_front = sel_idx < NUM_ANCHORS_FRONT
     cell_f = sel_idx // 2
     rf, cf = cell_f // 16, cell_f % 16
     idx_b = jnp.maximum(sel_idx - NUM_ANCHORS_FRONT, 0)
     cell_b = idx_b // 6
     rb, cb = cell_b // 8, cell_b % 8
-    pf = pose_front[jnp.clip(rf, 0, 15), jnp.clip(cf, 0, 15)]
-    pb = pose_back[jnp.clip(rb, 0, 7), jnp.clip(cb, 0, 7)]
+    return (is_front, jnp.clip(rf, 0, 15), jnp.clip(cf, 0, 15),
+            jnp.clip(rb, 0, 7), jnp.clip(cb, 0, 7))
+
+
+def gather_poses(sel_idx: jax.Array, pose_front: jax.Array,
+                 pose_back: jax.Array) -> jax.Array:
+    """Anchor indices (K,) → (K, 3) yaw/pitch/roll from the pose maps."""
+    is_front, rf, cf, rb, cb = anchor_cells(sel_idx)
+    pf = pose_front[rf, cf]
+    pb = pose_back[rb, cb]
     return jnp.where(is_front[:, None], pf, pb)
 
 

@@ -55,7 +55,11 @@ def backfill_runs(runs_dir: str, dataset_path: str,
                 with open(summary_path) as f:
                     summary = json.load(f)
             summary[metric_name] = m["mae"]
-            summary[metric_name.replace("mae", "loss")] = m["loss"]
+            # derive the loss key safely: a metric name without 'mae' must
+            # NOT collapse onto metric_name and overwrite the MAE entry
+            loss_key = (metric_name.replace("mae", "loss")
+                        if "mae" in metric_name else metric_name + "_loss")
+            summary[loss_key] = m["loss"]
             with open(summary_path, "w") as f:
                 json.dump(summary, f, indent=2)
             if verbose:

@@ -6,6 +6,7 @@ a reference H5 head, or a path to a saved native checkpoint.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -16,6 +17,22 @@ from ..data.datasets import Dataset, load_dataset
 __all__ = ["evaluate_head_pose_model", "pose_metrics"]
 
 ANGLES = ("yaw", "pitch", "roll")
+
+
+@functools.lru_cache(maxsize=64)
+def _apply_highest(fn):
+    """Jitted fn with MXU precision pinned to 'highest' inside the trace —
+    parity numbers (compared to the reference at 0.01-deg resolution) must
+    not drift with the ambient precision (CLAUDE.md).
+
+    Cached at module level: head specs are frozen dataclasses, so equal
+    architectures yield equal bound `spec.apply` methods and the SAME jitted
+    program — a fresh jax.jit closure per call would retrace and recompile
+    every evaluation (~30-90 s each through this container's TPU tunnel)."""
+    def wrapped(p, x):
+        with jax.default_matmul_precision("highest"):
+            return fn(p, x)
+    return jax.jit(wrapped)
 
 
 def pose_metrics(predictions: np.ndarray, ground_truth: np.ndarray) -> dict:
@@ -56,15 +73,6 @@ def evaluate_head_pose_model(model: Any, dataset: Any,
     if isinstance(dataset, str):
         dataset = load_dataset(dataset)
     assert isinstance(dataset, Dataset)
-
-    def _apply_highest(fn):
-        # parity numbers (compared to the reference at 0.01-deg resolution)
-        # must not drift with the ambient MXU precision: pin 'highest'
-        # inside the trace, like convert.validate_conversion (CLAUDE.md)
-        def wrapped(p, x):
-            with jax.default_matmul_precision("highest"):
-                return fn(p, x)
-        return jax.jit(wrapped)
 
     if isinstance(model, str):
         from ..models.heads import head_from_h5

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.anchors import FRONT_CONFIG, generate_anchors
-from ..ops.detection import NUM_ANCHORS_FRONT, decode_boxes, nms_static
+from ..ops.detection import anchor_cells, decode_boxes, nms_static
 from ..ops.image import preprocess
 
 __all__ = ["FeatureExtractor", "extract_dataset"]
@@ -56,36 +56,41 @@ class FeatureExtractor:
         self.precision = precision
         self.anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _extract(self, params, images):
-        with jax.default_matmul_precision(self.precision):
-            x = preprocess(images, 128, self.channel_order)
+    @functools.cached_property
+    def _extract(self):
+        # per-INSTANCE jit with the serving config as STATIC args (same
+        # pattern and rationale as runtime.detector.FaceDetector._pipeline):
+        # a static-self class decoration would (a) silently reuse the old
+        # trace after threshold/precision mutation (self's id doesn't
+        # change) and (b) pin every extractor in the process-global cache
+        return jax.jit(self._extract_impl, static_argnums=(2, 3, 4, 5))
+
+    def _extract_impl(self, params, images, score_threshold, iou_threshold,
+                      channel_order, precision):
+        with jax.default_matmul_precision(precision):
+            x = preprocess(images, 128, channel_order)
             out = self.model.apply(params, x)
 
         def per_image(scores_logits, loc, feat88, feat96):
             import math
 
-            logit_thr = math.log(self.score_threshold / (1 - self.score_threshold))
+            logit_thr = math.log(score_threshold / (1 - score_threshold))
             valid = scores_logits > logit_thr
             boxes = decode_boxes(loc, self.anchors, 128)
             probs = jax.nn.sigmoid(scores_logits)
             sel_idx, keep = nms_static(boxes, probs, valid, max_out=1,
-                                       iou_threshold=self.iou_threshold)
+                                       iou_threshold=iou_threshold)
             best = sel_idx[0]  # highest-scoring surviving anchor
-            # anchor → grid cell, the pose-lookup indexing (SURVEY.md §3.1)
-            cell_f = best // 2
-            rf, cf = cell_f // 16, cell_f % 16
-            idx_b = jnp.maximum(best - NUM_ANCHORS_FRONT, 0)
-            cell_b = idx_b // 6
-            rb, cb = cell_b // 8, cell_b % 8
-            is_front = best < NUM_ANCHORS_FRONT
-            # front anchors live on the 16x16 map; back anchors on the 8x8 map.
-            # The 8x8 cell under a front detection is its spatial parent (//2);
-            # the 16x16 cell of a back detection is the cell's origin corner.
-            f88 = jnp.where(is_front, feat88[jnp.clip(rf, 0, 15), jnp.clip(cf, 0, 15)],
-                            feat88[jnp.clip(rb * 2, 0, 15), jnp.clip(cb * 2, 0, 15)])
-            f96 = jnp.where(is_front, feat96[jnp.clip(rf // 2, 0, 7), jnp.clip(cf // 2, 0, 7)],
-                            feat96[jnp.clip(rb, 0, 7), jnp.clip(cb, 0, 7)])
+            # anchor → grid cell, the pose-lookup indexing (ops.detection.
+            # anchor_cells).  Front anchors live on the 16x16 map; back
+            # anchors on the 8x8 map.  The 8x8 cell under a front detection
+            # is its spatial parent (//2); the 16x16 cell of a back
+            # detection is the cell's origin corner.
+            is_front, rf, cf, rb, cb = anchor_cells(best[None])
+            is_front, rf, cf, rb, cb = (is_front[0], rf[0], cf[0],
+                                        rb[0], cb[0])
+            f88 = jnp.where(is_front, feat88[rf, cf], feat88[rb * 2, cb * 2])
+            f96 = jnp.where(is_front, feat96[rf // 2, cf // 2], feat96[rb, cb])
             return f88, f96, probs[best], keep[0]
 
         return jax.vmap(per_image)(out["scores"], out["loc"],
@@ -96,7 +101,9 @@ class FeatureExtractor:
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
-        f88, f96, scores, found = self._extract(self.params, images)
+        f88, f96, scores, found = self._extract(
+            self.params, images, self.score_threshold, self.iou_threshold,
+            self.channel_order, self.precision)
         return ExtractionResult(features88=np.asarray(f88),
                                 features96=np.asarray(f96),
                                 scores=np.asarray(scores),

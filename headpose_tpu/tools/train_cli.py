@@ -92,6 +92,21 @@ def main(argv=None) -> None:
 
     if args.sweep:
         sweep_cfg = load_sweep_file(args.sweep)
+        # gate BEFORE training: an unproducible sweep metric (e.g. the
+        # AFLW2000 test npz missing from data_dir) would otherwise KeyError
+        # in run_sweep only after the first full training run completes,
+        # losing every finished run's results
+        producible = {"val_loss"}
+        for k in splits:
+            if k.startswith("test_"):
+                producible.update({f"{k}_mae", f"{k}_loss"})
+        if "test_aflw2000_mae" in producible:  # reference sweep.yaml alias
+            producible.add("test_AFLW2000_mae")
+        if sweep_cfg.metric not in producible:
+            sys.exit(
+                f"sweep metric {sweep_cfg.metric!r} cannot be produced from "
+                f"the datasets under {args.data_dir} "
+                f"(producible: {sorted(producible)})")
 
         def objective(assignment):
             cfg = _make_config(args).replace(run_name=None, **assignment)

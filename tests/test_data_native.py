@@ -67,3 +67,34 @@ def test_fortran_order_member(tmp_path):
     out = load_npz_native(p)
     np.testing.assert_array_equal(out["f"], a)
     np.testing.assert_array_equal(out["c"], a)
+
+
+def test_corrupt_shape_header_fails_clean(tmp_path):
+    """A malformed archive whose npy-header shape disagrees with the payload
+    size must be a clean open/read error, NOT a heap overflow: npz_read
+    memcpys header-declared payload bytes into a buffer Python sized from
+    the shape (round-3 hardening)."""
+    p = tmp_path / "ok.npz"
+    np.savez(p, a=np.arange(4, dtype=np.float32))  # stored (uncompressed)
+    blob = bytearray(p.read_bytes())
+    # patch the ASCII shape tuple in-place (same byte length): (4,) -> (9,)
+    i = blob.find(b"'shape': (4,)")
+    assert i > 0
+    blob[i:i + 13] = b"'shape': (9,)"
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(OSError):
+        load_npz_native(str(bad))
+
+
+def test_mixed_weight_concat_seeds_neutral_weights():
+    """Concatenating a weighted with an unweighted dataset must keep the
+    weights (neutral 1.0 for the unweighted side), not silently drop them."""
+    from headpose_tpu.data.datasets import Dataset
+    a = Dataset(np.zeros((3, 8), np.float32), np.zeros((3, 3), np.float32),
+                np.full((3,), 0.5, np.float32))
+    b = Dataset(np.ones((2, 8), np.float32), np.ones((2, 3), np.float32))
+    for ds in (a.concat(b), b.concat(a)):
+        assert ds.weights is not None and len(ds.weights) == 5
+    np.testing.assert_array_equal(a.concat(b).weights,
+                                  [0.5, 0.5, 0.5, 1.0, 1.0])

@@ -84,3 +84,19 @@ def test_full_framework_loop(tmp_path, extractor):
     det = FaceDetector(model, params, score_threshold=0.05)
     out = det.detect_single(images[0])
     assert np.isfinite(out.poses).all()
+
+
+def test_threshold_mutation_retraces(extractor):
+    """Serving-config mutation must take effect (the config enters the jit
+    as static args; a static-self trace would silently reuse the old
+    threshold — round-3 fix)."""
+    g = np.load(os.path.join(GOLDEN, "e2e.npz"))
+    r_low = extractor.extract(g["img0"])
+    assert bool(r_low.found[0])
+    old = extractor.score_threshold
+    try:
+        extractor.score_threshold = 0.999999
+        r_high = extractor.extract(g["img0"])
+        assert not bool(r_high.found[0])
+    finally:
+        extractor.score_threshold = old
