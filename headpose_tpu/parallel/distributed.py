@@ -40,7 +40,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS
 
 __all__ = ["initialize_distributed", "global_mesh", "host_local_batch",
            "is_distributed"]
@@ -67,14 +67,27 @@ def initialize_distributed(coordinator_address: str | None = None,
     global _initialized
     if _initialized:
         return
-    explicit = coordinator_address is not None or num_processes not in (None, 1)
+    # ANY explicit argument requests cluster bring-up — a caller passing
+    # only process_id/local_device_ids (relying on metadata auto-detection
+    # for the rest) must not be silently no-op'd into num_processes=1
+    # training that writes the shared checkpoint dir from every host
+    explicit = (coordinator_address is not None
+                or num_processes not in (None, 1)
+                or process_id is not None
+                or local_device_ids is not None)
     import os
     env = any(os.environ.get(k) for k in
               ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
     # TPU pods export TPU_WORKER_HOSTNAMES as a comma-separated host list;
-    # a single entry (e.g. 'localhost' from single-host runtimes) is not a pod
+    # a single entry (e.g. 'localhost' from single-host runtimes) is not a
+    # pod.  SLURM/OMPI multi-node jobs are detectable by their env too —
+    # bare jax.distributed.initialize() would auto-detect those clusters.
     hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
-    auto_pod = ("," in hosts) or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    slurm = os.environ.get("SLURM_NTASKS")
+    ompi = os.environ.get("OMPI_COMM_WORLD_SIZE")
+    multi = any(v and int(v) > 1 for v in (slurm, ompi))
+    auto_pod = ("," in hosts) or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS") or multi
     if not (explicit or env or auto_pod):
         return  # single process: plain jit/pjit path, nothing to bring up
     kwargs: dict[str, Any] = {}
@@ -96,14 +109,11 @@ def global_mesh(model_parallel: int = 1,
     process's local devices are contiguous along 'data' (gradient reduction
     segments ride ICI; only the cross-host hop crosses DCN).  jax.devices()
     already orders devices by process index, so the reshape preserves
-    process contiguity."""
-    devs = list(devices if devices is not None else jax.devices())
-    n = len(devs)
-    if n % model_parallel:
-        raise ValueError(
-            f"{n} global devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    process contiguity.  Delegates to mesh.create_mesh — ONE place owns the
+    grid layout."""
+    from .mesh import create_mesh
+
+    return create_mesh(model_parallel=model_parallel, devices=devices)
 
 
 def host_local_batch(mesh: Mesh, local_rows: Any) -> Any:

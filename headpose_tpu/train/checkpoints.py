@@ -132,8 +132,9 @@ def restore_checkpoint(ckpt_dir: str, like: Any | None = None
 
 
 def _to_py(v):
-    if isinstance(v, (np.floating, np.integer)):
-        return v.item()
-    if isinstance(v, jax.Array):
-        return np.asarray(v).item() if v.ndim == 0 else np.asarray(v).tolist()
-    return str(v)
+    # json.dumps `default` handler: numeric leaves through the shared
+    # converter (train.logging.to_jsonable), anything else degrades to str
+    from .logging import to_jsonable
+
+    j = to_jsonable(v)
+    return j if j is not v else str(v)

@@ -47,7 +47,9 @@ class JsonlLogger:
         if step is not None:
             rec["step"] = step
         rec.update({k: _to_py(v) for k, v in metrics.items()})
-        self._f.write(json.dumps(rec) + "\n")
+        # default=str: a non-numeric object must degrade to its repr, not
+        # kill the training run mid-epoch with a TypeError
+        self._f.write(json.dumps(rec, default=str) + "\n")
         self._f.flush()
 
     def summary(self, values: dict[str, Any]) -> None:
@@ -124,6 +126,10 @@ def learning_curve_summary(history: list[dict[str, Any]]) -> dict[str, Any]:
 
 def plot_learning_curves(history: list[dict[str, Any]], path: str) -> str | None:
     """Optional matplotlib rendering of the learning curves to a PNG."""
+    if not history:
+        # e.g. every epoch hit the NaN-recovery path — nothing to plot,
+        # degrade like the matplotlib-missing case instead of KeyError
+        return None
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -193,9 +199,17 @@ def angle_distribution_summary(poses: np.ndarray) -> dict[str, Any]:
     return out
 
 
-def _to_py(v):
+def to_jsonable(v):
+    """numpy/jax scalars → Python scalars, arrays → nested lists, everything
+    else unchanged.  THE shared converter for run artifacts (JSONL metrics,
+    summary.json, checkpoint metadata) — duplicated converters drifted on
+    1-d array handling before."""
     if isinstance(v, (np.floating, np.integer)):
         return v.item()
-    if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
-        return v.item()
+    if isinstance(v, np.ndarray) or (hasattr(v, "ndim") and hasattr(v, "item")):
+        a = np.asarray(v)
+        return a.item() if a.ndim == 0 else a.tolist()
     return v
+
+
+_to_py = to_jsonable  # internal alias

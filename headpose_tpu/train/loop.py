@@ -111,7 +111,12 @@ def _loss_and_metrics(spec, params, batch, rng, reg_rate, train):
     mse = (per_sample_mse * w).sum() / denom_m       # keras weighted loss
     mae = (per_sample_mae * mask).sum() / denom_m    # keras metrics are unweighted
     loss = mse + spec.l2_penalty(params, reg_rate)
-    return loss, {"loss": mse, "mae": mae}
+    # the REPORTED loss includes the regularization term, like Keras's
+    # history['loss'] / val_loss (the golden trajectory oracle pins this:
+    # tests/test_train_parity.py compares our total loss to tf-keras's
+    # history) — early stopping monitors the same quantity the reference
+    # monitors.  Callers wanting the bare MSE pass reg_rate=0 (evaluate()).
+    return loss, {"loss": loss, "mae": mae}
 
 
 def _make_epoch_fn(spec, cfg: TrainConfig, optimizer, batch_size: int):
@@ -189,9 +194,9 @@ def _make_block_fn(spec, cfg: TrainConfig, optimizer, batch_size: int,
             return p, o, est
 
         def on_finite(_):
-            improved = val_m["loss"] < estate["best_val"] - \
-                cfg.early_stopping_min_delta
-            best_val = jnp.where(improved, val_m["loss"], estate["best_val"])
+            mon = _monitored(cfg, val_m)
+            improved = mon < estate["best_val"] - cfg.early_stopping_min_delta
+            best_val = jnp.where(improved, mon, estate["best_val"])
             best_epoch = jnp.where(improved, epoch, estate["best_epoch"])
             best_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(improved, new, old),
@@ -251,6 +256,16 @@ def _make_block_fn(spec, cfg: TrainConfig, optimizer, batch_size: int,
     return block_fn
 
 
+def _monitored(cfg: TrainConfig, val_m):
+    """The early-stopping/plateau-monitored scalar (cfg.monitor_metric)."""
+    key = {"val_loss": "loss", "val_mae": "mae"}.get(cfg.monitor_metric)
+    if key is None:
+        raise ValueError(
+            f"monitor_metric must be 'val_loss' or 'val_mae', "
+            f"got {cfg.monitor_metric!r}")
+    return val_m[key]
+
+
 def _make_eval_fn(spec, cfg: TrainConfig):
     def eval_fn(params, data):
         _, metrics = _loss_and_metrics(spec, params, data, None,
@@ -306,8 +321,14 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
         progress_every: int = 0) -> TrainResult:
     """Train a pose head.  Mirrors the reference train() flow
     (train_96.py:113-209): split → callbacks → fit → test evals → summary."""
-    from ..data.datasets import train_val_split
+    from ..data.datasets import difficulty_weights, train_val_split
 
+    _monitored(cfg, {"loss": 0.0, "mae": 0.0})  # fail fast on a bad metric
+    if cfg.use_sample_weights and train_ds.weights is None:
+        # honor the config flag even when the caller loaded an unweighted
+        # Dataset — Eq. 12-13 difficulty weighting (Model-96/utilities.py)
+        train_ds = Dataset(train_ds.features, train_ds.poses,
+                           difficulty_weights(train_ds.poses))
     if val_ds is None:
         train_ds, val_ds = train_val_split(train_ds, cfg.val_fraction, cfg.split_seed)
 
@@ -492,9 +513,9 @@ def fit(cfg: TrainConfig, train_ds: Dataset, val_ds: Dataset | None = None,
                   f"loss {rec['train_loss']:.4f} val {rec['val_loss']:.4f} "
                   f"({time.time() - t0:.1f}s)")
 
-        # EarlyStopping + best-checkpoint semantics
-        if rec["val_loss"] < best_val - cfg.early_stopping_min_delta:
-            best_val = rec["val_loss"]
+        # EarlyStopping + best-checkpoint semantics (cfg.monitor_metric)
+        if rec[cfg.monitor_metric] < best_val - cfg.early_stopping_min_delta:
+            best_val = rec[cfg.monitor_metric]
             best_epoch = epoch
             best_params = _copy(params)
             wait = 0

@@ -30,9 +30,17 @@ class SweepConfig:
     metric: str = "test_aflw2000_mae"
     goal: str = "minimize"
     method: str = "bayes"   # random | grid | bayes
-    num_runs: int = 50
+    # None = the method's own default: grid runs the FULL grid (wandb's grid
+    # method ignores run caps unless run_cap is set — truncating silently
+    # would cover only a biased corner of the product), others run 50
+    num_runs: int | None = None
     seed: int = 0
     warmup: int = 8         # random runs before exploit phase (bayes method)
+
+    def resolved_num_runs(self, n_candidates: int) -> int:
+        if self.num_runs is not None:
+            return self.num_runs
+        return n_candidates if self.method == "grid" else 50
 
 
 def load_sweep_file(path: str) -> SweepConfig:
@@ -65,7 +73,8 @@ def load_sweep_file(path: str) -> SweepConfig:
         metric=metric.get("name", "test_aflw2000_mae"),
         goal=metric.get("goal", "minimize"),
         method=raw.get("method", "bayes"),
-        num_runs=int(raw.get("run_cap", raw.get("num_runs", 50))),
+        num_runs=(int(raw["run_cap"]) if "run_cap" in raw
+                  else int(raw["num_runs"]) if "num_runs" in raw else None),
     )
 
 
@@ -140,8 +149,8 @@ class _GPSurrogate:
 
 
 def run_sweep(sweep: SweepConfig,
-              objective_fn: Callable[[dict[str, Any]], dict[str, float]],
-              base_config: TrainConfig | None = None) -> SweepResult:
+              objective_fn: Callable[[dict[str, Any]], dict[str, float]]
+              ) -> SweepResult:
     """Run a sweep.  objective_fn maps a parameter assignment to a metrics
     dict containing sweep.metric (typically: build TrainConfig, fit, eval).
 
@@ -158,13 +167,14 @@ def run_sweep(sweep: SweepConfig,
     keys = sorted(sweep.parameters)
     all_candidates = [dict(zip(keys, vs)) for vs in
                       itertools.product(*(sweep.parameters[k] for k in keys))]
-    plan = all_candidates[:sweep.num_runs] if sweep.method == "grid" else None
+    num_runs = sweep.resolved_num_runs(len(all_candidates))
+    plan = all_candidates[:num_runs] if sweep.method == "grid" else None
     gp = _GPSurrogate(sweep.parameters) if sweep.method == "bayes" else None
 
     def fresh(cand: dict) -> bool:
         return tuple(sorted(cand.items())) not in seen
 
-    for i in range(sweep.num_runs):
+    for i in range(num_runs):
         if plan is not None:
             if i >= len(plan):
                 break

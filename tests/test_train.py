@@ -453,3 +453,87 @@ class TestWandbLoggerProtocol:
         assert len(calls["log"]) >= 3           # one per epoch
         assert any("val_loss" in c["metrics"] for c in calls["log"])
         assert calls["finished"] == [True]
+
+
+class TestRound3ReviewFixes:
+    """Behaviors locked in by the late-round-3 train/parallel review pass."""
+
+    def test_reported_loss_includes_l2(self):
+        """Keras's history['loss']/val_loss include the regularization term
+        (the trajectory parity oracle pins this); the reported metric must
+        be the SAME quantity early stopping monitors."""
+        from headpose_tpu.train.loop import _loss_and_metrics
+        from headpose_tpu.train.loop import build_head
+        from headpose_tpu.train import config_96
+        import jax.numpy as jnp
+        cfg = config_96(in_features=8, num_filters=4, regularizer_rate=1.0)
+        spec = build_head(cfg)
+        params = spec.init(jax.random.PRNGKey(0))
+        batch = {"x": np.ones((2, 8), np.float32),
+                 "y": np.zeros((2, 3), np.float32),
+                 "w": jnp.ones((2,)), "mask": jnp.ones((2,))}
+        loss, m = _loss_and_metrics(spec, params, batch, None, 1.0, False)
+        np.testing.assert_allclose(float(m["loss"]), float(loss), rtol=1e-7)
+        pen = float(spec.l2_penalty(params, 1.0))
+        assert pen > 0 and float(m["loss"]) > pen * 0.99
+
+    def test_grid_sweep_covers_full_grid_by_default(self):
+        grids = {"a": [1, 2, 3, 4], "b": [10, 20, 30]}
+        sw = SweepConfig(parameters=grids, metric="m", method="grid")
+        res = run_sweep(sw, lambda p: {"m": p["a"] * p["b"]})
+        assert len(res.runs) == 12  # wandb grid method: ALL combos
+        assert res.best["params"] == {"a": 1, "b": 10}
+
+    def test_monitor_metric_val_mae(self, tmp_path):
+        ds = synthetic_dataset(n=128)
+        cfg = config_96(in_features=16, num_filters=4, total_epochs=3,
+                        batch_size=64, checkpoint_dir=str(tmp_path),
+                        run_name="mm", monitor_metric="val_mae")
+        r = fit(cfg, ds)
+        maes = [h["val_mae"] for h in r.history]
+        np.testing.assert_allclose(r.best_val_loss, min(maes), rtol=1e-6)
+
+    def test_monitor_metric_invalid_fails_fast(self, tmp_path):
+        ds = synthetic_dataset(n=64)
+        cfg = config_96(in_features=16, num_filters=4, total_epochs=2,
+                        batch_size=64, checkpoint_dir=str(tmp_path),
+                        run_name="bad", monitor_metric="val_banana")
+        with pytest.raises(ValueError, match="monitor_metric"):
+            fit(cfg, ds)
+
+    def test_use_sample_weights_flag_computes_weights(self, tmp_path):
+        """The config flag alone must weight training (Eq. 12-13), even when
+        the caller loaded an unweighted Dataset."""
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(96, 16)).astype(np.float32)
+        y = np.zeros((96, 3), np.float32)
+        y[:, 0] = 85.0  # extreme yaw: difficulty weight << 1
+        ds = Dataset(x, y)
+        kw = dict(in_features=16, num_filters=4, total_epochs=2,
+                  batch_size=32, checkpoint_dir=str(tmp_path), seed=7)
+        r_flag = fit(config_96(run_name="w1", use_sample_weights=True, **kw),
+                     Dataset(x.copy(), y.copy()))
+        from headpose_tpu.data.datasets import difficulty_weights
+        wds = Dataset(x.copy(), y.copy(), difficulty_weights(y))
+        r_explicit = fit(config_96(run_name="w2", **kw), wds)
+        r_plain = fit(config_96(run_name="w3", **kw),
+                      Dataset(x.copy(), y.copy()))
+        # flag == explicit weights, both != unweighted
+        np.testing.assert_allclose(r_flag.history[0]["train_loss"],
+                                   r_explicit.history[0]["train_loss"],
+                                   rtol=1e-6)
+        assert not np.isclose(r_flag.history[0]["train_loss"],
+                              r_plain.history[0]["train_loss"], rtol=1e-4)
+
+    def test_jsonl_logger_accepts_arrays(self, tmp_path):
+        lg = JsonlLogger(str(tmp_path / "run"))
+        lg.log({"per_angle": np.array([1.5, 2.5, 3.5]), "s": np.float32(4)})
+        lg.finish()
+        import json as _json
+        line = open(str(tmp_path / "run" / "metrics.jsonl")).readline()
+        rec = _json.loads(line)
+        assert rec["per_angle"] == [1.5, 2.5, 3.5] and rec["s"] == 4.0
+
+    def test_plot_learning_curves_empty_history(self, tmp_path):
+        from headpose_tpu.train.logging import plot_learning_curves
+        assert plot_learning_curves([], str(tmp_path / "x.png")) is None
