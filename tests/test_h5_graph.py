@@ -244,3 +244,61 @@ class TestGapKeepdims:
         got = np.asarray(load_graph_model(path)(x))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestParseInbound:
+    """Direct contract tests for h5io._parse_inbound over the three on-disk
+    inbound formats (docstring there) — synthetic structures, no tf-keras
+    needed, covering shapes the shipped zoo never exercises."""
+
+    def _parse(self, raw):
+        from headpose_tpu.core.h5io import _parse_inbound
+        return _parse_inbound(raw)
+
+    def test_flat_call_scalar_and_tensor_kwargs(self):
+        raw = [["prev", 0, 0, {"axis": 3, "y": ["other", 1, 2],
+                               "name": "ignored", "skipme": None}]]
+        nodes, kwargs = self._parse(raw)
+        assert nodes == [[("prev", 0, 0), ("other", 1, 2)]]
+        assert kwargs == [{"axis": 3}]
+
+    def test_classic_nested_with_replicated_item_kwargs(self):
+        # tf.concat saves the same kwargs dict on EVERY positional item
+        raw = [[["a", 0, 0, {"axis": 3}], ["b", 0, 0, {"axis": 3}]]]
+        nodes, kwargs = self._parse(raw)
+        assert nodes == [[("a", 0, 0), ("b", 0, 0)]]
+        assert kwargs == [{"axis": 3}]
+
+    def test_tensor_kwarg_lands_after_all_positionals(self):
+        # the kwarg ref must not interleave between positional refs even
+        # though item 1 carries the (replicated) kwargs dict
+        raw = [[["a", 0, 0, {"y": ["kw", 0, 0]}],
+                ["b", 0, 0, {"y": ["kw", 0, 0]}]]]
+        nodes, _ = self._parse(raw)
+        assert nodes == [[("a", 0, 0), ("b", 0, 0), ("kw", 0, 0)]]
+
+    def test_numeric_list_kwarg_is_not_a_ref(self):
+        # axis=[1,2] and a 3-long numeric list must stay kwargs, not become
+        # phantom inbound refs
+        raw = [["prev", 0, 0, {"axis": [1, 2], "shape": [1, 2, 3]}]]
+        nodes, kwargs = self._parse(raw)
+        assert nodes == [[("prev", 0, 0)]]
+        assert kwargs == [{"axis": [1, 2], "shape": [1, 2, 3]}]
+
+    def test_dict_style_list_valued_arg(self):
+        # newer keras dict nodes: tf.concat's tensor LIST arg
+        kt = lambda n: {"class_name": "__keras_tensor__",
+                        "config": {"keras_history": [n, 0, 0]}}
+        raw = [[{"args": [[kt("a"), kt("b")]], "kwargs": {"axis": -1}}]]
+        nodes, kwargs = self._parse(raw)
+        assert nodes == [[("a", 0, 0), ("b", 0, 0)]]
+        assert kwargs == [{"axis": -1}]
+
+    def test_dict_style_tensor_kwarg(self):
+        kt = {"class_name": "__keras_tensor__",
+              "config": {"keras_history": ["kw", 0, 0]}}
+        raw = [[{"args": [{"config": {"keras_history": ["a", 0, 0]}}],
+                 "kwargs": {"y": kt}}]]
+        nodes, kwargs = self._parse(raw)
+        assert nodes == [[("a", 0, 0), ("kw", 0, 0)]]
+        assert kwargs == [{}]
