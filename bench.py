@@ -57,7 +57,7 @@ def main() -> None:
         # the trail should say why.
         import sys
         print(f"first compile failed ({type(e).__name__}: "
-              f"{str(e).splitlines()[0][:300]}); "
+              f"{(str(e).splitlines() or [''])[0][:300]}); "
               "retrying with the XLA postprocess",
               file=sys.stderr, flush=True)
         postprocess = "xla"

@@ -29,6 +29,12 @@ def create_mesh(n_devices: int | None = None, model_parallel: int = 1,
     that is the right default for these model sizes (SURVEY.md §5.8)."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # silently building a narrower mesh would let callers 'validate'
+            # multi-device behavior at a width they never actually ran
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available")
         devs = devs[:n_devices]
     n = len(devs)
     if n % model_parallel:
