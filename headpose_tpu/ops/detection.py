@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["decode_boxes", "decode_keypoints", "pairwise_iou",
-           "nms_static", "gather_poses", "postprocess"]
+           "nms_static", "anchor_cells", "gather_poses", "postprocess",
+           "score_threshold_to_logit", "sanitize_model_outputs"]
 
 MAX_FACES = 100          # blazeFaceDetectorH5.py:9
 KEYPOINTS = 6            # :8
@@ -116,6 +117,51 @@ def nms_static(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     return sel, jnp.arange(max_out) < count
 
 
+def score_threshold_to_logit(score_threshold: float) -> float:
+    """Probability threshold → logit threshold (sigmoid is monotone, so
+    `prob > t` == `logit > logit(t)`), endpoints pinned explicitly.
+
+    SHARED by the XLA and Pallas postprocess backends — their contract is
+    bit-exactness, so the conversion must not be able to drift.  The
+    `<= 0` endpoint replicates the reference's STRICT `prob > 0` filter
+    (blazeFaceDetectorH5.py:319-327): f32 sigmoid underflows to exactly 0
+    once e^-x overflows (x below ~-88.72), and the reference drops those
+    anchors, so 'keep everything' must not keep them either (-inf here
+    would).  The one representable logit AT the cutoff is dropped where the
+    reference would keep it — a one-ulp boundary at probability ~3e-39."""
+    if score_threshold <= 0.0:
+        return -float(np.log(np.finfo(np.float32).max))
+    if score_threshold >= 1.0:
+        return float(np.inf)
+    return float(np.log(score_threshold / (1.0 - score_threshold)))
+
+
+def sanitize_model_outputs(scores_logits: jax.Array, loc: jax.Array):
+    """Clamp non-finite backbone outputs BEFORE any masked-GEMM arithmetic.
+
+    The reference filters detections with np.where and then indexes only the
+    survivors (blazeFaceDetectorH5.py:319-327), so a non-finite value on a
+    REJECTED anchor never reaches its outputs.  The GEMM-based extraction
+    here multiplies every anchor by a 0/1 one-hot instead — and 0 * inf
+    = nan would poison every detection in the image.  Clamping preserves
+    the semantics of every finite-valued anchor exactly:
+
+      * +inf logits → the largest finite logit (sigmoid == 1.0 exactly in
+        f32, still selected first);
+      * nan logits → -inf (fails every threshold, like the reference's
+        False comparison on nan);
+      * non-finite loc entries → 0 (the anchor decodes to its center box;
+        if rejected it is invisible, as in the reference — if somehow
+        selected its loc was already meaningless).
+
+    SHARED by both postprocess backends (bit-exactness contract)."""
+    big = float(np.log(np.finfo(np.float32).max))
+    lg = jnp.where(jnp.isnan(scores_logits), -jnp.inf,
+                   jnp.minimum(scores_logits, big))
+    lc = jnp.where(jnp.isfinite(loc), loc, 0.0)
+    return lg, lc
+
+
 def anchor_cells(sel_idx: jax.Array):
     """Anchor indices → (is_front, r16, c16, r8, c8) grid coordinates.
 
@@ -199,15 +245,8 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
     run at HIGHEST precision: one-hot selection is then bit-exact and decode
     matches the reference formula to ≤1 ulp.
     """
-    # sigmoid is monotone, so thresholding probabilities == thresholding
-    # logits at logit(t); pin the degenerate endpoints explicitly rather
-    # than relying on np.log's divide-by-zero -> -inf float semantics
-    if score_threshold <= 0.0:
-        logit_thr = -np.inf        # keep every anchor
-    elif score_threshold >= 1.0:
-        logit_thr = np.inf         # keep none
-    else:
-        logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
+    scores_logits, loc = sanitize_model_outputs(scores_logits, loc)
+    logit_thr = score_threshold_to_logit(score_threshold)
     remaining = jnp.where(scores_logits > logit_thr, scores_logits, -jnp.inf)
 
     num = scores_logits.shape[0]
@@ -237,8 +276,10 @@ def postprocess(scores_logits: jax.Array, loc: jax.Array,
     pose_table = jnp.concatenate([pose_front.reshape(-1, 3),
                                   pose_back.reshape(-1, 3)], axis=0)  # (320, 3)
     n_front_cells = pose_front.shape[0] * pose_front.shape[1]
-    cell = jnp.where(sel_idx < NUM_ANCHORS_FRONT, sel_idx // 2,
-                     n_front_cells + (sel_idx - NUM_ANCHORS_FRONT) // 6)
+    # flat cell via the single-source anchor→cell walk (anchor_cells)
+    is_front, rf, cf, rb, cb = anchor_cells(sel_idx)
+    cell = jnp.where(is_front, rf * pose_front.shape[1] + cf,
+                     n_front_cells + rb * pose_back.shape[1] + cb)
     cell_onehot = jnp.where(
         (cell[:, None] == jnp.arange(pose_table.shape[0])[None, :]) &
         keep[:, None], 1.0, 0.0)                                     # (F, 320)

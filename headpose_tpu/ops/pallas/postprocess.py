@@ -53,7 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..detection import (KEYPOINTS, MAX_FACES, NUM_ANCHORS_FRONT,
-                         _decode_bias, _decode_matrix)
+                         _decode_bias, _decode_matrix, anchor_cells,
+                         sanitize_model_outputs, score_threshold_to_logit)
 
 __all__ = ["postprocess_pallas"]
 
@@ -129,15 +130,23 @@ def _nms_kernel(a: int, max_out: int, iou_threshold: float, logit_thr: float,
 
 @functools.lru_cache(maxsize=8)
 def _cell_matrix(n_anchors: int, n_front_cells: int, n_cells: int) -> np.ndarray:
-    """Static (A, cells) anchor→pose-cell one-hot (the //2, //6 grid walk of
-    blazeFaceDetectorH5.py:342-353) — pose-per-anchor is then one GEMM."""
+    """Static (A, cells) anchor→pose-cell one-hot (blazeFaceDetectorH5.py:
+    342-353) — pose-per-anchor is then one GEMM.  Derived from the
+    single-source walk (ops.detection.anchor_cells) so the grid layout
+    cannot desynchronize between backends."""
+    front_w = int(round(np.sqrt(n_front_cells)))           # 16 for 16x16
+    back_w = int(round(np.sqrt(n_cells - n_front_cells)))  # 8 for 8x8
+    # this host-side constant is built DURING jit tracing of the wrapper:
+    # without ensure_compile_time_eval the jnp ops inside anchor_cells
+    # would be captured into the trace and np.asarray would crash on
+    # tracers
+    with jax.ensure_compile_time_eval():
+        is_front, rf, cf, rb, cb = (np.asarray(v) for v in
+                                    anchor_cells(np.arange(n_anchors)))
+    cells = np.where(is_front, rf * front_w + cf,
+                     n_front_cells + rb * back_w + cb)
     m = np.zeros((n_anchors, n_cells), np.float32)
-    for aidx in range(n_anchors):
-        if aidx < NUM_ANCHORS_FRONT:
-            cell = aidx // 2
-        else:
-            cell = n_front_cells + (aidx - NUM_ANCHORS_FRONT) // 6
-        m[aidx, cell] = 1.0
+    m[np.arange(n_anchors), cells] = 1.0
     return m
 
 
@@ -153,12 +162,10 @@ def postprocess_pallas(scores_logits, loc, pose_front, pose_back, anchors, *,
     (B, A) logits, (B, A, 16) loc, (B, 16, 16, 3)/(B, 8, 8, 3) pose maps →
     dict of (B, F, ...) slabs.  B is padded to a multiple of 128 lanes."""
     b, a = scores_logits.shape
-    if score_threshold <= 0.0:
-        logit_thr = -np.inf
-    elif score_threshold >= 1.0:
-        logit_thr = np.inf
-    else:
-        logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
+    # shared with the XLA backend (bit-exactness contract): one conversion,
+    # one non-finite clamp — see their docstrings in ops.detection
+    scores_logits, loc = sanitize_model_outputs(scores_logits, loc)
+    logit_thr = score_threshold_to_logit(score_threshold)
 
     # --------------------------- XLA prep: GEMMs + lane-major relayouts ----
     decoded = jnp.dot(loc, _decode_matrix(input_size),

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.anchors import FRONT_CONFIG, generate_anchors
-from ..ops.detection import anchor_cells, decode_boxes, nms_static
+from ..ops.detection import (anchor_cells, decode_boxes, nms_static,
+                             score_threshold_to_logit)
 from ..ops.image import preprocess
 
 __all__ = ["FeatureExtractor", "extract_dataset"]
@@ -72,9 +73,9 @@ class FeatureExtractor:
             out = self.model.apply(params, x)
 
         def per_image(scores_logits, loc, feat88, feat96):
-            import math
-
-            logit_thr = math.log(score_threshold / (1 - score_threshold))
+            # shared conversion (endpoint-pinned — a bare math.log would
+            # crash at thresholds 0/1)
+            logit_thr = score_threshold_to_logit(score_threshold)
             valid = scores_logits > logit_thr
             boxes = decode_boxes(loc, self.anchors, 128)
             probs = jax.nn.sigmoid(scores_logits)

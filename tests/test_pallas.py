@@ -298,3 +298,112 @@ class TestFusedPostprocess:
         for k in ref:
             np.testing.assert_array_equal(np.asarray(got[k]),
                                           np.asarray(ref[k]), err_msg=k)
+
+
+class TestNonfiniteSanitization:
+    """Round-3 hardening: non-finite backbone outputs must never poison the
+    masked-GEMM extraction, in EITHER backend, and the backends must stay
+    bit-exact (ops.detection.sanitize_model_outputs)."""
+
+    def _run_both(self, logits, loc, max_faces=16):
+        from headpose_tpu.models.anchors import generate_anchors
+        from headpose_tpu.ops import detection as det
+        from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+        anchors = jnp.asarray(generate_anchors().astype(np.float32))
+        rng = np.random.default_rng(3)
+        b = logits.shape[0]
+        pf = rng.normal(0, 0.5, (b, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 0.5, (b, 8, 8, 3)).astype(np.float32)
+        ref = jax.vmap(lambda s, l, f, bk: det.postprocess(
+            s, l, f, bk, anchors, max_faces=max_faces))(
+            jnp.asarray(logits), jnp.asarray(loc),
+            jnp.asarray(pf), jnp.asarray(pb))
+        got = postprocess_pallas(jnp.asarray(logits), jnp.asarray(loc),
+                                 jnp.asarray(pf), jnp.asarray(pb), anchors,
+                                 max_faces=max_faces, interpret=True)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(ref[k]), err_msg=k)
+        return {k: np.asarray(v) for k, v in ref.items()}
+
+    def _anchors_count(self):
+        from headpose_tpu.models.anchors import generate_anchors
+        return generate_anchors().shape[0]
+
+    def test_nan_loc_on_rejected_anchor_does_not_poison(self):
+        """loc NaN on a below-threshold anchor: the reference filters before
+        decoding, so every emitted box/keypoint must stay finite."""
+        a = self._anchors_count()
+        rng = np.random.default_rng(5)
+        logits = rng.normal(0.0, 2.0, (1, a)).astype(np.float32)
+        logits[0, 5] = -10.0                    # rejected at threshold 0.4
+        loc = rng.normal(0.0, 8.0, (1, a, 16)).astype(np.float32)
+        loc[0, 5, :] = np.nan
+        out = self._run_both(logits, loc)
+        n = int(out["valid"][0].sum())
+        assert n >= 1
+        assert np.isfinite(out["boxes"][0][:n]).all()
+        assert np.isfinite(out["keypoints"][0][:n]).all()
+        assert np.isfinite(out["scores"][0]).all()
+
+    def test_above_threshold_inf_logit_scores_stay_clean(self):
+        """+inf logit PASSES the threshold: it must behave as the top
+        candidate with score exactly 1.0, and every other detection's score
+        must stay finite (0 * inf = nan regression)."""
+        a = self._anchors_count()
+        rng = np.random.default_rng(6)
+        logits = np.full((1, a), -10.0, np.float32)
+        logits[0, 700] = np.inf
+        logits[0, 5] = 3.0
+        loc = np.zeros((1, a, 16), np.float32)
+        # spread boxes so NMS keeps both
+        loc[0, 700, 0] = 40.0
+        out = self._run_both(logits, loc)
+        assert int(out["valid"][0].sum()) == 2
+        assert np.isfinite(out["scores"][0]).all()
+        np.testing.assert_allclose(out["scores"][0][0], 1.0)
+
+    def test_threshold_zero_drops_sigmoid_underflow(self):
+        """score_threshold=0 replicates the reference's STRICT prob > 0
+        filter: a logit whose f32 sigmoid underflows to exactly 0.0 must be
+        dropped, not kept by a -inf logit threshold."""
+        a = self._anchors_count()
+        logits = np.full((1, a), -200.0, np.float32)  # sigmoid == 0.0 in f32
+        logits[0, 3] = 2.0
+        loc = np.zeros((1, a, 16), np.float32)
+        from headpose_tpu.models.anchors import generate_anchors
+        from headpose_tpu.ops import detection as det
+        anchors = jnp.asarray(generate_anchors().astype(np.float32))
+        rng = np.random.default_rng(7)
+        pf = rng.normal(0, 0.5, (16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 0.5, (8, 8, 3)).astype(np.float32)
+        out = det.postprocess(jnp.asarray(logits[0]), jnp.asarray(loc[0]),
+                              jnp.asarray(pf), jnp.asarray(pb), anchors,
+                              score_threshold=0.0, max_faces=16)
+        assert int(np.asarray(out["valid"]).sum()) == 1  # only the real one
+
+
+def test_pallas_postprocess_traces_under_jit():
+    """The wrapper builds host-side constants (_cell_matrix) during trace:
+    it must work INSIDE jax.jit, not just eagerly (regression: jnp ops in
+    the constant builder were captured into the trace and crashed)."""
+    from headpose_tpu.models.anchors import generate_anchors
+    from headpose_tpu.ops.pallas.postprocess import postprocess_pallas
+    import functools
+    anchors = jnp.asarray(generate_anchors().astype(np.float32))
+    a = anchors.shape[0]
+    rng = np.random.default_rng(1)
+    logits = rng.normal(0.0, 2.0, (2, a)).astype(np.float32)
+    loc = rng.normal(0.0, 8.0, (2, a, 16)).astype(np.float32)
+    pf = rng.normal(0, 0.5, (2, 16, 16, 3)).astype(np.float32)
+    pb = rng.normal(0, 0.5, (2, 8, 8, 3)).astype(np.float32)
+    fn = jax.jit(functools.partial(postprocess_pallas, max_faces=8,
+                                   interpret=True))
+    got = fn(jnp.asarray(logits), jnp.asarray(loc),
+             jnp.asarray(pf), jnp.asarray(pb), anchors)
+    eager = postprocess_pallas(jnp.asarray(logits), jnp.asarray(loc),
+                               jnp.asarray(pf), jnp.asarray(pb), anchors,
+                               max_faces=8, interpret=True)
+    for k in eager:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(eager[k]), err_msg=k)
