@@ -17,6 +17,8 @@ from . import runtime
 from . import train
 from . import parallel
 from . import tools
+from . import pretrained
+from . import compat
 
 __all__ = ["core", "models", "ops", "data", "utils", "runtime", "train",
-           "parallel", "tools", "__version__"]
+           "parallel", "tools", "pretrained", "compat", "__version__"]

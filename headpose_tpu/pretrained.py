@@ -67,12 +67,7 @@ def flagship_path() -> str | None:
 
 def load_flagship():
     """(UnifiedPoseModel, params) for the shipped production model."""
-    from .tools.export import load_model
-
-    path = flagship_path()
-    if path is None:
-        raise FileNotFoundError(f"pretrained model missing: {PRETRAINED_DIR}/{FLAGSHIP}")
-    return load_model(path)
+    return load_pretrained(FLAGSHIP)
 
 
 def flagship_detector(**kwargs):

@@ -16,8 +16,8 @@ import numpy as np
 __all__ = ["Results", "BatchResults"]
 
 
-@dataclasses.dataclass
-class Results:
+@dataclasses.dataclass(eq=False)  # eq=True's tuple-compare would call
+class Results:                    # bool() on elementwise ndarray ==
     """Per-image detections, ragged (N = number of faces found).
 
     boxes      (N, 4)  [x1, y1, x2, y2] normalized
@@ -35,11 +35,13 @@ class Results:
         return int(self.scores.shape[0])
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class BatchResults:
     """Batched fixed-size detections (device-side, jit-friendly).
 
     All arrays padded to max_faces with valid (B, F) bool marking real rows.
+    Registered as a JAX pytree (all five fields are data), so jax.tree.map /
+    device_get / jit compose with it directly.
     """
 
     boxes: jax.Array      # (B, F, 4)
@@ -54,14 +56,21 @@ class BatchResults:
 
     def trim(self) -> list[Results]:
         """Host-side conversion to the reference's ragged per-image contract."""
-        boxes = np.asarray(self.boxes)
-        keypoints = np.asarray(self.keypoints)
-        scores = np.asarray(self.scores)
-        poses = np.asarray(self.poses)
-        valid = np.asarray(self.valid)
+        # ONE combined D2H transfer: five separate np.asarray fetches would
+        # each pay a synchronous tunnel round trip (CLAUDE.md, ~30 ms each)
+        boxes, keypoints, scores, poses, valid = (
+            np.asarray(a) for a in jax.device_get(
+                (self.boxes, self.keypoints, self.scores,
+                 self.poses, self.valid)))
         out = []
         for b in range(valid.shape[0]):
             m = valid[b]
             out.append(Results(boxes=boxes[b][m], keypoints=keypoints[b][m],
                                scores=scores[b][m], poses=poses[b][m]))
         return out
+
+
+jax.tree_util.register_dataclass(
+    BatchResults,
+    data_fields=["boxes", "keypoints", "scores", "poses", "valid"],
+    meta_fields=[])

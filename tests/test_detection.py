@@ -321,3 +321,18 @@ def test_postprocess_auto_backend():
     import pytest
     with pytest.raises(ValueError):
         flagship_detector(postprocess="bogus")
+
+
+def test_batchresults_is_a_pytree_and_trim_single_fetch():
+    """BatchResults is documented as the jit-friendly device-side pytree —
+    jax.tree.map and jit must compose with it (round-3 review fix)."""
+    from headpose_tpu.runtime.results import BatchResults
+    br = BatchResults(
+        boxes=jnp.zeros((2, 4, 4)), keypoints=jnp.zeros((2, 4, 6, 2)),
+        scores=jnp.zeros((2, 4)), poses=jnp.zeros((2, 4, 3)),
+        valid=jnp.zeros((2, 4), bool))
+    sliced = jax.tree.map(lambda x: x[:1], br)
+    assert isinstance(sliced, type(br)) and sliced.boxes.shape == (1, 4, 4)
+    out = jax.jit(lambda b: b.scores.sum())(br)
+    assert float(out) == 0.0
+    assert len(br.trim()) == 2
