@@ -74,9 +74,15 @@ def _apply_conv2d(layer: LayerDef, p, xs):
     return _activation(cfg.get("activation"))(y)
 
 
+def _dw_kernel(p):
+    # tf-keras stores the depthwise filter as 'depthwise_kernel'; Keras 3's
+    # legacy-H5 writer names it plain 'kernel'
+    return p["depthwise_kernel"] if "depthwise_kernel" in p else p["kernel"]
+
+
 def _apply_depthwise_conv2d(layer: LayerDef, p, xs):
     cfg = layer.config
-    k = p["depthwise_kernel"]
+    k = _dw_kernel(p)
     kh, kw, cin, mult = k.shape
     k = k.reshape(kh, kw, 1, cin * mult)
     y = _conv2d(xs[0], k, p.get("bias"), cfg["strides"], _padding(cfg),
@@ -86,7 +92,7 @@ def _apply_depthwise_conv2d(layer: LayerDef, p, xs):
 
 def _apply_separable_conv2d(layer: LayerDef, p, xs):
     cfg = layer.config
-    dk = p["depthwise_kernel"]
+    dk = _dw_kernel(p)
     kh, kw, cin, mult = dk.shape
     y = _conv2d(xs[0], dk.reshape(kh, kw, 1, cin * mult), None,
                 cfg["strides"], _padding(cfg), feature_group_count=cin,

@@ -115,7 +115,9 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
             if len(call) > 3 and isinstance(call[3], dict):
                 consume_kwargs(call[3], kwarg_refs, kw, seen)
         else:
-            for item in call:
+            # a call node is a list of items (tf-keras) or, in Keras 3's
+            # writer, one bare kwargs-style dict
+            for item in ([call] if isinstance(call, dict) else call):
                 if isinstance(item, list):
                     refs.append((item[0], int(item[1]), int(item[2])))
                     if len(item) > 3 and isinstance(item[3], dict):
@@ -131,6 +133,11 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
 
 
 def _parse_ref_list(raw) -> list[tuple[str, int, int]]:
+    if (isinstance(raw, list) and len(raw) == 3 and isinstance(raw[0], str)
+            and not isinstance(raw[1], (list, str))):
+        # Keras 3's legacy-H5 writer flattens a single-entry ref list to one
+        # bare [name, node, idx] triple
+        raw = [raw]
     return [(r[0], int(r[1]), int(r[2])) for r in raw]
 
 

@@ -437,7 +437,8 @@ def head_from_keras_json(path: str, key=None) -> tuple[MLPHead, Params]:
     for l in layers_cfg:
         cls, c = l["class_name"], l.get("config", {})
         if cls == "InputLayer":
-            in_features = int(c["batch_input_shape"][-1])
+            in_features = int((c.get("batch_input_shape")
+                               or c["batch_shape"])[-1])
         elif cls == "Conv2D":
             layers.append((int(c["filters"]), c.get("activation") or "linear"))
         elif cls == "Dense":
@@ -475,7 +476,8 @@ def se_transformer_from_h5(path: str) -> tuple[SETransformerHead, Params]:
         layer = md.layers[name]
         cls = layer.class_name
         if cls == "InputLayer":
-            in_features = int(layer.config["batch_input_shape"][-1])
+            in_features = int((layer.config.get("batch_input_shape")
+                               or layer.config["batch_shape"])[-1])
         elif cls == "Dense":
             dense.append((layer.weights["kernel"], layer.weights["bias"],
                           layer.config.get("activation")))
@@ -534,7 +536,8 @@ def mlp_head_from_modeldef(md) -> tuple[MLPHead, Params]:
         layer = md.layers[name]
         cls = layer.class_name
         if cls == "InputLayer":
-            shape = layer.config.get("batch_input_shape")
+            shape = (layer.config.get("batch_input_shape")
+                     or layer.config.get("batch_shape"))
             in_features = int(shape[-1])
         elif cls == "Conv2D":
             k = np.asarray(layer.weights["kernel"])

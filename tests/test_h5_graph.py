@@ -302,3 +302,58 @@ class TestParseInbound:
         nodes, kwargs = self._parse(raw)
         assert nodes == [[("a", 0, 0), ("kw", 0, 0)]]
         assert kwargs == [{}]
+
+
+class TestKeras3LegacyH5:
+    """Keras 3's legacy-H5 writer diverges from tf-keras in three ways the
+    parser now normalizes: bare [name, node, idx] triples for single-entry
+    ref lists, call nodes as one kwargs-style dict (not a list of items),
+    and 'kernel' (not 'depthwise_kernel') for depthwise filters — plus
+    'batch_shape' replacing 'batch_input_shape'.  A reference user migrating
+    to Keras 3 can keep loading their H5s through this compiler."""
+
+    @pytest.fixture(scope="class")
+    def fixture_h5(self, tmp_path_factory):
+        keras3 = pytest.importorskip("keras")
+        if not keras3.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        path = str(tmp_path_factory.mktemp("k3") / "k3.h5")
+        inp = keras3.Input(shape=(16, 16, 4))
+        a = keras3.layers.Conv2D(8, 3, padding="same", activation="gelu",
+                                 dilation_rate=2)(inp)
+        b = keras3.layers.DepthwiseConv2D(3, padding="same",
+                                          activation="relu")(a)
+        c = keras3.layers.BatchNormalization()(b)
+        d = keras3.layers.SeparableConv2D(8, 3, padding="same")(c)
+        g = keras3.layers.GlobalAveragePooling2D(keepdims=True)(d)
+        g = keras3.layers.Conv2D(8, 1, activation="sigmoid")(g)
+        e = keras3.layers.Multiply()([d, g])
+        out = keras3.layers.Conv2D(3, 1)(e)
+        m = keras3.Model(inp, out)
+        m.save(path)
+        x = np.random.default_rng(9).normal(size=(2, 16, 16, 4)).astype(np.float32)
+        return path, x, m.predict(x, verbose=0)
+
+    def test_numeric_parity(self, fixture_h5):
+        path, x, want = fixture_h5
+        gm = load_graph_model(path)
+        got = np.asarray(gm(x))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_head_import(self, tmp_path):
+        """head_from_h5 reads Keras 3's batch_shape InputLayer config."""
+        keras3 = pytest.importorskip("keras")
+        if not keras3.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        from headpose_tpu.models.heads import head_from_h5
+        inp = keras3.Input(shape=(96,))
+        h = keras3.layers.Dense(32, activation="tanh")(inp)
+        out = keras3.layers.Dense(3)(h)
+        path = str(tmp_path / "head_k3.h5")
+        keras3.Model(inp, out).save(path)
+        spec, params = head_from_h5(path)
+        assert spec.in_features == 96
+        x = np.random.default_rng(0).normal(size=(4, 96)).astype(np.float32)
+        got = np.asarray(spec.apply(params, x))
+        assert got.shape == (4, 3)
