@@ -224,8 +224,105 @@ def _attach_weights(model: ModelDef, group: h5py.Group) -> None:
                 layer.weights[_weight_key(parts)] = arr
 
 
+def _keras3_var_names(layer: LayerDef) -> list[str]:
+    """Positional variable names for one layer class in Keras 3's native
+    ``.keras`` weight store (``layers/<name>/vars/0..N`` — order is the
+    order build() creates them).  Flag-dependent variables (bias, gamma,
+    beta) are included only when the saved config enables them, so the
+    positional mapping stays exact."""
+    cls, cfg = layer.class_name, layer.config
+    bias = ["bias"] if cfg.get("use_bias", True) else []
+    if cls in ("Conv2D", "Conv2DTranspose", "Dense", "DepthwiseConv2D"):
+        return ["kernel"] + bias
+    if cls == "SeparableConv2D":
+        return ["depthwise_kernel", "pointwise_kernel"] + bias
+    if cls in ("BatchNormalization", "LayerNormalization"):
+        names = []
+        if cfg.get("scale", True):
+            names.append("gamma")
+        if cfg.get("center", True):
+            names.append("beta")
+        if cls == "BatchNormalization":
+            names += ["moving_mean", "moving_variance"]
+        return names
+    if cls == "Embedding":
+        return ["embeddings"]
+    raise NotImplementedError(
+        f"no Keras-3 variable-name mapping for layer class {cls!r} "
+        f"({layer.name!r}) — cannot attach its saved weights")
+
+
+def _snake_case(name: str) -> str:
+    import re
+
+    name = re.sub(r"\W+", "", name)
+    name = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    return re.sub(r"([a-z])([A-Z])", r"\1_\2", name).lower()
+
+
+def _attach_keras3_weights(model: ModelDef, layers_group: h5py.Group) -> None:
+    """Attach arrays from a ``.keras`` archive's positional weight store.
+
+    The store does NOT key groups by layer.name (Keras considers
+    autogenerated names non-reproducible): each group is named
+    snake_case(class name) with a per-container counter, in model.layers
+    order.  We regenerate the same sequence from the parsed graph order."""
+    used: dict[str, int] = {}
+    for lname in model.order:
+        layer = model.layers[lname]
+        base = _snake_case(layer.class_name)
+        if base in used:
+            used[base] += 1
+            store = f"{base}_{used[base]}"
+        else:
+            used[base] = 0
+            store = base
+        if store not in layers_group:
+            continue
+        lgroup = layers_group[store]
+        if layer.submodel is not None and "layers" in lgroup:
+            _attach_keras3_weights(layer.submodel, lgroup["layers"])
+            continue
+        if "vars" not in lgroup:
+            continue
+        vgroup = lgroup["vars"]
+        n = len(vgroup)
+        if n == 0:
+            continue
+        names = _keras3_var_names(layer)
+        if n != len(names):
+            raise ValueError(
+                f"layer {lname!r} ({layer.class_name}) stores {n} variables "
+                f"but the config implies {len(names)} ({names}) — refusing "
+                "to guess the positional mapping")
+        for i, wname in enumerate(names):
+            layer.weights[wname] = np.asarray(vgroup[str(i)])
+
+
+def _read_keras3_archive(path: str) -> ModelDef:
+    """Parse a Keras 3 native ``.keras`` zip (config.json +
+    model.weights.h5).  The graph dict inside config.json is the same
+    dialect as Keras 3's legacy-H5 ``model_config``, so graph parsing is
+    shared; only the weight store differs (positional ``vars``)."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        cfg = json.loads(z.read("config.json"))
+        model = _parse_graph(cfg["config"].get("name", "model"), cfg["config"])
+        with h5py.File(io.BytesIO(z.read("model.weights.h5")), "r") as f:
+            root = f["layers"] if "layers" in f else f["_layer_checkpoint_dependencies"]
+            _attach_keras3_weights(model, root)
+    return model
+
+
 def read_model(path: str) -> ModelDef:
-    """Parse a Keras-2 H5 file into a ModelDef without any Keras dependency."""
+    """Parse a Keras H5 file (or a Keras 3 ``.keras`` archive) into a
+    ModelDef without any Keras dependency."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return _read_keras3_archive(path)
     with h5py.File(path, "r") as f:
         cfg = json.loads(f.attrs["model_config"])
         model = _parse_graph(cfg["config"].get("name", "model"), cfg["config"])

@@ -357,3 +357,38 @@ class TestKeras3LegacyH5:
         x = np.random.default_rng(0).normal(size=(4, 96)).astype(np.float32)
         got = np.asarray(spec.apply(params, x))
         assert got.shape == (4, 3)
+
+
+class TestKeras3NativeArchive:
+    """Keras 3's native .keras zip (config.json + positional weight store):
+    same graph dialect as its legacy H5, different weight layout
+    (layers/<name>/vars/0..N) — mapped back to names per class with the
+    flag-dependent variables (use_bias, scale, center) resolved from the
+    saved config."""
+
+    def test_numeric_parity(self, tmp_path):
+        keras3 = pytest.importorskip("keras")
+        if not keras3.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        # bump the global name counters so config names (conv2d_7, ...) and
+        # the store's per-save class-counter names (conv2d, ...) diverge —
+        # the reader must not match groups by layer.name
+        _ = keras3.layers.Conv2D(2, 1)(keras3.Input(shape=(4, 4, 2)))
+        inp = keras3.Input(shape=(12, 12, 4))
+        a = keras3.layers.Conv2D(8, 3, padding="same", use_bias=False,
+                                 activation="relu")(inp)
+        b = keras3.layers.BatchNormalization(scale=False)(a)  # 3 vars only
+        c = keras3.layers.SeparableConv2D(8, 3, padding="same")(b)
+        d = keras3.layers.DepthwiseConv2D(3, padding="same")(c)
+        g = keras3.layers.GlobalAveragePooling2D(keepdims=True)(d)
+        g = keras3.layers.Dense(8, activation="sigmoid")(g)
+        e = keras3.layers.Multiply()([d, g])
+        out = keras3.layers.Conv2D(3, 1)(e)
+        m = keras3.Model(inp, out)
+        path = str(tmp_path / "m.keras")
+        m.save(path)
+        x = np.random.default_rng(4).normal(size=(2, 12, 12, 4)).astype(np.float32)
+        want = m.predict(x, verbose=0)
+        got = np.asarray(load_graph_model(path)(x))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
