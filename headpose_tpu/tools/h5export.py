@@ -31,7 +31,7 @@ from typing import Any
 import h5py
 import numpy as np
 
-__all__ = ["save_head_h5", "save_unified_h5"]
+__all__ = ["save_head_h5", "save_unified_h5", "keras3_custom_objects"]
 
 _KERAS_VERSION = "2.15.0"
 
@@ -129,7 +129,9 @@ class _Graph:
             "kernel_size": list(kernel.shape[:2]),
             "strides": list(strides), "padding": "same",
             "data_format": "channels_last", "dilation_rate": [1, 1],
-            "groups": 1, "activation": "linear", "use_bias": True,
+            # no "groups": tf-keras defaults it; Keras 3's DepthwiseConv2D
+            # rejects it as an unrecognized kwarg
+            "activation": "linear", "use_bias": True,
             "depth_multiplier": 1,
             "depthwise_initializer": _init(), "bias_initializer": _init("Zeros"),
             "depthwise_regularizer": None, "bias_regularizer": None,
@@ -510,6 +512,147 @@ def save_unified_h5(model, params, path: str) -> None:
     pose_b = _emit_head(g, model.head96, params["head96"], feat96)
     g.prefix = ""
     g.save(path, [o_cls_f, o_cls_b, o_loc_f, o_loc_b, pose_f, pose_b], [inp])
+
+
+def keras3_custom_objects() -> dict:
+    """custom_objects dict that lets STOCK Keras 3 load this module's
+    SE-Transformer exports (``keras.models.load_model(path, compile=False,
+    safe_mode=False, custom_objects=keras3_custom_objects())``).
+
+    The conv/dense head families (mlp / residual / skip / se / ensemble)
+    load in Keras 3 with no help — its legacy-H5 reader handles them.  The
+    unified detector graph needs only the TensorFlowOpLayer shim below (its
+    channel-pad skip nodes); the attention family trips three further gaps
+    in that reader, each patched here by a thin subclass:
+
+      * MultiHeadAttention.from_config: tf-keras REQUIRES the serialized
+        query/key/value_shape keys (multi_head_attention.py:314-316 pops
+        them unconditionally) while Keras 3's constructor REJECTS them —
+        one static config cannot satisfy both, so the subclass pops them.
+      * Legacy marshalled Lambda bytecode is loaded with keras-internal
+        module globals that do not bind ``tf``, so the flatten/unflatten
+        payloads (which call tf.reshape, matching the reference builder
+        Model-88/attention_model.py:40-47) raise NameError; the subclass
+        unmarshals with ``tf``/``keras``/``np`` bound and infers the output
+        shape by tracing the function with tf.function when Keras 3's
+        generic inference gives up.
+      * Keras 3's legacy node processor leaves KWARG tensor references
+        (``{'value': [layer, 0, 0]}``) unresolved.  Every MHA node this
+        format family produces is self-attention (ours and the reference's:
+        attention_model.py:52 calls mha(x, x)), so an unresolved ref
+        resolves to the query tensor.
+
+    Like any consumer of this Lambda dialect (tf-keras included), loading
+    EXECUTES marshalled bytecode — only load trusted files — and works only
+    under the CPython version that wrote them (the reference's shipped MHA
+    artifacts were marshalled elsewhere, so no Keras in this container can
+    load them; ``core.load_graph_model`` can, because it re-derives the
+    lambdas structurally instead of unmarshalling)."""
+    import types
+
+    import keras
+    import tensorflow as tf  # noqa: F401 — bound into the lambda globals
+
+    def _func_load(code: str, defaults, closure):
+        raw = codecs.decode(code.encode("ascii"), "base64")
+        if closure is not None:
+            def _cell(v):
+                return (lambda: v).__closure__[0]
+            closure = tuple(_cell(v) for v in closure)
+        globs = {"tf": tf, "keras": keras, "np": np}
+        return types.FunctionType(marshal.loads(raw), globs,
+                                  argdefs=defaults, closure=closure)
+
+    def _is_legacy_ref(x):
+        # an unresolved legacy inbound-node entry: [layer_name, node, tensor]
+        return (isinstance(x, (list, tuple)) and len(x) in (3, 4)
+                and isinstance(x[0], str))
+
+    class _MHA(keras.layers.MultiHeadAttention):
+        @classmethod
+        def from_config(cls, config):
+            for k in ("query_shape", "key_shape", "value_shape"):
+                config.pop(k, None)
+            return cls(**config)
+
+        def build(self, query_shape, value_shape=None, key_shape=None):
+            if value_shape is None:  # self-attention: value rode a kwarg ref
+                value_shape = query_shape
+            super().build(query_shape, value_shape, key_shape)
+
+        def __call__(self, query, value=None, key=None, **kwargs):
+            if value is None or _is_legacy_ref(value):
+                value = query
+            if _is_legacy_ref(key):
+                key = None
+            return super().__call__(query, value, key=key, **kwargs)
+
+    class _Lambda(keras.layers.Lambda):
+        @classmethod
+        def from_config(cls, config, custom_objects=None, safe_mode=None):
+            fn_cfg = config.get("function")
+            if (isinstance(fn_cfg, dict)
+                    and fn_cfg.get("class_name") == "__lambda__"):
+                inner = fn_cfg["config"]
+                config = dict(config)
+                config["function"] = _func_load(
+                    inner["code"], inner["defaults"], inner["closure"])
+                return cls(**config)
+            return super().from_config(config, custom_objects=custom_objects,
+                                       safe_mode=safe_mode)
+
+        def compute_output_shape(self, input_shape):
+            try:
+                return super().compute_output_shape(input_shape)
+            except NotImplementedError:
+                # trace the tf-coded payload for real: Keras 3's generic
+                # inference feeds KerasTensors, which tf.shape rejects
+                def to_spec(s):
+                    return tf.TensorSpec(tuple(s), tf.float32)
+                if (isinstance(input_shape, (list, tuple)) and input_shape
+                        and isinstance(input_shape[0], (list, tuple))):
+                    arg = [to_spec(s) for s in input_shape]
+                else:
+                    arg = to_spec(input_shape)
+                cf = tf.function(self.function).get_concrete_function(arg)
+                return tuple(cf.structured_outputs.shape)
+
+    class _TFOpLayer(keras.layers.Layer):
+        """Keras 3 stand-in for tf-keras's TensorFlowOpLayer, covering the
+        one node this exporter (and the reference backbone it mirrors)
+        embeds: a Pad op with constant paddings — the channel-growing skip
+        connections (blazeFaceDetectorH5.py's saved graph)."""
+
+        def __init__(self, *, node_def, constants=None, name=None, **kwargs):
+            super().__init__(name=name, **kwargs)
+            if node_def.get("op") != "Pad":
+                raise NotImplementedError(
+                    f"TensorFlowOpLayer op {node_def.get('op')!r} — only the "
+                    "constant-paddings Pad node is supported")
+            self._node_def = node_def
+            self._constants = constants or {}
+            pad = (constants or {}).get("1")
+            if pad is None:
+                raise ValueError("Pad TensorFlowOpLayer without constant "
+                                 "paddings (constants['1']) is unsupported")
+            self._paddings = [tuple(int(v) for v in row) for row in pad]
+
+        def call(self, x):
+            return keras.ops.pad(x, self._paddings)
+
+        def compute_output_shape(self, input_shape):
+            return tuple(
+                None if d is None else d + lo + hi
+                for d, (lo, hi) in zip(input_shape, self._paddings))
+
+        def get_config(self):
+            cfg = super().get_config()
+            cfg.update({"node_def": self._node_def,
+                        "constants": self._constants})
+            return cfg
+
+    return {"MultiHeadAttention": _MHA, "Lambda": _Lambda,
+            "TensorFlowOpLayer": _TFOpLayer}
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -197,3 +197,83 @@ class TestAllFamilyExports:
             m.predict(x, verbose=0).reshape(64, 3),
             np.asarray(result.spec.apply(result.params, x)).reshape(64, 3),
             rtol=1e-5, atol=1e-5)
+
+
+class TestKeras3LoadsExports:
+    """Stock Keras 3 (not tf-keras) consumes our exports too: its legacy-H5
+    reader handles the conv/dense families natively, and the attention family
+    loads through tools.h5export.keras3_custom_objects() — the three-subclass
+    shim for the reader's MHA-config, Lambda-globals, and kwarg-tensor-ref
+    gaps (see its docstring).  Guards both Keras generations as consumers."""
+
+    @staticmethod
+    def _keras3():
+        keras = pytest.importorskip("keras")
+        if not keras.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        return keras
+
+    @pytest.mark.parametrize("family", ["mlp", "residual", "skip", "se",
+                                        "ensemble"])
+    def test_plain_families(self, family, tmpdir):
+        keras = self._keras3()
+        from headpose_tpu.models import (EnsembleHead, ResidualMLPHead,
+                                         SEMLPHead, SkipMLPHead)
+
+        spec = {"mlp": MLPHead(88, ((32, "tanh"), (3, "linear"))),
+                "residual": ResidualMLPHead(in_features=88),
+                "skip": SkipMLPHead(in_features=88),
+                "se": SEMLPHead(in_features=88),
+                "ensemble": EnsembleHead(members=(
+                    MLPHead(88, ((32, "tanh"), (3, "linear"))),
+                    SkipMLPHead(in_features=88)))}[family]
+        params = spec.init(jax.random.PRNGKey(1))
+        path = os.path.join(tmpdir, f"k3_{family}.h5")
+        save_head_h5(spec, params, path)
+        m = keras.models.load_model(path, compile=False)
+        x = np.random.default_rng(0).normal(
+            size=(5, 2, 2, spec.in_features)).astype(np.float32)
+        np.testing.assert_allclose(m.predict(x, verbose=0),
+                                   np.asarray(spec.apply(params, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_se_transformer_via_custom_objects(self, tmpdir):
+        keras = self._keras3()
+        from headpose_tpu.models import SETransformerHead
+        from headpose_tpu.tools.h5export import keras3_custom_objects
+
+        spec = SETransformerHead(in_features=88)
+        params = spec.init(jax.random.PRNGKey(1))
+        path = os.path.join(tmpdir, "k3_set.h5")
+        save_head_h5(spec, params, path)
+        # without the shim Keras 3 must refuse (MHA rejects the tf-keras
+        # query/key/value_shape keys) — guards that the shim is still needed
+        with pytest.raises(Exception):
+            keras.models.load_model(path, compile=False, safe_mode=False)
+        m = keras.models.load_model(path, compile=False, safe_mode=False,
+                                    custom_objects=keras3_custom_objects())
+        x = np.random.default_rng(0).normal(size=(5, 2, 2, 88)
+                                            ).astype(np.float32)
+        np.testing.assert_allclose(m.predict(x, verbose=0),
+                                   np.asarray(spec.apply(params, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_unified(self, tmpdir):
+        keras = self._keras3()
+        from headpose_tpu.pretrained import load_flagship
+
+        from headpose_tpu.tools.h5export import keras3_custom_objects
+
+        model, params = load_flagship()
+        path = os.path.join(tmpdir, "k3_unified.h5")
+        save_unified_h5(model, params, path)
+        # the channel-pad skip nodes are TensorFlowOpLayers → needs the shim
+        m = keras.models.load_model(path, compile=False,
+                                    custom_objects=keras3_custom_objects())
+        x = np.random.default_rng(3).uniform(-1, 1, (2, 128, 128, 3)
+                                             ).astype(np.float32)
+        got = m.predict(x, verbose=0)
+        want = [np.asarray(o) for o in model.reference_outputs(params, x)]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=2e-4)
