@@ -347,9 +347,10 @@ def _compile(model: ModelDef) -> Callable:
 
     Executes at CALL-NODE granularity: a layer invoked at several graph
     positions (weight sharing) runs once per call node, each keyed by its
-    Keras node index.  Nested Functional submodels number their outer call
-    from 1 (node 0 is the inner graph), so ref resolution falls back one
-    index for submodel producers.
+    Keras node index.  Nested Functional submodels are numbered per dialect:
+    tf-keras counts the inner graph's construction as node 0, so the first
+    OUTER call is node 1; Keras 3 numbers outer calls from 0
+    (ModelDef.keras3 records which writer produced the graph).
     """
     sub_fns = {
         name: _compile(layer.submodel)
@@ -367,7 +368,8 @@ def _compile(model: ModelDef) -> Callable:
     done: set[tuple[str, int]] = {(n, 0) for n in input_names}
 
     def node_key(name: str, j: int) -> tuple[str, int]:
-        base = 1 if model.layers[name].submodel is not None else 0
+        base = (1 if model.layers[name].submodel is not None
+                and not model.keras3 else 0)
         return (name, j + base)
 
     def resolve_key(ref) -> tuple[str, int]:

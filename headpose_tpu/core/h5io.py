@@ -48,6 +48,12 @@ class ModelDef:
     order: list[str]  # topological order as saved
     inputs: list[tuple[str, int, int]]
     outputs: list[tuple[str, int, int]]
+    # True when the graph was written by Keras 3 (kwargs-style dict inbound
+    # nodes).  The dialects number nested-submodel call nodes differently —
+    # tf-keras counts the inner graph's construction as node 0 so the first
+    # OUTER call is node 1, Keras 3 numbers outer calls from 0 — and the
+    # compiler must key produced values accordingly.
+    keras3: bool = False
 
     def param_count(self) -> int:
         n = 0
@@ -141,9 +147,23 @@ def _parse_ref_list(raw) -> list[tuple[str, int, int]]:
     return [(r[0], int(r[1]), int(r[2])) for r in raw]
 
 
+def _is_keras3_nodes(raw) -> bool:
+    """True when a raw inbound_nodes value uses Keras 3's kwargs-style dict
+    call format (tf-keras / Keras 2 always write list nodes)."""
+    for call in raw or []:
+        if isinstance(call, dict):
+            return True
+        if isinstance(call, list) and any(
+                isinstance(item, dict) and ("args" in item or "kwargs" in item)
+                for item in call):
+            return True
+    return False
+
+
 def _parse_graph(name: str, cfg: dict) -> ModelDef:
     layers: dict[str, LayerDef] = {}
     order: list[str] = []
+    keras3 = False
     for lraw in cfg["layers"]:
         lname = lraw["name"]
         cls = lraw["class_name"]
@@ -151,6 +171,7 @@ def _parse_graph(name: str, cfg: dict) -> ModelDef:
         sub = None
         if cls in ("Functional", "Model"):
             sub = _parse_graph(lname, lconf if "layers" in lconf else lconf["config"])
+        keras3 = keras3 or _is_keras3_nodes(lraw.get("inbound_nodes"))
         inbound, call_kwargs = _parse_inbound(lraw.get("inbound_nodes"))
         layers[lname] = LayerDef(
             name=lname,
@@ -167,6 +188,7 @@ def _parse_graph(name: str, cfg: dict) -> ModelDef:
         order=order,
         inputs=_parse_ref_list(cfg["input_layers"]),
         outputs=_parse_ref_list(cfg["output_layers"]),
+        keras3=keras3,
     )
 
 
@@ -283,12 +305,35 @@ def _attach_keras3_weights(model: ModelDef, layers_group: h5py.Group) -> None:
         if layer.submodel is not None and "layers" in lgroup:
             _attach_keras3_weights(layer.submodel, lgroup["layers"])
             continue
-        if "vars" not in lgroup:
-            continue
-        vgroup = lgroup["vars"]
-        n = len(vgroup)
+        vgroup = lgroup["vars"] if "vars" in lgroup else None
+        n = len(vgroup) if vgroup is not None else 0
         if n == 0:
-            continue
+            # Weightless layers legitimately store nothing — but a layer
+            # whose variables live in SUBLAYER groups (Keras 3 saves each
+            # child layer's vars under its own group) must not be skipped
+            # silently: that would load a model with empty weights that
+            # fails far from the cause.  Handle the known layouts, refuse
+            # the rest.
+            sub = {k: v for k, v in lgroup.items()
+                   if isinstance(v, h5py.Group) and len(v.get("vars", ()))}
+            if not sub:
+                continue
+            if layer.class_name == "MultiHeadAttention":
+                # child denses → this module's path-style keys (the ones
+                # _apply_mha consumes): query/key/value/attention_output
+                for store_name, key in (("query_dense", "query"),
+                                        ("key_dense", "key"),
+                                        ("value_dense", "value"),
+                                        ("output_dense", "attention_output")):
+                    sv = lgroup[store_name]["vars"]
+                    layer.weights[f"{key}/kernel"] = np.asarray(sv["0"])
+                    if "1" in sv:  # absent when use_bias=False
+                        layer.weights[f"{key}/bias"] = np.asarray(sv["1"])
+                continue
+            raise NotImplementedError(
+                f"layer {lname!r} ({layer.class_name}) stores its variables "
+                f"in sublayer groups {sorted(sub)} — no mapping to this "
+                "module's weight keys; refusing to load it empty")
         names = _keras3_var_names(layer)
         if n != len(names):
             raise ValueError(

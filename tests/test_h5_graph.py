@@ -392,3 +392,67 @@ class TestKeras3NativeArchive:
         got = np.asarray(load_graph_model(path)(x))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_mha_sublayer_weights_attached(self, tmp_path):
+        """The .keras store keeps MultiHeadAttention's variables in SUBLAYER
+        groups (query_dense/key_dense/value_dense/output_dense), not a flat
+        'vars' — the reader must map them to the compiler's path-style keys
+        instead of silently loading the layer empty."""
+        keras3 = pytest.importorskip("keras")
+        if not keras3.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        inp = keras3.Input(shape=(6, 16))
+        a = keras3.layers.MultiHeadAttention(num_heads=2, key_dim=8)(inp, inp)
+        a = keras3.layers.LayerNormalization()(inp + a)
+        out = keras3.layers.Dense(3)(a)
+        m = keras3.Model(inp, out)
+        path = str(tmp_path / "mha.keras")
+        m.save(path)
+        md = read_model(path)
+        mha = next(l for l in md.layers.values()
+                   if l.class_name == "MultiHeadAttention")
+        assert set(mha.weights) == {
+            "query/kernel", "query/bias", "key/kernel", "key/bias",
+            "value/kernel", "value/bias", "attention_output/kernel",
+            "attention_output/bias"}
+        x = np.random.default_rng(6).normal(size=(2, 6, 16)).astype(np.float32)
+        want = m.predict(x, verbose=0)
+        got = np.asarray(load_graph_model(path)(x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestNestedSubmodelNodeNumbering:
+    """tf-keras and Keras 3 number a nested Functional's OUTER call nodes
+    differently (tf-keras from 1 — the inner graph's construction is node 0;
+    Keras 3 from 0).  The compiler keys produced values per dialect
+    (ModelDef.keras3); a twice-called submodel makes a wrong base mis-wire
+    (or fail to resolve) the second call."""
+
+    @staticmethod
+    def _build(keras):
+        si = keras.Input(shape=(8,), name="sub_in")
+        sub = keras.Model(si, keras.layers.Dense(8, activation="tanh",
+                                                 name="sd")(si), name="subnet")
+        oi = keras.Input(shape=(8,), name="outer_in")
+        y = sub(oi)
+        y2 = sub(y)  # second call: refs ("subnet", base+1, 0)
+        out = keras.layers.Dense(3, name="od")(y2)
+        return keras.Model(oi, out)
+
+    def _roundtrip(self, m, path):
+        m.save(path)
+        x = np.random.default_rng(11).normal(size=(4, 8)).astype(np.float32)
+        want = m.predict(x, verbose=0)
+        got = np.asarray(load_graph_model(path)(x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("suffix", ["h5", "keras"])
+    def test_keras3_both_formats(self, tmp_path, suffix):
+        keras3 = pytest.importorskip("keras")
+        if not keras3.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        self._roundtrip(self._build(keras3), str(tmp_path / f"n.{suffix}"))
+
+    def test_tfkeras_control(self, tmp_path):
+        keras2 = pytest.importorskip("tf_keras")
+        self._roundtrip(self._build(keras2), str(tmp_path / "n2.h5"))
