@@ -174,22 +174,21 @@ def _apply_layernorm(layer: LayerDef, p, xs):
 
 
 def _apply_mha(layer: LayerDef, p, xs):
-    """Keras MultiHeadAttention with query=key=value (self-attention).
+    """Keras MultiHeadAttention: self (q), cross (q, v — key defaults to
+    value, multi_head_attention's call contract), or full (q, v, k).  Both
+    writers serialize the call refs in (query, value[, key]) order (tf-keras
+    as positional q + value=/key= kwarg refs, Keras 3 as positional args),
+    which is the order xs arrives in.
 
     Weights (per core.h5io keys): query/kernel (C,H,D), key/kernel, value/kernel,
     attention_output/kernel (H,D,C) and matching biases.
     """
-    if len(xs) > 2:
-        # a distinct key tensor (query, value, key) would need K taken from
-        # xs[2]; silently reusing xs[1] for both computes wrong attention
-        raise NotImplementedError(
-            "MultiHeadAttention with a separate key tensor (3 inputs) "
-            "is not supported — only self/cross attention with key=value")
     q_in = xs[0]
-    kv_in = xs[1] if len(xs) > 1 else xs[0]
+    v_in = xs[1] if len(xs) > 1 else xs[0]
+    k_in = xs[2] if len(xs) > 2 else v_in
     q = jnp.einsum("btc,chd->bthd", q_in, p["query/kernel"]) + p["query/bias"]
-    k = jnp.einsum("bsc,chd->bshd", kv_in, p["key/kernel"]) + p["key/bias"]
-    v = jnp.einsum("bsc,chd->bshd", kv_in, p["value/kernel"]) + p["value/bias"]
+    k = jnp.einsum("bsc,chd->bshd", k_in, p["key/kernel"]) + p["key/bias"]
+    v = jnp.einsum("bsc,chd->bshd", v_in, p["value/kernel"]) + p["value/bias"]
     d = q.shape[-1]
     scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(jnp.asarray(d, q.dtype))
     attn = jax.nn.softmax(scores, axis=-1)

@@ -96,7 +96,10 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
         the classic nested format replicates the same kwargs dict on every
         positional item of the call.  kwarg_refs is kept separate so tensor
         kwargs always land AFTER every positional ref regardless of which
-        item carried the dict."""
+        item carried the dict.  Tensor kwargs are collected as (name, ref)
+        so the caller can canonicalize order-sensitive pairs (a user calling
+        mha(q, key=k, value=v) makes the writer serialize key before value;
+        flattening in file order would swap the operands)."""
         for k, v in d.items():
             if k == "name" or v is None or k in seen:
                 continue
@@ -104,11 +107,11 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
             if isinstance(v, dict) and "config" in v:
                 kh = v["config"].get("keras_history")
                 if kh:
-                    kwarg_refs.append((kh[0], int(kh[1]), int(kh[2])))
+                    kwarg_refs.append((k, (kh[0], int(kh[1]), int(kh[2]))))
                     continue
             if (isinstance(v, list) and len(v) == 3 and isinstance(v[0], str)
                     and not isinstance(v[1], (list, dict, str))):
-                kwarg_refs.append((v[0], int(v[1]), int(v[2])))
+                kwarg_refs.append((k, (v[0], int(v[1]), int(v[2]))))
                 continue
             kw[k] = v
 
@@ -133,7 +136,12 @@ def _parse_inbound(raw) -> tuple[list[list[tuple[str, int, int]]],
                         arg_refs(a, refs)
                     consume_kwargs(item.get("kwargs") or {}, kwarg_refs, kw,
                                    seen)
-        nodes.append(refs + kwarg_refs)
+        # Canonical call-signature order for the one order-sensitive pair:
+        # MultiHeadAttention's call(query, value, key) — 'value' must precede
+        # 'key' regardless of which order the user passed them.  Stable sort:
+        # every other kwarg keeps its insertion position.
+        kwarg_refs.sort(key=lambda kv: 1 if kv[0] == "key" else 0)
+        nodes.append(refs + [ref for _, ref in kwarg_refs])
         kwargs.append(kw)
     return nodes, kwargs
 

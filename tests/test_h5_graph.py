@@ -456,3 +456,52 @@ class TestNestedSubmodelNodeNumbering:
     def test_tfkeras_control(self, tmp_path):
         keras2 = pytest.importorskip("tf_keras")
         self._roundtrip(self._build(keras2), str(tmp_path / "n2.h5"))
+
+
+class TestCrossAttention:
+    """MultiHeadAttention with distinct query/value/key tensors — the call
+    refs must map to the (query, value, key) call signature no matter how
+    the writer serialized them (tf-keras: positional q + value=/key= kwarg
+    refs in USER order; Keras 3: three positional args)."""
+
+    @staticmethod
+    def _assert_parity(m, path, shapes, seed=13):
+        m.save(path)
+        rng = np.random.default_rng(seed)
+        xs = [rng.normal(size=s).astype(np.float32) for s in shapes]
+        want = m.predict(xs, verbose=0)
+        got = np.asarray(load_graph_model(path)(*xs))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("kwarg_order", ["value_first", "key_first"])
+    def test_tfkeras_three_inputs(self, tmp_path, kwarg_order):
+        keras = pytest.importorskip("tf_keras")
+        q = keras.Input((6, 16)); v = keras.Input((4, 16)); k = keras.Input((4, 16))
+        mha = keras.layers.MultiHeadAttention(num_heads=2, key_dim=8)
+        # key= before value= makes tf-keras serialize the kwargs dict in
+        # that order — the parser must still bind value to the value slot
+        a = (mha(q, value=v, key=k) if kwarg_order == "value_first"
+             else mha(q, key=k, value=v))
+        m = keras.Model([q, v, k], keras.layers.Dense(3)(a))
+        self._assert_parity(m, str(tmp_path / "x.h5"),
+                            [(2, 6, 16), (2, 4, 16), (2, 4, 16)])
+
+    @pytest.mark.parametrize("suffix", ["h5", "keras"])
+    def test_keras3_three_inputs(self, tmp_path, suffix):
+        keras3 = pytest.importorskip("keras")
+        if not keras3.__version__.startswith("3"):
+            pytest.skip("stock keras is not Keras 3 here")
+        q = keras3.Input((6, 16)); v = keras3.Input((4, 16)); k = keras3.Input((4, 16))
+        a = keras3.layers.MultiHeadAttention(num_heads=2, key_dim=8)(q, v, k)
+        m = keras3.Model([q, v, k], keras3.layers.Dense(3)(a))
+        self._assert_parity(m, str(tmp_path / f"x.{suffix}"),
+                            [(2, 6, 16), (2, 4, 16), (2, 4, 16)])
+
+    def test_tfkeras_cross_two_inputs(self, tmp_path):
+        """q != v, key defaulting to value (the layer's own contract)."""
+        keras = pytest.importorskip("tf_keras")
+        q = keras.Input((6, 16)); v = keras.Input((4, 16))
+        a = keras.layers.MultiHeadAttention(num_heads=2, key_dim=8)(q, v)
+        m = keras.Model([q, v], keras.layers.Dense(3)(a))
+        self._assert_parity(m, str(tmp_path / "c.h5"),
+                            [(2, 6, 16), (2, 4, 16)])
