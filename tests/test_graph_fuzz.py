@@ -1,21 +1,30 @@
-"""Structural fuzz: random tf-keras models from the graph compiler's layer
-vocabulary must compile and match tf-keras numerically.
+"""Structural fuzz: random Keras models from the graph compiler's layer
+vocabulary must compile and match Keras numerically — under EVERY writer the
+compiler claims to read (tf-keras H5, Keras 3 legacy H5, Keras 3 native
+.keras archives).
 
 The fixtures elsewhere cover the shipped zoo's shapes; this sweeps random
 COMBINATIONS (branching, merges, shared weights, mixed activations, dilated
 convs, GAP/BN/LN placements) that no shipped artifact exercises.  Seeded —
-every run builds the same 8 graphs.  Skips without tf-keras, like the other
-in-test fixture builders (tests/test_h5_graph.py).
+every run builds the same 8 graphs per writer.  Skips without the relevant
+Keras, like the other in-test fixture builders (tests/test_h5_graph.py).
 """
 import numpy as np
 import pytest
 
 from headpose_tpu.core import load_graph_model
 
-keras = pytest.importorskip("tf_keras")
+
+def _keras_for(writer: str):
+    if writer == "tfkeras":
+        return pytest.importorskip("tf_keras")
+    keras3 = pytest.importorskip("keras")
+    if not keras3.__version__.startswith("3"):
+        pytest.skip("stock keras is not Keras 3 here")
+    return keras3
 
 
-def _random_model(rng: np.random.Generator):
+def _random_model(rng: np.random.Generator, keras):
     """A random small functional CNN over the supported layer vocabulary."""
     H = W = int(rng.choice([8, 12, 16]))
     C = int(rng.choice([3, 4, 6]))
@@ -79,11 +88,14 @@ def _random_model(rng: np.random.Generator):
     return keras.Model(inp, out), (H, W, C)
 
 
+@pytest.mark.parametrize("writer", ["tfkeras", "keras3_h5", "keras3_archive"])
 @pytest.mark.parametrize("seed", range(8))
-def test_random_graph_matches_tf(tmp_path, seed):
+def test_random_graph_matches_keras(tmp_path, seed, writer):
+    keras = _keras_for(writer)
     rng = np.random.default_rng(1000 + seed)
-    m, (H, W, C) = _random_model(rng)
-    path = str(tmp_path / f"fuzz{seed}.h5")
+    m, (H, W, C) = _random_model(rng, keras)
+    suffix = "keras" if writer == "keras3_archive" else "h5"
+    path = str(tmp_path / f"fuzz{seed}.{suffix}")
     m.save(path)
     x = rng.normal(size=(2, H, W, C)).astype(np.float32)
     want = m.predict(x, verbose=0)
@@ -91,4 +103,4 @@ def test_random_graph_matches_tf(tmp_path, seed):
     got = np.asarray(gm(x))
     assert got.shape == want.shape, f"seed {seed}: {got.shape} vs {want.shape}"
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
-                               err_msg=f"seed {seed}")
+                               err_msg=f"seed {seed} writer {writer}")
