@@ -343,7 +343,9 @@ class SETransformerHead:
 
 @dataclasses.dataclass(frozen=True)
 class EnsembleHead:
-    """Uniform average of K member heads, evaluated as ONE fused program.
+    """Combination of K member heads, evaluated as ONE fused program:
+    a uniform average by default, or a stacked (per-member, per-angle
+    affine) combination when `weights` is set.
 
     The reference sweeps 109 runs (Model-96/sweep.yaml) and ships only the
     single winner (blazeFaceDetectorH5.py:102) — the rest of the pool is
@@ -353,15 +355,27 @@ class EnsembleHead:
     marginal serving cost is negligible, while the variance reduction beats
     any single member (see scripts/ensemble88.py and docs/TRAINING.md).
 
+    `weights` (shape K×3, one weight per member per yaw/pitch/roll output)
+    and `bias` (shape 3) turn the average into a stacked generalization:
+    ``y = sum_k weights[k] * member_k(x) + bias``.  The weights are STATIC
+    spec fields (they bake into the compiled program, serialize in
+    spec.json, and need no TP sharding rule), fit by ridge regression on
+    held-out labeled data — see scripts/stack_ensemble.py and
+    docs/TRAINING.md for the calibration protocol and its honest labeling.
+
     Members may mix families (MLP/residual/skip/SE/SE-Transformer) as long
     as they agree on `in_features`.  The dataclass is a valid head itself:
     `init`/`apply`/`l2_penalty` follow the family protocol, so an ensemble
     can also be trained jointly through `train.fit`, grafted into a
     UnifiedPoseModel, sharded by the TP rules, and exported to H5 (members
-    side by side + a Keras `Average` layer).
+    side by side + a Keras `Average` layer, or Concatenate + a fixed 1x1
+    Conv2D carrying the stack weights).
     """
 
     members: tuple[Any, ...]
+    # stacked combination: per-member (w_yaw, w_pitch, w_roll); None = average
+    weights: tuple[tuple[float, float, float], ...] | None = None
+    bias: tuple[float, float, float] | None = None
 
     def __post_init__(self):
         if not self.members:
@@ -369,6 +383,18 @@ class EnsembleHead:
         feats = {m.in_features for m in self.members}
         if len(feats) != 1:
             raise ValueError(f"members disagree on in_features: {sorted(feats)}")
+        if self.weights is not None:
+            if len(self.weights) != len(self.members):
+                raise ValueError(
+                    f"{len(self.weights)} weight rows for "
+                    f"{len(self.members)} members")
+            if any(len(w) != 3 for w in self.weights):
+                raise ValueError("each weight row must be (yaw, pitch, roll)")
+        if self.bias is not None:
+            if self.weights is None:
+                raise ValueError("bias requires weights (a stacked ensemble)")
+            if len(self.bias) != 3:
+                raise ValueError("bias must be (yaw, pitch, roll)")
 
     @property
     def in_features(self) -> int:
@@ -383,8 +409,14 @@ class EnsembleHead:
         for i, (m, p) in enumerate(zip(self.members, params["members"])):
             r = None if rng is None else jax.random.fold_in(rng, i)
             y = m.apply(p, x, train=train, rng=r)
+            if self.weights is not None:
+                y = y * jnp.asarray(self.weights[i], y.dtype)
             acc = y if acc is None else acc + y
-        return acc / len(self.members)
+        if self.weights is None:
+            return acc / len(self.members)
+        if self.bias is not None:
+            acc = acc + jnp.asarray(self.bias, acc.dtype)
+        return acc
 
     def l2_penalty(self, params: Params, rate: float):
         if rate == 0.0:

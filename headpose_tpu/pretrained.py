@@ -51,7 +51,18 @@ def load_pretrained(name: str):
       draw (12.05) by 1.7 deg at BIWI 4.20 (matching the best singles);
       split-half control wins 40/40 (docs/ensemble96_holdout.json).
       Prefer 'distill96' (8.02) when teacher-derived weights are
-      acceptable."""
+      acceptable.
+    - 'ensemble96-stacked' / 'ensemble88-stacked'
+      (scripts/stack_ensemble.py, docs/ensemble_stack_result.json):
+      ridge-stacked pools — per-member per-angle weights + intercept,
+      calibrated on labeled AFLW rows + the BIWI val split (supervision
+      disclosed in their metadata; more test-domain supervision than the
+      reference sweep's own full-test-MAE selection, so never a zero-shot
+      claim).  Honest numbers = 40-split holdout means (fit on one AFLW
+      half, scored on the unseen half): 96-stacked AFLW 7.778±0.17 / BIWI
+      4.41 — beats the teacher hrchr82r (8.031 / 13.08) on BOTH its test
+      sets with NO teacher; 88-stacked AFLW 7.658±0.19 (vs uniform
+      ensemble 7.740, reference 7.810), trading BIWI (4.60 vs 3.45)."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)

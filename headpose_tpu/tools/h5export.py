@@ -421,14 +421,26 @@ def _emit_head(g: _Graph, spec, params, prev: str) -> str:
         return _emit_se_transformer_head(g, spec, params, prev)
     if isinstance(spec, EnsembleHead):
         # members side by side off the shared input, joined by an Average
-        # layer (the Keras spelling of models.heads.EnsembleHead.apply)
+        # layer (the Keras spelling of models.heads.EnsembleHead.apply) —
+        # or, for a stacked ensemble, Concatenate + a fixed 1x1 Conv2D whose
+        # block-diagonal kernel carries the per-member per-angle weights and
+        # whose bias carries the stack intercept
         outer = g.prefix
         outs = []
         for k, (m, mp) in enumerate(zip(spec.members, params["members"])):
             g.prefix = f"{outer}m{k}_"
             outs.append(_emit_head(g, m, mp, prev))
         g.prefix = outer
-        return g.add("Average", "average", {}, outs)
+        if spec.weights is None:
+            return g.add("Average", "average", {}, outs)
+        cat = g.add("Concatenate", "stack_concat", {"axis": -1}, outs)
+        n = len(spec.members)
+        kernel = np.zeros((1, 1, 3 * n, 3), np.float32)
+        for k, row in enumerate(spec.weights):
+            for a, w in enumerate(row):
+                kernel[0, 0, 3 * k + a, a] = w
+        bias = np.asarray(spec.bias or (0.0, 0.0, 0.0), np.float32)
+        return g.conv2d("stack_combine", cat, kernel, bias)
     raise NotImplementedError(
         f"H5 export not implemented for {type(spec).__name__}")
 

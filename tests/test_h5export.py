@@ -133,7 +133,7 @@ class TestAllFamilyExports:
 
     @pytest.mark.parametrize("family",
                              ["residual", "skip", "se", "se_transformer",
-                              "ensemble"])
+                              "ensemble", "ensemble_stacked"])
     def test_family_roundtrip(self, family, tmpdir):
         keras = pytest.importorskip("tf_keras")
         from headpose_tpu.models import (MLPHead, ResidualMLPHead,
@@ -148,7 +148,13 @@ class TestAllFamilyExports:
                 "ensemble": EnsembleHead(members=(
                     MLPHead(88, ((32, "tanh"), (3, "linear"))),
                     SkipMLPHead(in_features=88),
-                    SEMLPHead(in_features=88)))}[family]
+                    SEMLPHead(in_features=88))),
+                # stack weights ride a Concatenate + fixed 1x1 Conv2D
+                "ensemble_stacked": EnsembleHead(members=(
+                    MLPHead(88, ((32, "tanh"), (3, "linear"))),
+                    SkipMLPHead(in_features=88)),
+                    weights=((0.7, -0.1, 0.4), (0.5, 1.2, 0.6)),
+                    bias=(0.3, -0.2, 0.1))}[family]
         params = spec.init(jax.random.PRNGKey(1))
         path = os.path.join(tmpdir, f"{family}.h5")
         save_head_h5(spec, params, path)

@@ -208,6 +208,48 @@ class TestEnsembleHead:
                                    np.asarray(spec.apply(params, x)),
                                    atol=1e-6)
 
+    def test_stacked_weights_and_bias(self):
+        """weights/bias turn the average into a stacked combination:
+        y = sum_k w_k * f_k(x) + b (per yaw/pitch/roll output).  The fields
+        are static spec metadata — they serialize in spec.json and bake
+        into the compiled program (scripts/stack_ensemble.py fits them)."""
+        base, params = self._mixed()
+        W = ((0.7, -0.1, 0.4), (0.5, 1.2, 0.6), (-0.2, 0.3, 0.1))
+        B = (0.3, -0.2, 0.1)
+        spec = EnsembleHead(members=base.members, weights=W, bias=B)
+        x = jnp.asarray(np.random.default_rng(3).normal(
+            size=(5, 2, 2, 88)).astype(np.float32))
+        want = sum(np.asarray(m.apply(p, x)) * np.asarray(w)
+                   for m, p, w in zip(spec.members, params["members"], W)
+                   ) + np.asarray(B)
+        np.testing.assert_allclose(np.asarray(spec.apply(params, x)),
+                                   want, atol=1e-5)
+
+    def test_stacked_validation(self):
+        m = (MLPHead(88, ((3, "linear"),)), MLPHead(88, ((3, "linear"),)))
+        with pytest.raises(ValueError, match="weight rows"):
+            EnsembleHead(members=m, weights=((1.0, 1.0, 1.0),))
+        with pytest.raises(ValueError, match="yaw, pitch, roll"):
+            EnsembleHead(members=m, weights=((1.0,), (1.0,)))
+        with pytest.raises(ValueError, match="bias requires weights"):
+            EnsembleHead(members=m, bias=(0.0, 0.0, 0.0))
+
+    def test_stacked_serialization_roundtrip(self, tmp_path):
+        from headpose_tpu.tools.export import load_model, save_model
+
+        base, params = self._mixed()
+        spec = EnsembleHead(members=base.members,
+                            weights=((1.0, 0.5, 0.2),) * 3,
+                            bias=(0.1, 0.0, -0.1))
+        save_model(str(tmp_path / "st"), spec, params)
+        spec2, params2 = load_model(str(tmp_path / "st"))
+        assert spec2 == spec
+        x = jnp.asarray(np.random.default_rng(4).normal(
+            size=(4, 88)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(spec2.apply(params2, x)),
+                                   np.asarray(spec.apply(params, x)),
+                                   atol=1e-6)
+
     def test_joint_training_fits(self):
         """The ensemble satisfies the head protocol end-to-end: train.fit
         optimizes all members jointly (dropout rngs fold per member)."""

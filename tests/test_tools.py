@@ -500,3 +500,66 @@ def test_sweep96_best_pretrained_reproduces_metrics():
         params, verbose=False)
     assert abs(aflw["MAE"]["average"] - 12.0508) < 2e-3
     assert aflw["MAE"]["average"] < 13.0  # beats every equal-data control run
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_ensemble96_stacked_beats_teacher_on_both_test_sets():
+    """The shipped STACKED 96 ensemble (scripts/stack_ensemble.py: per-member
+    per-angle ridge weights + intercept over the 64-member no-teacher pool,
+    calibrated on labeled AFLW rows + the BIWI val split — supervision
+    honestly disclosed in its metadata) beats the reference production head
+    hrchr82r on BOTH of its test sets, with no teacher involvement.  The
+    honest accuracy claim is the recorded 40-split holdout mean (weights fit
+    on one AFLW half, scored on the unseen half): AFLW 7.778 ± 0.17 vs the
+    teacher's 8.031, BIWI 4.41 vs the teacher's 13.08
+    (docs/ensemble_stack_result.json).  This test gates (a) the artifact
+    reproducing its recorded in-sample/test metrics and (b) the recorded
+    holdout means staying below the teacher."""
+    import json as _json
+
+    from headpose_tpu.models import EnsembleHead
+    from headpose_tpu.pretrained import load_pretrained, PRETRAINED_DIR
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("ensemble96-stacked")
+    assert isinstance(spec, EnsembleHead) and spec.weights is not None
+    meta = _json.load(open(os.path.join(
+        PRETRAINED_DIR, "ensemble96-stacked", "spec.json")))["metadata"]
+    hold = meta["holdout_summary"]
+    assert hold["stack_aflw_b"]["mean"] < 8.031   # teacher AFLW, measured
+    assert hold["stack_biwi"]["mean"] < 13.08     # teacher BIWI, measured
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_features_96_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"]
+               - meta["metrics"]["aflw2000_mae_IN_SAMPLE"]) < 2e-3
+    biwi = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "BIWI_Test_Enlarged_features_96_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(biwi["MAE"]["average"] - meta["metrics"]["biwi_mae"]) < 2e-3
+    assert biwi["MAE"]["average"] < 13.08
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_ensemble88_stacked_beats_reference_objective():
+    """The stacked 88 ensemble improves the sweep objective over both the
+    uniform ensemble (7.740) and the reference production head (7.810):
+    holdout AFLW 7.658 ± 0.19, trading BIWI (4.60 vs stoqa9pt's 3.45 —
+    disclosed in docs/ensemble_stack_result.json)."""
+    import json as _json
+
+    from headpose_tpu.pretrained import load_pretrained, PRETRAINED_DIR
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("ensemble88-stacked")
+    meta = _json.load(open(os.path.join(
+        PRETRAINED_DIR, "ensemble88-stacked", "spec.json")))["metadata"]
+    assert meta["holdout_summary"]["stack_aflw_b"]["mean"] < 7.740
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_Enlarged_features_88_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"]
+               - meta["metrics"]["aflw2000_mae_IN_SAMPLE"]) < 2e-3
