@@ -62,7 +62,11 @@ def load_pretrained(name: str):
       half, scored on the unseen half): 96-stacked AFLW 7.778±0.17 / BIWI
       4.41 — beats the teacher hrchr82r (8.031 / 13.08) on BOTH its test
       sets with NO teacher; 88-stacked AFLW 7.658±0.19 (vs uniform
-      ensemble 7.740, reference 7.810), trading BIWI (4.60 vs 3.45)."""
+      ensemble 7.740, reference 7.810), trading BIWI (4.60 vs 3.45).
+      The '-mixed' variants stack the teacher-derived heads into the pool
+      (labeled in metadata): 'ensemble96-stacked-mixed' AFLW 7.533±0.17
+      holdout — the best 96-d head in either ecosystem;
+      'ensemble88-stacked-mixed' 7.647±0.20 at BIWI 4.26."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)

@@ -13,6 +13,9 @@ so the head is the only difference):
   ensemble-3      — head88 := ensemble88 (3 trained-here members)
   ensemble96-trio — head96 := ensemble96 (3 members, mixed architectures
                     incl. SE attention), head88 unchanged
+  ensemble96-stacked-64 — head96 := ensemble96-stacked (the full ridge-
+                    stacked 64-member pool) — the stress case for the
+                    "tiny heads are nearly free" premise
 
 Usage:  python scripts/probe_ensemble_cost.py [iters]
 Writes docs/ensemble_cost_probe.json.
@@ -55,6 +58,11 @@ def main():
         UnifiedPoseModel(backbone=model.backbone, head88=model.head88,
                          head96=espec96),
         dict(params, head96=eparams96))
+    sspec, sparams = load_pretrained("ensemble96-stacked")
+    variants["ensemble96-stacked-64"] = (
+        UnifiedPoseModel(backbone=model.backbone, head88=model.head88,
+                         head96=sspec),
+        dict(params, head96=sparams))
 
     print("staging input buffers...", flush=True)
     bufs = staged_uint8_frames(batch)
@@ -81,7 +89,7 @@ def main():
               f"({sec * 1e3:.3f} ms/dispatch)", flush=True)
 
     base = report["flagship"]["frames_per_sec"]
-    for tag in ("ensemble-mixed", "ensemble-3", "ensemble96-trio"):
+    for tag in [t for t in variants if t != "flagship"]:
         report[tag]["cost_pct_vs_flagship"] = round(
             100.0 * (base - report[tag]["frames_per_sec"]) / base, 2)
     with open(OUT, "w") as f:

@@ -105,6 +105,11 @@ def main() -> None:
     ap.add_argument("--family", type=int, choices=(88, 96), default=96)
     ap.add_argument("--data_dir", default="/root/reference/FeatureMaps-Datasets")
     ap.add_argument("--splits", type=int, default=40)
+    ap.add_argument("--mixed", action="store_true",
+                    help="add the teacher-derived heads to the pool "
+                         "(imported production head; distill96 for the 96 "
+                         "family) — labeled import+distillation, not a "
+                         "trained-here claim; ships *-stacked-mixed")
     args = ap.parse_args()
 
     fam = args.family
@@ -120,13 +125,23 @@ def main() -> None:
     _, val_ds = train_val_split(splits["train"], 0.2, 42)  # fit()'s split
 
     members, p_aflw, p_biwi, p_val = [], [], [], []
-    for tag in sorted(os.listdir(pool_dir)):
-        spec, params = load_model(os.path.join(pool_dir, tag))
+
+    def add_member(spec, params, tag):
         apply = jax.jit(spec.apply)
         members.append((spec, params, tag))
         p_aflw.append(np.asarray(apply(params, aflw.features)))
         p_biwi.append(np.asarray(apply(params, biwi.features)))
         p_val.append(np.asarray(apply(params, val_ds.features)))
+
+    for tag in sorted(os.listdir(pool_dir)):
+        add_member(*load_model(os.path.join(pool_dir, tag)), tag)
+    if args.mixed:
+        from headpose_tpu.pretrained import load_pretrained
+
+        extra = (["stoqa9pt-88"] if fam == 88
+                 else ["hrchr82r-96", "distill96"])
+        for name in extra:
+            add_member(*load_pretrained(name), f"{name}(teacher-derived)")
     P, Pb, Pv = np.stack(p_aflw), np.stack(p_biwi), np.stack(p_val)
     y = np.asarray(aflw.poses)
     yb = np.asarray(biwi.poses)
@@ -187,11 +202,14 @@ def main() -> None:
     in_sample = {"aflw2000_mae_IN_SAMPLE": mae(got, y),
                  "biwi_mae": mae(np.asarray(
                      jax.jit(ens.apply)(ens_params, biwi.features)), yb)}
+    variant = f"ensemble{fam}-stacked" + ("-mixed" if args.mixed else "")
     out = os.path.join(os.path.dirname(_HERE), "headpose_tpu",
-                       "pretrained_models", f"ensemble{fam}-stacked")
+                       "pretrained_models", variant)
     save_model(out, ens, ens_params, metadata={
         "built_by": "scripts/stack_ensemble.py",
         "member_tags": [m[2] for m in members],
+        "teacher_derived_members": [m[2] for m in members
+                                    if "teacher-derived" in m[2]],
         "alpha": alpha,
         "calibration": (
             "per-member per-angle ridge stacking with intercept, fit on the "
@@ -217,7 +235,7 @@ def main() -> None:
     merged = {}
     if os.path.exists(doc):
         merged = json.load(open(doc))
-    merged[f"family{fam}"] = {
+    merged[f"family{fam}" + ("_mixed" if args.mixed else "")] = {
         "pool_size": len(members), "n_splits": args.splits,
         "alpha_shipped": alpha, "holdout_rows": rows, "summary": summary,
         "shipped_in_sample": in_sample,

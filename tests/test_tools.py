@@ -563,3 +563,32 @@ def test_ensemble88_stacked_beats_reference_objective():
         params, verbose=False)
     assert abs(aflw["MAE"]["average"]
                - meta["metrics"]["aflw2000_mae_IN_SAMPLE"]) < 2e-3
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference datasets not mounted")
+def test_ensemble96_stacked_mixed_is_best_in_either_ecosystem():
+    """Stacking the no-teacher pool TOGETHER with the teacher-derived heads
+    (imported hrchr82r + distill96 — labeled in metadata) gives the best
+    96-d head in either ecosystem: holdout AFLW 7.533 ± 0.17 / BIWI 4.63
+    (docs/ensemble_stack_result.json family96_mixed).  Unlike uniform
+    greedy selection on the mixed pool (which collapses to the teacher
+    alone, docs/ensemble96_holdout.json), the stack extracts value from
+    both: teacher accuracy AND pool diversity."""
+    import json as _json
+
+    from headpose_tpu.pretrained import load_pretrained, PRETRAINED_DIR
+    from headpose_tpu.tools.evaluate import evaluate_head_pose_model
+
+    spec, params = load_pretrained("ensemble96-stacked-mixed")
+    meta = _json.load(open(os.path.join(
+        PRETRAINED_DIR, "ensemble96-stacked-mixed", "spec.json")))["metadata"]
+    assert meta["teacher_derived_members"], "teacher members must be labeled"
+    hold = meta["holdout_summary"]
+    assert hold["stack_aflw_b"]["mean"] < 8.031   # teacher, measured
+    assert hold["stack_aflw_b"]["mean"] < 7.778   # our no-teacher stack
+    aflw = evaluate_head_pose_model(
+        spec, os.path.join(REFERENCE_ROOT, "FeatureMaps-Datasets",
+                           "AFLW2000_features_96_0.7_1.npz"),
+        params, verbose=False)
+    assert abs(aflw["MAE"]["average"]
+               - meta["metrics"]["aflw2000_mae_IN_SAMPLE"]) < 2e-3
