@@ -11,11 +11,13 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["PRETRAINED_DIR", "FLAGSHIP", "flagship_path", "load_flagship",
-           "flagship_detector", "load_pretrained"]
+__all__ = ["PRETRAINED_DIR", "FLAGSHIP", "BEST", "flagship_path",
+           "load_flagship", "flagship_detector", "best_detector",
+           "load_pretrained"]
 
 PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained_models")
 FLAGSHIP = "unified-stoqa9pt-hrchr82r"
+BEST = "unified-best"
 
 
 def load_pretrained(name: str):
@@ -66,7 +68,14 @@ def load_pretrained(name: str):
       The '-mixed' variants stack the teacher-derived heads into the pool
       (labeled in metadata): 'ensemble96-stacked-mixed' AFLW 7.533±0.17
       holdout — the best 96-d head in either ecosystem;
-      'ensemble88-stacked-mixed' 7.647±0.20 at BIWI 4.26."""
+      'ensemble88-stacked-mixed' 7.647±0.20 at BIWI 4.26.
+    - 'unified-best' (scripts/build_unified_best.py): the flagship backbone
+      + SSD heads joined with both '-stacked-mixed' ensembles — the most
+      accurate end-to-end pipeline in either ecosystem.  Detections are
+      bit-identical to the flagship (same imported production backbone);
+      only the pose regressors differ.  Head provenance/holdouts are copied
+      into the artifact metadata; serving cost of stacked heads measured at
+      2-20% (docs/ensemble_cost_probe.json)."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)
@@ -90,4 +99,14 @@ def flagship_detector(**kwargs):
     from .runtime.detector import FaceDetector
 
     model, params = load_flagship()
+    return FaceDetector(model, params, **kwargs)
+
+
+def best_detector(**kwargs):
+    """A ready-to-use FaceDetector on 'unified-best' — the flagship
+    detections with the most accurate pose heads in either ecosystem (the
+    stacked-mixed ensembles; see load_pretrained)."""
+    from .runtime.detector import FaceDetector
+
+    model, params = load_pretrained(BEST)
     return FaceDetector(model, params, **kwargs)

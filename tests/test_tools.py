@@ -592,3 +592,44 @@ def test_ensemble96_stacked_mixed_is_best_in_either_ecosystem():
         params, verbose=False)
     assert abs(aflw["MAE"]["average"]
                - meta["metrics"]["aflw2000_mae_IN_SAMPLE"]) < 2e-3
+
+
+def test_unified_best_pretrained_serves_best_heads():
+    """'unified-best' (scripts/build_unified_best.py) is the flagship
+    backbone + SSD heads joined with the stacked-mixed ensemble pose heads —
+    the most accurate end-to-end pipeline in either ecosystem.  Gates:
+    (a) its pose-head params are IDENTICAL to the shipped standalone
+    ensemble artifacts (the accuracy claims transfer verbatim), (b) its
+    detection set on the golden production image matches the reference
+    capture exactly (same imported backbone — the functional-join equivalent
+    of JoinModels.py:5-90 changes nothing upstream of the pose maps), and
+    (c) the provenance metadata (calibration supervision, holdout
+    summaries) rides along in the artifact."""
+    from headpose_tpu.models import EnsembleHead
+    from headpose_tpu.models.unified import UnifiedPoseModel
+    from headpose_tpu.pretrained import (PRETRAINED_DIR, best_detector,
+                                         load_pretrained)
+
+    spec, params = load_pretrained("unified-best")
+    assert isinstance(spec, UnifiedPoseModel)
+    for field, src in (("head88", "ensemble88-stacked-mixed"),
+                       ("head96", "ensemble96-stacked-mixed")):
+        src_spec, src_params = load_pretrained(src)
+        assert isinstance(src_spec, EnsembleHead)
+        assert getattr(spec, field) == src_spec
+        ours, theirs = jax.tree.leaves(params[field]), jax.tree.leaves(src_params)
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+    res = best_detector().detect_single(np.asarray(g["img"], np.uint8))
+    assert len(res) == len(g["scores"]) > 0
+    np.testing.assert_allclose(res.scores, g["scores"], atol=1e-4)
+    np.testing.assert_allclose(res.boxes, g["boxes"], atol=1e-4)
+    assert np.all(np.isfinite(res.poses))
+
+    meta = json.load(open(os.path.join(
+        PRETRAINED_DIR, "unified-best", "spec.json")))["metadata"]
+    for key in ("head88_provenance", "head96_provenance"):
+        assert "calibration" in meta[key] and "holdout_summary" in meta[key]
