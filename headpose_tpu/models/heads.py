@@ -405,17 +405,58 @@ class EnsembleHead:
                             for i, m in enumerate(self.members)]}
 
     def apply(self, params: Params, x, *, train: bool = False, rng=None):
-        acc = None
-        for i, (m, p) in enumerate(zip(self.members, params["members"])):
-            r = None if rng is None else jax.random.fold_in(rng, i)
-            y = m.apply(p, x, train=train, rng=r)
-            if self.weights is not None:
-                y = y * jnp.asarray(self.weights[i], y.dtype)
-            acc = y if acc is None else acc + y
+        if train or rng is not None:
+            # training path: sequential members, per-member dropout streams
+            acc = None
+            for i, (m, p) in enumerate(zip(self.members, params["members"])):
+                r = None if rng is None else jax.random.fold_in(rng, i)
+                y = m.apply(p, x, train=train, rng=r)
+                if self.weights is not None:
+                    y = y * jnp.asarray(self.weights[i], y.dtype)
+                acc = y if acc is None else acc + y
+        else:
+            acc = self._apply_grouped(params, x)
         if self.weights is None:
             return acc / len(self.members)
         if self.bias is not None:
             acc = acc + jnp.asarray(self.bias, acc.dtype)
+        return acc
+
+    def _apply_grouped(self, params: Params, x):
+        """Inference path: members with IDENTICAL specs evaluate as ONE
+        vmapped program over their stacked params.
+
+        K tiny per-member matmul chains (e.g. (B*S,96)x(96,128)) underuse
+        the MXU and pay K dispatch/fusion slots; batching a group of k
+        identical members lowers to ONE batched dot_general per layer.
+        Measured on-chip: the 99-member unified-best pipeline improves from
+        3.0x to 1.87x the flagship's dispatch time (~29.5k -> ~47k
+        frames/s; docs/unified_best_cost.json).  Float effect: per-member
+        math is unchanged (a batched dot is the same contraction); only the
+        member-sum association differs (grouped then cross-group, in
+        first-appearance order) — a ~1e-7 relative reassociation, which is
+        why the training path (whose step-for-step trajectories are gated
+        bit-tight) keeps the sequential order."""
+        groups: dict[Any, list[int]] = {}
+        for i, m in enumerate(self.members):
+            groups.setdefault(m, []).append(i)
+        acc = None
+        for m, idx in groups.items():
+            plist = [params["members"][i] for i in idx]
+            if len(idx) == 1:
+                y = m.apply(plist[0], x)
+                if self.weights is not None:
+                    y = y * jnp.asarray(self.weights[idx[0]], y.dtype)
+            else:
+                stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves),
+                                       plist[0], *plist[1:])
+                ys = jax.vmap(lambda p: m.apply(p, x))(stacked)  # (k, ..., 3)
+                if self.weights is not None:
+                    w = jnp.asarray([self.weights[i] for i in idx], ys.dtype)
+                    ys = ys * w.reshape((len(idx),)
+                                        + (1,) * (ys.ndim - 2) + (3,))
+                y = jnp.sum(ys, axis=0)
+            acc = y if acc is None else acc + y
         return acc
 
     def l2_penalty(self, params: Params, rate: float):

@@ -74,8 +74,9 @@ def load_pretrained(name: str):
       accurate end-to-end pipeline in either ecosystem.  Detections are
       bit-identical to the flagship (same imported production backbone);
       only the pose regressors differ.  Head provenance/holdouts are copied
-      into the artifact metadata; serving cost of stacked heads measured at
-      2-20% (docs/ensemble_cost_probe.json)."""
+      into the artifact metadata; serving cost is ~1.9x flagship dispatch
+      time (paired on-chip A/B after the grouped-member rewrite — 3.0x
+      before it; docs/unified_best_cost.json)."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)

@@ -16,6 +16,15 @@ so the head is the only difference):
   ensemble96-stacked-64 — head96 := ensemble96-stacked (the full ridge-
                     stacked 64-member pool) — the stress case for the
                     "tiny heads are nearly free" premise
+  unified-best    — the shipped best-accuracy artifact (BOTH stacked-mixed
+                    heads: 33-member 88 + 66-member 96) — what
+                    pretrained.best_detector() actually costs
+
+CAVEAT (late r3): the chip's absolute rate drifts up to ~40% across minutes
+in this container, so this SEQUENTIAL sweep is only comparable within a
+stable window (verify the flagship row against its historical ~88k before
+trusting the others).  For robust A/B conclusions use the interleaved
+paired-ratio methodology of scripts/probe_unified_best_cost.py.
 
 Usage:  python scripts/probe_ensemble_cost.py [iters]
 Writes docs/ensemble_cost_probe.json.
@@ -63,6 +72,7 @@ def main():
         UnifiedPoseModel(backbone=model.backbone, head88=model.head88,
                          head96=sspec),
         dict(params, head96=sparams))
+    variants["unified-best"] = load_pretrained("unified-best")
 
     print("staging input buffers...", flush=True)
     bufs = staged_uint8_frames(batch)

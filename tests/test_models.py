@@ -181,6 +181,42 @@ class TestEnsembleHead:
         np.testing.assert_allclose(np.asarray(spec.apply(params, x)),
                                    np.asarray(want), atol=1e-6)
 
+    def test_grouped_inference_matches_sequential(self):
+        """Members with identical specs evaluate through ONE vmapped program
+        at inference (EnsembleHead._apply_grouped — the 99-member
+        unified-best pipeline went from 3.0x to 1.87x the flagship's
+        dispatch time on-chip from this, docs/unified_best_cost.json).  The grouped path must match the
+        sequential member-sum semantics, and the TRAINING path must keep the
+        exact sequential per-member fold_in(rng, i) dropout streams."""
+        m1 = MLPHead(88, ((16, "tanh"), (3, "linear")), dropout_rate=0.3)
+        m2 = SEMLPHead(in_features=88)
+        spec = EnsembleHead(members=(m1, m1, m2, m1),
+                            weights=((0.7, -0.1, 0.4), (0.5, 1.2, 0.6),
+                                     (-0.2, 0.3, 0.1), (1.1, 0.2, -0.5)),
+                            bias=(0.3, -0.2, 0.1))
+        params = spec.init(jax.random.PRNGKey(5))
+        x = jnp.asarray(np.random.default_rng(7).normal(
+            size=(5, 2, 2, 88)).astype(np.float32))
+        want = sum(np.asarray(m.apply(p, x)) * np.asarray(w, np.float32)
+                   for m, p, w in zip(spec.members, params["members"],
+                                      spec.weights)) + np.asarray(spec.bias)
+        np.testing.assert_allclose(np.asarray(spec.apply(params, x)),
+                                   want, rtol=2e-6, atol=1e-6)
+
+        rng = jax.random.PRNGKey(9)
+        got_train = np.asarray(spec.apply(params, x, train=True, rng=rng))
+        want_train = sum(
+            np.asarray(m.apply(p, x, train=True,
+                               rng=jax.random.fold_in(rng, i)))
+            * np.asarray(w, np.float32)
+            for i, (m, p, w) in enumerate(zip(spec.members,
+                                              params["members"],
+                                              spec.weights))
+        ) + np.asarray(spec.bias)
+        np.testing.assert_allclose(got_train, want_train, rtol=2e-6,
+                                   atol=1e-6)
+        assert not np.allclose(got_train, want)  # dropout actually active
+
     def test_validation(self):
         with pytest.raises(ValueError, match="at least one"):
             EnsembleHead(members=())
