@@ -26,6 +26,18 @@ from ..utils.profiling import FpsCounter
 __all__ = ["run_demo"]
 
 
+def resolve_model_path(model_path: str | None) -> str | None:
+    """Map a pretrained registry name (e.g. 'unified-best') to its shipped
+    model directory; paths that exist on disk (and None) pass through."""
+    if model_path is not None and not os.path.exists(model_path):
+        from ..pretrained import PRETRAINED_DIR
+
+        registry = os.path.join(PRETRAINED_DIR, model_path)
+        if os.path.isdir(registry):
+            return registry
+    return model_path
+
+
 def jax_tree_first(signals):
     """Drop the leading batch-of-1 axis from every leaf (demo is single-stream)."""
     return {k: v[0] for k, v in signals.items()}
@@ -43,13 +55,16 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
              max_frames: int | None = None, display: bool = True,
              precision: str = "highest", tracking: bool = True) -> int:
     """Run the live loop.  Returns the number of frames processed.
-    model_path: H5 file, native model dir, or None for the shipped flagship.
+    model_path: H5 file, native model dir, a pretrained registry name
+    (e.g. 'unified-best' — see pretrained.load_pretrained), or None for the
+    shipped flagship.
     precision: serving mode (highest/fast/turbo/max — see FaceDetector).
     tracking: match detections to persistent tracks by IoU before smoothing
     (filters follow faces across score-rank swaps; runtime.tracking); False
     falls back to slot-keyed smoothing."""
     import cv2
 
+    model_path = resolve_model_path(model_path)
     if model_path is None:
         from ..pretrained import flagship_detector
 
@@ -115,7 +130,7 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default=None, help="H5 or native model dir; default: shipped flagship")
+    p.add_argument("--model", default=None, help="H5, native model dir, or pretrained name (e.g. unified-best); default: shipped flagship")
     p.add_argument("--camera", type=int, default=0)
     p.add_argument("--video", default=None, help="video file instead of camera")
     p.add_argument("--record", action="store_true")

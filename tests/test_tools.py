@@ -633,3 +633,19 @@ def test_unified_best_pretrained_serves_best_heads():
         PRETRAINED_DIR, "unified-best", "spec.json")))["metadata"]
     for key in ("head88_provenance", "head96_provenance"):
         assert "calibration" in meta[key] and "holdout_summary" in meta[key]
+
+
+def test_demo_resolves_pretrained_registry_names():
+    """--model accepts a pretrained registry name: 'unified-best' resolves
+    to its shipped model directory; real paths and None pass through; an
+    unknown name is left as-is (so FaceDetector.from_h5 raises the natural
+    file error)."""
+    from headpose_tpu.pretrained import PRETRAINED_DIR
+    from headpose_tpu.runtime.demo import resolve_model_path
+
+    got = resolve_model_path("unified-best")
+    assert got == os.path.join(PRETRAINED_DIR, "unified-best")
+    assert os.path.isdir(got)
+    assert resolve_model_path(None) is None
+    assert resolve_model_path(PRETRAINED_DIR) == PRETRAINED_DIR
+    assert resolve_model_path("no-such-model.h5") == "no-such-model.h5"
