@@ -79,6 +79,27 @@ class TestUnifiedExport:
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=2e-4)
 
+    def test_roundtrip_unified_best(self, tmpdir):
+        """The shipped unified-best (flagship backbone + stacked-mixed
+        EnsembleHead pose regressors) exports to the reference's 6-output H5
+        contract (JoinModels.py:29-31): ensemble heads write as Concatenate
+        + a fixed block-diagonal 1x1 conv nested inside the unified graph,
+        and the export re-imports through core.graph numerically intact."""
+        from headpose_tpu.core import load_graph_model
+        from headpose_tpu.pretrained import load_pretrained
+
+        model, params = load_pretrained("unified-best")
+        path = os.path.join(tmpdir, "unified_best.h5")
+        save_unified_h5(model, params, path)
+        gm = load_graph_model(path)
+        x = np.random.default_rng(3).uniform(-1, 1, (2, 128, 128, 3)
+                                             ).astype(np.float32)
+        got = [np.asarray(o) for o in gm(x)]
+        want = [np.asarray(o) for o in model.reference_outputs(params, x)]
+        assert [g.shape for g in got] == [w.shape for w in want]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=2e-4)
+
     def test_roundtrip_back_camera_spec(self, tmpdir):
         """Export of a 17-block (back-camera) unified model: SSD-head conv
         names must continue the backbone numbering, not collide with block
