@@ -122,6 +122,9 @@ class blazeFaceDetector:  # noqa: N801 — reference-compatible name
 
         self.scoreThreshold = scoreThreshold
         self.iouThreshold = iouThreshold
+        from .pretrained import resolve_model_path
+
+        model_path = resolve_model_path(model_path)
         if model_path is None:
             from .pretrained import flagship_detector
 

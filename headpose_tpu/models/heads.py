@@ -437,11 +437,21 @@ class EnsembleHead:
         first-appearance order) — a ~1e-7 relative reassociation, which is
         why the training path (whose step-for-step trajectories are gated
         bit-tight) keeps the sequential order."""
-        groups: dict[Any, list[int]] = {}
+        # group by VALUE equality with a linear scan (trace-time only, K<=
+        # ~100): members are typed by protocol, not base class, so specs
+        # need not be hashable (a non-frozen dataclass has __hash__ = None)
+        reps: list[Any] = []
+        idx_groups: list[list[int]] = []
         for i, m in enumerate(self.members):
-            groups.setdefault(m, []).append(i)
+            for j, r in enumerate(reps):
+                if m == r:
+                    idx_groups[j].append(i)
+                    break
+            else:
+                reps.append(m)
+                idx_groups.append([i])
         acc = None
-        for m, idx in groups.items():
+        for m, idx in zip(reps, idx_groups):
             plist = [params["members"][i] for i in idx]
             if len(idx) == 1:
                 y = m.apply(plist[0], x)

@@ -13,7 +13,7 @@ import os
 
 __all__ = ["PRETRAINED_DIR", "FLAGSHIP", "BEST", "flagship_path",
            "load_flagship", "flagship_detector", "best_detector",
-           "load_pretrained"]
+           "load_pretrained", "resolve_model_path"]
 
 PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained_models")
 FLAGSHIP = "unified-stoqa9pt-hrchr82r"
@@ -83,6 +83,19 @@ def load_pretrained(name: str):
     if not os.path.isdir(path):
         raise FileNotFoundError(f"pretrained model missing: {path}")
     return load_model(path)
+
+
+def resolve_model_path(model_path: str | None) -> str | None:
+    """Map a pretrained registry name (e.g. 'unified-best') to its shipped
+    model directory; paths that exist on disk (and None) pass through.
+    Every user-facing --model/model_path entry point (demo, offline,
+    compat.blazeFaceDetector) routes through this, so registry names work
+    anywhere a path does."""
+    if model_path is not None and not os.path.exists(model_path):
+        registry = os.path.join(PRETRAINED_DIR, model_path)
+        if os.path.isdir(registry):
+            return registry
+    return model_path
 
 
 def flagship_path() -> str | None:

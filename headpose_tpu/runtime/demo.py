@@ -23,19 +23,9 @@ from .viz import draw_detections
 from .results import Results
 from ..utils.profiling import FpsCounter
 
+from ..pretrained import resolve_model_path
+
 __all__ = ["run_demo"]
-
-
-def resolve_model_path(model_path: str | None) -> str | None:
-    """Map a pretrained registry name (e.g. 'unified-best') to its shipped
-    model directory; paths that exist on disk (and None) pass through."""
-    if model_path is not None and not os.path.exists(model_path):
-        from ..pretrained import PRETRAINED_DIR
-
-        registry = os.path.join(PRETRAINED_DIR, model_path)
-        if os.path.isdir(registry):
-            return registry
-    return model_path
 
 
 def jax_tree_first(signals):

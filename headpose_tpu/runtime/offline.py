@@ -165,14 +165,17 @@ def main(argv=None) -> None:
                    help="key filters by NMS slot instead of IoU identity")
     p.add_argument("--max_frames", type=int, default=None)
     args = p.parse_args(argv)
-    if args.model is None:
+    from ..pretrained import resolve_model_path
+
+    model = resolve_model_path(args.model)
+    if model is None:
         from ..pretrained import flagship_detector
 
         det = flagship_detector()
-    elif os.path.isdir(args.model):
-        det = FaceDetector.from_native(args.model)
+    elif os.path.isdir(model):
+        det = FaceDetector.from_native(model)
     else:
-        det = FaceDetector.from_h5(args.model)
+        det = FaceDetector.from_h5(model)
     res = process_video(det, args.video, args.out, args.batch_size,
                         None if args.no_smooth else 0.15, args.max_frames,
                         tracking=not args.no_tracking)

@@ -51,6 +51,14 @@ def main():
     model, params = join_models(flagship.backbone, fparams["backbone"],
                                 h88, p88, h96, p96)
 
+    # the accuracy claims transfer ONLY if the joined head params are the
+    # shipped ensemble artifacts' params, verbatim
+    for field, src in (("head88", p88), ("head96", p96)):
+        ours, theirs = (jax.tree.leaves(params[field]), jax.tree.leaves(src))
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # detection-set parity vs the flagship on the golden production image
     golden = np.load(os.path.join(REPO, "tests", "golden",
                                   "e2e_production.npz"))

@@ -217,6 +217,40 @@ class TestEnsembleHead:
                                    atol=1e-6)
         assert not np.allclose(got_train, want)  # dropout actually active
 
+    def test_unhashable_members_still_group(self):
+        """Members are typed by PROTOCOL, not base class — a non-frozen
+        dataclass head (whose __hash__ is None) must still serve through
+        the grouped inference path (which therefore groups by value
+        equality with a linear scan, never by hashing)."""
+        import dataclasses
+
+        @dataclasses.dataclass
+        class _PlainHead:
+            in_features: int = 88
+
+            def init(self, key):
+                return {"w": jnp.asarray(np.random.default_rng(0).normal(
+                    size=(self.in_features, 3)).astype(np.float32))}
+
+            def apply(self, params, x, *, train=False, rng=None):
+                return x @ params["w"]
+
+            def l2_penalty(self, params, rate):
+                return 0.0
+
+        a, b = _PlainHead(), _PlainHead()
+        with pytest.raises(TypeError):
+            hash(a)  # the regression precondition: eq=True dataclass
+        assert a == b and a is not b
+        spec = EnsembleHead(members=(a, b, MLPHead(88, ((3, "linear"),))))
+        params = spec.init(jax.random.PRNGKey(2))
+        x = jnp.asarray(np.random.default_rng(4).normal(
+            size=(6, 88)).astype(np.float32))
+        want = sum(np.asarray(m.apply(p, x))
+                   for m, p in zip(spec.members, params["members"])) / 3
+        np.testing.assert_allclose(np.asarray(spec.apply(params, x)),
+                                   want, rtol=2e-6, atol=1e-6)
+
     def test_validation(self):
         with pytest.raises(ValueError, match="at least one"):
             EnsembleHead(members=())

@@ -635,13 +635,16 @@ def test_unified_best_pretrained_serves_best_heads():
         assert "calibration" in meta[key] and "holdout_summary" in meta[key]
 
 
-def test_demo_resolves_pretrained_registry_names():
-    """--model accepts a pretrained registry name: 'unified-best' resolves
-    to its shipped model directory; real paths and None pass through; an
+def test_model_path_resolves_pretrained_registry_names():
+    """Every user-facing model_path (demo --model, offline --model,
+    compat.blazeFaceDetector) accepts a pretrained registry name through
+    the shared pretrained.resolve_model_path: 'unified-best' resolves to
+    its shipped model directory; real paths and None pass through; an
     unknown name is left as-is (so FaceDetector.from_h5 raises the natural
     file error)."""
-    from headpose_tpu.pretrained import PRETRAINED_DIR
-    from headpose_tpu.runtime.demo import resolve_model_path
+    from headpose_tpu import compat
+    from headpose_tpu.pretrained import PRETRAINED_DIR, resolve_model_path
+    from headpose_tpu.runtime import demo, offline
 
     got = resolve_model_path("unified-best")
     assert got == os.path.join(PRETRAINED_DIR, "unified-best")
@@ -649,3 +652,11 @@ def test_demo_resolves_pretrained_registry_names():
     assert resolve_model_path(None) is None
     assert resolve_model_path(PRETRAINED_DIR) == PRETRAINED_DIR
     assert resolve_model_path("no-such-model.h5") == "no-such-model.h5"
+    # the demo module serves the shared resolver, and every entry point's
+    # source routes through it (cheap static check; the demo/compat paths
+    # are exercised end-to-end elsewhere)
+    assert demo.resolve_model_path is resolve_model_path
+    import inspect
+    assert "resolve_model_path" in inspect.getsource(offline.main)
+    assert "resolve_model_path" in inspect.getsource(
+        compat.blazeFaceDetector.__init__)
