@@ -40,13 +40,18 @@ class UnifiedPoseModel:
     def apply(self, params: Params, x, *, dtype=None,
               dense: bool = False,
               fast_blocks: tuple[int, ...] | None = None,
-              simulate_fast: bool | str = False) -> dict[str, jax.Array]:
+              simulate_fast: bool | str = False,
+              heads: bool = True) -> dict[str, jax.Array]:
         out = self.backbone.apply(params["backbone"], x, dtype=dtype,
                                   dense=dense, fast_blocks=fast_blocks,
                                   simulate_fast=simulate_fast)
-        if self.head88 is not None:
+        # heads=False skips the pose maps (no pose_front/pose_back in the
+        # result): the detector's survivors-only serving profile evaluates
+        # the heads AFTER NMS on the gathered per-face feature vectors
+        # instead of over every map cell (runtime.detector head_eval)
+        if heads and self.head88 is not None:
             out["pose_front"] = self.head88.apply(params["head88"], out["feat88"])
-        if self.head96 is not None:
+        if heads and self.head96 is not None:
             out["pose_back"] = self.head96.apply(params["head96"], out["feat96"])
         return out
 

@@ -25,7 +25,8 @@ import numpy as np
 
 __all__ = ["decode_boxes", "decode_keypoints", "pairwise_iou",
            "nms_static", "anchor_cells", "gather_poses", "postprocess",
-           "score_threshold_to_logit", "sanitize_model_outputs"]
+           "score_threshold_to_logit", "sanitize_model_outputs",
+           "cell_index_maps", "gather_survivor_features"]
 
 MAX_FACES = 100          # blazeFaceDetectorH5.py:9
 KEYPOINTS = 6            # :8
@@ -187,6 +188,63 @@ def gather_poses(sel_idx: jax.Array, pose_front: jax.Array,
     pf = pose_front[rf, cf]
     pb = pose_back[rb, cb]
     return jnp.where(is_front[:, None], pf, pb)
+
+
+def cell_index_maps(feat_front: jax.Array, feat_back: jax.Array):
+    """Pose-map-shaped arrays whose channel 0 carries the FLAT CELL INDEX
+    (front cells first, back offset by the front count — the layout of the
+    postprocess pose table).
+
+    The survivors-only head profile (runtime.detector head_eval='survivors')
+    feeds these to the postprocess *in place of* the real pose maps: both
+    backends extract "poses" per survivor with exact arithmetic (one-hot
+    GEMMs at HIGHEST / masked sums of one-hot masks), so small integers pass
+    through bit-exactly and the per-survivor channel 0 comes back as the
+    survivor's cell index — without either backend growing a second output
+    contract.  Invalid slots return 0 (a real cell index!); always gate on
+    the `valid` mask before decoding."""
+    B, hf, wf = feat_front.shape[:3]
+    hb, wb = feat_back.shape[1:3]
+    nf = hf * wf
+    mf = jnp.zeros((hf, wf, 3), jnp.float32).at[..., 0].set(
+        jnp.arange(nf, dtype=jnp.float32).reshape(hf, wf))
+    mb = jnp.zeros((hb, wb, 3), jnp.float32).at[..., 0].set(
+        nf + jnp.arange(hb * wb, dtype=jnp.float32).reshape(hb, wb))
+    return (jnp.broadcast_to(mf, (B, hf, wf, 3)),
+            jnp.broadcast_to(mb, (B, hb, wb, 3)))
+
+
+def gather_survivor_features(cells: jax.Array, valid: jax.Array,
+                             feat_front: jax.Array, feat_back: jax.Array):
+    """Flat cell indices (B, F) + validity mask → per-survivor feature
+    vectors from both backbone taps.
+
+    Returns (vec_front (B, F, C88), vec_back (B, F, C96), is_front (B, F)):
+    each row is the feature vector at the survivor's grid cell — exactly
+    what the reference's feature-extraction pipeline stored per detected
+    face (SURVEY.md §2.15) and what every pose head trained/evaluated on.
+    Rows of the OTHER map (and invalid slots) are zero.
+
+    Layout: one-hot (B, F, cells) @ (B, cells, C) batched GEMMs at HIGHEST —
+    bit-exact row selection, same trick as the postprocess pose-table
+    gather (a (B*F,)-row gather would relayout; the one-hot GEMM fuses)."""
+    B, hf, wf, cf_ = feat_front.shape
+    hb, wb, cb_ = feat_back.shape[1:]
+    nf, nb = hf * wf, hb * wb
+    is_front = cells < nf
+    z = valid & is_front
+    ohf = ((cells[..., None] == jnp.arange(nf)[None, None, :])
+           & z[..., None]).astype(jnp.float32)                    # (B, F, nf)
+    zb = valid & ~is_front
+    ohb = (((cells - nf)[..., None] == jnp.arange(nb)[None, None, :])
+           & zb[..., None]).astype(jnp.float32)                   # (B, F, nb)
+    vec_front = jnp.einsum("bfc,bcd->bfd", ohf,
+                           feat_front.reshape(B, nf, cf_),
+                           precision=_HIGHEST)
+    vec_back = jnp.einsum("bfc,bcd->bfd", ohb,
+                          feat_back.reshape(B, nb, cb_),
+                          precision=_HIGHEST)
+    return vec_front, vec_back, is_front
 
 
 @functools.lru_cache(maxsize=None)

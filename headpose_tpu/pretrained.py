@@ -119,8 +119,20 @@ def flagship_detector(**kwargs):
 def best_detector(**kwargs):
     """A ready-to-use FaceDetector on 'unified-best' — the flagship
     detections with the most accurate pose heads in either ecosystem (the
-    stacked-mixed ensembles; see load_pretrained)."""
+    stacked-mixed ensembles; see load_pretrained).
+
+    Defaults to head_eval='survivors': the stacked pools include SE-gated
+    members whose map-grafted evaluation pools over the WHOLE feature map —
+    a different function from the per-vector semantics every member was
+    trained and the stack calibrated/holdout-scored under (measured up to
+    ~5 deg apart on golden content, tests/test_detection.py::
+    TestSurvivorsHeadEval).  'survivors' evaluates each detected face's
+    gathered feature vector independently, so the artifact's advertised
+    holdout accuracy is the accuracy it actually serves — and the heads run
+    on ≤ max_faces rows instead of all 320 map cells.  Pass
+    head_eval='map' for the reference's grafted-graph semantics."""
     from .runtime.detector import FaceDetector
 
     model, params = load_pretrained(BEST)
+    kwargs.setdefault("head_eval", "survivors")
     return FaceDetector(model, params, **kwargs)

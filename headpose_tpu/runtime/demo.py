@@ -43,7 +43,8 @@ def _center_square(frame: np.ndarray) -> np.ndarray:
 def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
              max_frames: int | None = None, display: bool = True,
-             precision: str = "highest", tracking: bool = True) -> int:
+             precision: str = "highest", tracking: bool = True,
+             head_eval: str = "map") -> int:
     """Run the live loop.  Returns the number of frames processed.
     model_path: H5 file, native model dir, a pretrained registry name
     (e.g. 'unified-best' — see pretrained.load_pretrained), or None for the
@@ -51,18 +52,22 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
     precision: serving mode (highest/fast/turbo/max — see FaceDetector).
     tracking: match detections to persistent tracks by IoU before smoothing
     (filters follow faces across score-rank swaps; runtime.tracking); False
-    falls back to slot-keyed smoothing."""
+    falls back to slot-keyed smoothing.
+    head_eval: 'map' (grafted-graph semantics) or 'survivors' (heads on the
+    detected faces' gathered feature vectors — recommended for ensemble
+    artifacts like 'unified-best'; see FaceDetector)."""
     import cv2
 
     model_path = resolve_model_path(model_path)
+    kw = dict(precision=precision, head_eval=head_eval)
     if model_path is None:
         from ..pretrained import flagship_detector
 
-        detector = flagship_detector(precision=precision)
+        detector = flagship_detector(**kw)
     elif os.path.isdir(model_path):
-        detector = FaceDetector.from_native(model_path, precision=precision)
+        detector = FaceDetector.from_native(model_path, **kw)
     else:
-        detector = FaceDetector.from_h5(model_path, precision=precision)
+        detector = FaceDetector.from_h5(model_path, **kw)
     smoother = (IoUTrackSmoother(alpha) if tracking else TrackSmoother(alpha))
     fps = FpsCounter()
 
@@ -132,12 +137,19 @@ def main(argv=None) -> None:
     p.add_argument("--precision", default="highest",
                    choices=["highest", "high", "fast", "turbo", "max"],
                    help="serving mode (docs/BENCH.md)")
+    p.add_argument("--head_eval", default="map",
+                   choices=["map", "survivors"],
+                   help="pose heads over every map cell ('map', the "
+                        "reference semantics) or on the detected faces' "
+                        "feature vectors ('survivors' — recommended for "
+                        "ensemble artifacts like unified-best)")
     args = p.parse_args(argv)
     n = run_demo(model_path=args.model,
                  source=args.video if args.video else args.camera,
                  record=args.record, use_ema=not args.no_ema,
                  max_frames=args.frames, display=not args.headless,
-                 precision=args.precision, tracking=not args.no_tracking)
+                 precision=args.precision, tracking=not args.no_tracking,
+                 head_eval=args.head_eval)
     print(f"processed {n} frames")
 
 

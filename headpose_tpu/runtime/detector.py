@@ -45,7 +45,7 @@ class FaceDetector:
                  channel_order: str = "bgr", precision: str = "highest",
                  anchor_config: AnchorConfig | None = None,
                  turbo_island: tuple[int, ...] | None = None,
-                 postprocess: str = "auto",
+                 postprocess: str = "auto", head_eval: str = "map",
                  mesh: Any | None = None, data_axis: str = "data"):
         self.model = model
         self.params = params
@@ -113,6 +113,40 @@ class FaceDetector:
             raise ValueError(f"postprocess must be 'xla', 'pallas' or "
                              f"'auto', got {postprocess!r}")
         self.postprocess = postprocess
+        # head evaluation profile:
+        #   'map'       (default) — the reference's grafted-graph semantics
+        #               (JoinModels.py:65-66): pose heads run over EVERY
+        #               cell of both feature maps before NMS, poses gathered
+        #               per survivor.  The parity-certified path.
+        #   'survivors' — heads run AFTER NMS, on the feature vectors
+        #               gathered at the survivor cells only (≤ max_faces
+        #               rows instead of 320 map cells).  For per-cell head
+        #               families (every 1x1-conv chain: mlp/residual/skip —
+        #               all shipped reference heads) the poses are
+        #               numerically identical to 'map'; for heads with
+        #               SPATIAL context (SE gating's map-wide pooling, the
+        #               SE-Transformer's token attention) each face's vector
+        #               is evaluated independently — the TRAINING/dataset
+        #               semantics (SURVEY.md §2.15: one feature vector per
+        #               face), which is what stacked-ensemble calibration
+        #               (scripts/stack_ensemble.py) optimized.  The win:
+        #               big-head artifacts (unified-best's 99-member
+        #               stacks) pay per FACE, not per CELL — pair with a
+        #               small max_faces for the full effect.  Needs a
+        #               native model exposing both heads + feature taps
+        #               (from_h5/from_native; not from_h5_compat).
+        if head_eval not in ("map", "survivors"):
+            raise ValueError(f"head_eval must be 'map' or 'survivors', "
+                             f"got {head_eval!r}")
+        if head_eval == "survivors" and (
+                getattr(model, "head88", None) is None
+                or getattr(model, "head96", None) is None):
+            raise ValueError(
+                "head_eval='survivors' needs a native UnifiedPoseModel with "
+                "both pose heads attached (graph-compiled models expose "
+                "neither the heads nor the feature-map taps) — load through "
+                "from_h5/from_native, or use head_eval='map'")
+        self.head_eval = head_eval
         # anchors follow the model's input resolution: 128 → front-camera
         # config (blazeFaceDetectorH5.py:236-241), 256 → the back-camera
         # config the reference reserves but never wires (INPUT_BACK=256)
@@ -161,11 +195,12 @@ class FaceDetector:
         # pytree — for the life of the process.  The cached_property's
         # compiled programs die with the instance.
         return jax.jit(self._pipeline_dispatch,
-                       static_argnums=(2, 3, 4, 5, 6, 7))
+                       static_argnums=(2, 3, 4, 5, 6, 7, 8))
 
     def _pipeline_dispatch(self, params, images, score_threshold,
                            iou_threshold, max_faces, precision,
-                           postprocess_backend="xla", turbo_island=None):
+                           postprocess_backend="xla", turbo_island=None,
+                           head_eval="map"):
         b = images.shape[0]
         # the 128-lane cliff is per DEVICE: under a dp mesh each device
         # holds b/n of the batch, so one chunk covers CHUNK lanes per shard
@@ -174,24 +209,26 @@ class FaceDetector:
         if b <= chunk:
             return self._pipeline_body(params, images, score_threshold,
                                        iou_threshold, max_faces, precision,
-                                       postprocess_backend, turbo_island)
+                                       postprocess_backend, turbo_island,
+                                       head_eval)
         posts = [self._pipeline_body(params, images[i:i + chunk],
                                      score_threshold, iou_threshold,
                                      max_faces, precision,
-                                     postprocess_backend, turbo_island)
+                                     postprocess_backend, turbo_island,
+                                     head_eval)
                  for i in range(0, b, chunk)]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *posts)
 
     def _pipeline_body(self, params, images, score_threshold, iou_threshold,
                        max_faces, precision, postprocess_backend="xla",
-                       turbo_island=None):
+                       turbo_island=None, head_eval="map"):
         """(B, H, W, 3) raw frames → padded detection slabs.  One XLA program.
 
         The threshold/precision config enters as STATIC jit arguments (not
         read off `self` at trace time) so that mutating detector attributes
         between calls correctly retraces instead of silently reusing the
         program compiled for the old values.  Only score/iou thresholds,
-        max_faces, precision, postprocess, and turbo_island are
+        max_faces, precision, postprocess, turbo_island, and head_eval are
         mutation-safe this way: input_size,
         channel_order, and the anchor table are fixed at construction (they
         describe the model, not the serving config) — rebuild the detector
@@ -220,7 +257,19 @@ class FaceDetector:
                 kwargs["fast_blocks"] = tuple(range(len(spec.block_channels)))
         with jax.default_matmul_precision("high" if fast else precision):
             x = preprocess(images, self.input_size, self.channel_order)
-            out = self.model.apply(params, x, **kwargs)
+            out = self.model.apply(params, x, heads=head_eval == "map",
+                                   **kwargs)
+        if head_eval == "survivors":
+            # the postprocess extracts its 3 "pose" channels per survivor
+            # with exact arithmetic in BOTH backends, so cell-index-encoded
+            # maps ride the existing contract: channel 0 comes back as each
+            # survivor's flat cell index (ops.detection.cell_index_maps)
+            from ..ops.detection import cell_index_maps
+
+            pose_front, pose_back = cell_index_maps(out["feat88"],
+                                                    out["feat96"])
+        else:
+            pose_front, pose_back = out["pose_front"], out["pose_back"]
         n_shards = (self.mesh.shape[self.data_axis]
                     if self.mesh is not None else 1)
         # the platform the postprocess actually RUNS on: with a mesh it is
@@ -267,7 +316,7 @@ class FaceDetector:
                     in_specs=(spec,) * 4, out_specs=spec,
                     check_vma=False)
             post = pallas_call(out["scores"], out["loc"],
-                               out["pose_front"], out["pose_back"])
+                               pose_front, pose_back)
         else:
             post = jax.vmap(
                 lambda s, l, pf, pb: postprocess(
@@ -276,9 +325,34 @@ class FaceDetector:
                     iou_threshold=iou_threshold,
                     input_size=self.input_size,
                     max_faces=max_faces))(
-                out["scores"], out["loc"], out["pose_front"],
-                out["pose_back"])
+                out["scores"], out["loc"], pose_front, pose_back)
+        if head_eval == "survivors":
+            post = dict(post)
+            post["poses"] = self._survivor_poses(params, out, post, precision)
         return post
+
+    def _survivor_poses(self, params, out, post, precision):
+        """head_eval='survivors': run the pose heads on the feature vectors
+        gathered at the NMS-survivor cells (≤ max_faces rows) instead of
+        over every map cell.  Heads see 2-D (rows, C) input — each face's
+        vector evaluated independently, the training/dataset semantics
+        (identical to 'map' for per-cell families; see __init__)."""
+        from ..ops.detection import gather_survivor_features
+
+        cells = jnp.round(post["poses"][..., 0]).astype(jnp.int32)   # (B, F)
+        vf, vb, is_front = gather_survivor_features(
+            cells, post["valid"], out["feat88"], out["feat96"])
+        B, F = cells.shape
+        # same ambient precision the 'map' path evaluates heads under
+        fast = precision in ("fast", "turbo", "max")
+        with jax.default_matmul_precision("high" if fast else precision):
+            pf = self.model.head88.apply(
+                params["head88"], vf.reshape(B * F, -1)).reshape(B, F, 3)
+            pb = self.model.head96.apply(
+                params["head96"], vb.reshape(B * F, -1)).reshape(B, F, 3)
+        z = post["valid"][..., None]
+        return jnp.where(is_front[..., None] & z, pf,
+                         jnp.where(z, pb, 0.0))
 
     def detect(self, images) -> BatchResults:
         """images: (B, H, W, 3) or (H, W, 3), uint8/float 0-255, BGR by default."""
@@ -296,7 +370,7 @@ class FaceDetector:
         post = self._pipeline(self.params, images, self.score_threshold,
                               self.iou_threshold, self.max_faces,
                               self.precision, self.postprocess,
-                              self.turbo_island)
+                              self.turbo_island, self.head_eval)
         return BatchResults(boxes=post["boxes"], keypoints=post["keypoints"],
                             scores=post["scores"], poses=post["poses"],
                             valid=post["valid"])

@@ -164,6 +164,12 @@ def main(argv=None) -> None:
     p.add_argument("--no_tracking", action="store_true",
                    help="key filters by NMS slot instead of IoU identity")
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--head_eval", default="map",
+                   choices=["map", "survivors"],
+                   help="pose heads over every map cell ('map', the "
+                        "reference semantics) or on the detected faces' "
+                        "feature vectors ('survivors' — recommended for "
+                        "ensemble artifacts like unified-best)")
     args = p.parse_args(argv)
     from ..pretrained import resolve_model_path
 
@@ -171,11 +177,11 @@ def main(argv=None) -> None:
     if model is None:
         from ..pretrained import flagship_detector
 
-        det = flagship_detector()
+        det = flagship_detector(head_eval=args.head_eval)
     elif os.path.isdir(model):
-        det = FaceDetector.from_native(model)
+        det = FaceDetector.from_native(model, head_eval=args.head_eval)
     else:
-        det = FaceDetector.from_h5(model)
+        det = FaceDetector.from_h5(model, head_eval=args.head_eval)
     res = process_video(det, args.video, args.out, args.batch_size,
                         None if args.no_smooth else 0.15, args.max_frames,
                         tracking=not args.no_tracking)

@@ -1,0 +1,108 @@
+"""Paired on-chip A/B: survivors-only head evaluation vs map-mode serving.
+
+head_eval='survivors' (runtime.detector) runs the pose heads AFTER NMS on the
+feature vectors gathered at the survivor cells (≤ max_faces rows) instead of
+over every map cell (256 + 64 cells).  For unified-best's 99-member stacked
+heads that trades ~18 grouped dot chains over the full maps for the same
+chains over a (B, max_faces) slab plus two one-hot gather GEMMs; for the
+flagship's tiny heads it mostly adds the gathers.
+
+Variants (all batch 128, 'fast' mode, XLA postprocess), interleaved
+round-robin with per-round PAIRED ratios against the same-round flagship-map
+dispatch (the chip's absolute rate drifts up to ~40% across minutes in this
+container — see probe_unified_best_cost.py):
+
+  flagship-map        the headline serving config (baseline of every ratio)
+  flagship-surv       survivors profile on the flagship (expected ~neutral)
+  best-map            unified-best, map profile (1.87x in the r3 probe)
+  best-surv           unified-best, survivors, max_faces=100
+  best-surv16         unified-best, survivors, max_faces=16 (small-slab
+                      serving profile; the Results slab shrinks to 16)
+
+Usage:  python scripts/probe_survivors_cost.py [iters] [rounds]
+Writes docs/survivors_cost.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "docs", "survivors_cost.json")
+
+
+def main():
+    import jax
+
+    from headpose_tpu.pretrained import load_flagship, load_pretrained
+    from headpose_tpu.runtime.detector import FaceDetector
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    batch = 128
+
+    flag = load_flagship()
+    best = load_pretrained("unified-best")
+    variants = {
+        "flagship-map": (flag, "map", 100),
+        "flagship-surv": (flag, "survivors", 100),
+        "best-map": (best, "map", 100),
+        "best-surv": (best, "survivors", 100),
+        "best-surv16": (best, "survivors", 16),
+    }
+
+    fns, compile_s = {}, {}
+    bufs = staged_uint8_frames(batch)
+    jax.block_until_ready(bufs)
+    for tag, ((m, p), head_eval, max_faces) in variants.items():
+        det = FaceDetector(m, p, precision="fast", postprocess="xla",
+                           head_eval=head_eval, max_faces=max_faces)
+        args = (det.params, det.score_threshold, det.iou_threshold,
+                det.max_faces, det.precision, det.postprocess,
+                det.turbo_island, det.head_eval)
+
+        def run(images, det=det, args=args):
+            return det._pipeline(args[0], images, *args[1:])
+
+        t0 = time.time()
+        jax.block_until_ready(jax.tree.leaves(run(bufs[0])))
+        compile_s[tag] = round(time.time() - t0, 1)
+        fns[tag] = run
+        print(f"{tag}: compiled in {compile_s[tag]} s", flush=True)
+
+    ms = {t: [] for t in fns}
+    for r in range(rounds):
+        for t, f in fns.items():
+            ms[t].append(sustained_seconds_per_dispatch(f, bufs, iters) * 1e3)
+        print(f"round {r}: " + "  ".join(f"{t}={ms[t][-1]:.3f}ms"
+                                         for t in ms), flush=True)
+
+    def paired(tag):
+        return [b / a for a, b in zip(ms["flagship-map"], ms[tag])]
+
+    report = {
+        "iters": iters, "rounds": rounds, "batch": batch,
+        "methodology": "interleaved rounds; per-round PAIRED time ratios vs "
+                       "the same-round flagship-map dispatch cancel the "
+                       "container's chip-rate drift",
+        "ms": {t: [round(x, 3) for x in v] for t, v in ms.items()},
+        "median_ratio_vs_flagship_map": {
+            t: round(statistics.median(paired(t)), 3) for t in fns},
+        "median_fps": {t: round(batch / (statistics.median(v) / 1e3), 1)
+                       for t, v in ms.items()},
+        "compile_s": compile_s,
+    }
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["median_ratio_vs_flagship_map"]), flush=True)
+    print(f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

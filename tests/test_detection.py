@@ -336,3 +336,104 @@ def test_batchresults_is_a_pytree_and_trim_single_fetch():
     out = jax.jit(lambda b: b.scores.sum())(br)
     assert float(out) == 0.0
     assert len(br.trim()) == 2
+
+
+class TestSurvivorsHeadEval:
+    """head_eval='survivors': pose heads run AFTER NMS on the feature
+    vectors gathered at survivor cells, instead of over every map cell
+    (the reference's grafted-graph semantics, JoinModels.py:65-66)."""
+
+    def test_equals_map_for_per_cell_heads(self, production_detector):
+        """All shipped reference heads are per-cell 1x1-conv chains, so the
+        two profiles must agree exactly — detections AND poses — on
+        detection-rich content, with either postprocess backend."""
+        from headpose_tpu.runtime import FaceDetector
+
+        g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+        rng = np.random.default_rng(3)
+        img = np.asarray(g["img"], np.uint8)
+        batch = np.concatenate([
+            np.broadcast_to(img, (2, *img.shape)),
+            rng.integers(0, 256, (2, *img.shape)).astype(np.uint8)])
+        det = production_detector
+        base = det.detect(batch)
+        assert int(np.asarray(base.valid).sum()) > 0
+        for backend in ("xla", "pallas"):
+            surv = FaceDetector(det.model, det.params,
+                                score_threshold=det.score_threshold,
+                                postprocess=backend,
+                                head_eval="survivors").detect(batch)
+            for k in ("boxes", "keypoints", "scores", "valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(surv, k)),
+                    np.asarray(getattr(base, k)), err_msg=f"{k}@{backend}")
+            # poses: bit-exact on this platform; allow reassociation ulps
+            np.testing.assert_allclose(
+                np.asarray(surv.poses), np.asarray(base.poses), atol=1e-4,
+                err_msg=f"poses@{backend}")
+
+    def test_spatial_heads_get_training_semantics(self, production_detector):
+        """For heads with SPATIAL context (SE gating pools over the whole
+        map when grafted), 'survivors' evaluates each face's vector
+        independently — the training/dataset semantics every head was
+        fit and holdout-scored under (SURVEY.md §2.15).  Verified against
+        an independent per-vector evaluation: apply the heads to each
+        cell's vector as 2-D rows, then pose-gather through the stock
+        map-mode postprocess."""
+        from headpose_tpu.models.heads import EnsembleHead, MLPHead, SEMLPHead
+        from headpose_tpu.models.unified import UnifiedPoseModel
+        from headpose_tpu.ops.detection import postprocess as pp
+        from headpose_tpu.ops.image import preprocess
+        from headpose_tpu.runtime import FaceDetector
+
+        g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+        img = np.asarray(g["img"], np.uint8)[None]
+        base = production_detector
+        h88 = EnsembleHead(members=(
+            SEMLPHead(in_features=88, reduction=8, hidden=16),
+            MLPHead(in_features=88, layers=((16, "softsign"), (3, "linear")))))
+        h96 = SEMLPHead(in_features=96, reduction=8, hidden=16)
+        model = UnifiedPoseModel(backbone=base.model.backbone,
+                                 head88=h88, head96=h96)
+        params = {"backbone": base.params["backbone"],
+                  "head88": h88.init(jax.random.PRNGKey(0)),
+                  "head96": h96.init(jax.random.PRNGKey(1))}
+        kw = dict(score_threshold=base.score_threshold)
+        rmap = FaceDetector(model, params, **kw).detect(img)
+        rsurv = FaceDetector(model, params, head_eval="survivors",
+                             **kw).detect(img)
+        valid = np.asarray(rmap.valid)
+        assert int(valid.sum()) >= 2
+        # detections identical (the SSD branch is untouched)
+        for k in ("boxes", "scores", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(rsurv, k)),
+                                          np.asarray(getattr(rmap, k)))
+        # independent per-vector expectation
+        x = preprocess(jnp.asarray(img), base.input_size, "bgr")
+        out = model.apply(params, x, heads=False)
+        pvf = h88.apply(params["head88"],
+                        out["feat88"].reshape(-1, 88)).reshape(1, 16, 16, 3)
+        pvb = h96.apply(params["head96"],
+                        out["feat96"].reshape(-1, 96)).reshape(1, 8, 8, 3)
+        expected = jax.vmap(lambda s, l, pf, pb: pp(
+            s, l, pf, pb, base.anchors,
+            score_threshold=base.score_threshold))(
+            out["scores"], out["loc"], pvf, pvb)
+        np.testing.assert_allclose(np.asarray(rsurv.poses)[valid],
+                                   np.asarray(expected["poses"])[valid],
+                                   atol=1e-4)
+        # and the map profile is genuinely a DIFFERENT function here (the
+        # SE gate pooled over the whole map, not this face's vector)
+        dmax = np.abs(np.asarray(rsurv.poses)[valid]
+                      - np.asarray(rmap.poses)[valid]).max()
+        assert dmax > 1e-3, f"expected map/survivors divergence, got {dmax}"
+
+    def test_needs_native_heads(self):
+        from headpose_tpu.models.unified import UnifiedPoseModel
+        from headpose_tpu.runtime import FaceDetector
+
+        with pytest.raises(ValueError, match="survivors"):
+            FaceDetector(UnifiedPoseModel(head88=None, head96=None), {},
+                         head_eval="survivors")
+        with pytest.raises(ValueError, match="head_eval"):
+            FaceDetector(UnifiedPoseModel(), {}, head_eval="bogus")
