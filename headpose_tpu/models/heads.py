@@ -436,7 +436,18 @@ class EnsembleHead:
         member-sum association differs (grouped then cross-group, in
         first-appearance order) — a ~1e-7 relative reassociation, which is
         why the training path (whose step-for-step trajectories are gated
-        bit-tight) keeps the sequential order."""
+        bit-tight) keeps the sequential order.
+
+        Measured-negative follow-up (do not redo): merging HETEROGENEOUS
+        MLP specs into width-bucketed zero-padded supergroups (identity
+        depth-tails, one batched chain per bucket — 12 distinct unified-best
+        MLP chains down to 2) is exact but SLOWER on-chip: paired probes
+        measured unified-best at 2.1-2.6x flagship vs 1.71x without it.
+        The stacks are bound by their (k, N, W) activation slabs in HBM,
+        not by chain count — padding widths 32-64 up to 128 inflates that
+        traffic ~1.5x, and the layer-0 wide-GEMM variant pays another two
+        materializations of the slab in relayouts (docs/BENCH.md
+        'Survivors-only head evaluation', git history for the kernels)."""
         # group by VALUE equality with a linear scan (trace-time only, K<=
         # ~100): members are typed by protocol, not base class, so specs
         # need not be hashable (a non-frozen dataclass has __hash__ = None)

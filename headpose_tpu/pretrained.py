@@ -124,9 +124,11 @@ def best_detector(**kwargs):
     Defaults to head_eval='survivors': the stacked pools include SE-gated
     members whose map-grafted evaluation pools over the WHOLE feature map —
     a different function from the per-vector semantics every member was
-    trained and the stack calibrated/holdout-scored under (measured up to
-    ~5 deg apart on golden content, tests/test_detection.py::
-    TestSurvivorsHeadEval).  'survivors' evaluates each detected face's
+    trained and the stack calibrated/holdout-scored under (measured
+    on-chip across the 451-detection parity corpus: divergence p50 3.9 /
+    p99 18.5 / max 26.5 deg — docs/headeval_divergence.json;
+    tests/test_detection.py::TestSurvivorsHeadEval).  'survivors'
+    evaluates each detected face's
     gathered feature vector independently, so the artifact's advertised
     holdout accuracy is the accuracy it actually serves — and the heads run
     on ≤ max_faces rows instead of all 320 map cells.  Pass

@@ -217,6 +217,43 @@ class TestEnsembleHead:
                                    atol=1e-6)
         assert not np.allclose(got_train, want)  # dropout actually active
 
+    def test_heterogeneous_members_match_sequential(self):
+        """A realistic unified-best-shaped member mix — heterogeneous MLP
+        widths/depths/activations, duplicate specs, and a non-MLP member —
+        must match the sequential member-sum to reassociation ulps through
+        the grouped inference path.  (A width-bucketed zero-padded
+        supergroup merge of the heterogeneous MLPs was built, passed this
+        test, and was REVERTED after paired on-chip probes measured it
+        SLOWER — the stacks are activation-slab-HBM-bound, not chain-count
+        bound; see EnsembleHead._apply_grouped's docstring.)"""
+        members = (
+            MLPHead(88, ((128, "softsign"), (3, "linear"))),
+            MLPHead(88, ((128, "softsign"), (64, "softsign"), (3, "linear"))),
+            MLPHead(88, ((32, "softsign"), (3, "linear"))),
+            MLPHead(88, ((64, "tanh"), (32, "tanh"), (3, "linear"))),
+            MLPHead(88, ((64, "tanh"), (32, "tanh"), (3, "linear"))),  # dup
+            SEMLPHead(in_features=88),
+            MLPHead(88, ((256, "tanh"), (128, "tanh"), (3, "linear"))),
+        )
+        W = tuple((0.3 * i - 0.2, 0.1 * i, 0.05 - 0.02 * i)
+                  for i in range(len(members)))
+        spec = EnsembleHead(members=members, weights=W, bias=(0.1, -0.3, 0.2))
+        params = spec.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(4, 2, 2, 88)).astype(np.float32))
+        want = sum(np.asarray(m.apply(p, x)) * np.asarray(w, np.float32)
+                   for m, p, w in zip(members, params["members"], W)
+                   ) + np.asarray(spec.bias)
+        np.testing.assert_allclose(np.asarray(spec.apply(params, x)), want,
+                                   rtol=2e-6, atol=1e-6)
+        # uniform-average ensembles take the same path
+        avg = EnsembleHead(members=members)
+        want_avg = sum(np.asarray(m.apply(p, x))
+                       for m, p in zip(members, params["members"])
+                       ) / len(members)
+        np.testing.assert_allclose(np.asarray(avg.apply(params, x)),
+                                   want_avg, rtol=2e-6, atol=1e-6)
+
     def test_unhashable_members_still_group(self):
         """Members are typed by PROTOCOL, not base class — a non-frozen
         dataclass head (whose __hash__ is None) must still serve through
