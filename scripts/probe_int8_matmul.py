@@ -50,9 +50,12 @@ def timed_tflops(n: int, dtype: str) -> tuple[float, float]:
                 preferred_element_type=jnp.int32)
 
         def reinject(a, out):
-            # fold one data-dependent bit back into the operand so the
-            # runtime cannot elide iterations; int8 wraparound is fine
-            return (a + (out[:1, :1] & 1).astype(jnp.int8)).astype(jnp.int8)
+            # fold a data-dependent bit of EVERY output element back into
+            # the operand: consuming only a slice of `out` lets XLA
+            # dead-code-eliminate the GEMM down to the consumed elements
+            # (first version measured an impossible 1284 TOPS this way);
+            # int8 wraparound is fine for timing
+            return (a + (out & 1).astype(jnp.int8)).astype(jnp.int8)
     else:
         a = jnp.asarray(rng.normal(size=(n, n)), jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=(n, n)), jnp.bfloat16)
@@ -61,9 +64,10 @@ def timed_tflops(n: int, dtype: str) -> tuple[float, float]:
             return jnp.dot(a, b)
 
         def reinject(a, out):
+            # full-matrix dependence (see int8 note); scale keeps the
+            # perturbation below bf16 resolution, as in probe_mosaic_matmul
             return (a.astype(jnp.float32)
-                    + out[:1, :1].astype(jnp.float32) * 1e-30
-                    ).astype(jnp.bfloat16)
+                    + out.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
 
     @jax.jit
     def chained(a):
