@@ -88,6 +88,11 @@ class MLPHead:
     layers: tuple[tuple[int, str], ...]
     dropout_rate: float = 0.0  # applied after every layer, train mode only
 
+    # a pure per-cell function: applying it to a feature MAP equals applying
+    # it to each cell's vector (the training/dataset semantics) — see
+    # runtime.detector head_eval
+    spatial_context = False
+
     def init(self, key) -> Params:
         params = []
         cin = self.in_features
@@ -127,6 +132,8 @@ class ResidualMLPHead:
     out_features: int = 3
     activation: str = "softsign"
     dropout_rate: float = 0.0
+
+    spatial_context = False  # 1x1-conv chain: per-cell
 
     def init(self, key) -> Params:
         ks = jax.random.split(key, 2 + 2 * self.num_blocks + 1)
@@ -178,6 +185,8 @@ class SkipMLPHead:
     out_features: int = 3
     activation: str = "softsign"
     dropout_rate: float = 0.0
+
+    spatial_context = False  # 1x1-conv chain: per-cell
 
     def init(self, key) -> Params:
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -244,6 +253,10 @@ class SEMLPHead:
     hidden: int = 42
     out_features: int = 3
 
+    # the SE gate pools over ALL spatial positions when applied to a map —
+    # a different function from the per-vector training semantics
+    spatial_context = True
+
     def init(self, key) -> Params:
         k1, k2, k3 = jax.random.split(key, 3)
         return {
@@ -278,6 +291,9 @@ class SETransformerHead:
     ff_dim: int = 64
     hidden: int = 128
     out_features: int = 3
+
+    # SE gate + token attention couple ALL spatial positions on a map
+    spatial_context = True
 
     def init(self, key) -> Params:
         ks = jax.random.split(key, 10)
@@ -399,6 +415,16 @@ class EnsembleHead:
     @property
     def in_features(self) -> int:
         return self.members[0].in_features
+
+    @property
+    def spatial_context(self) -> bool:
+        """True when ANY member couples spatial positions on a map input
+        (SE gating / token attention) — such an ensemble computes a
+        different function map-grafted than per-vector, and should serve
+        under the detector's survivors profile (head_eval='auto' does
+        this).  Unknown protocol members without the attribute count as
+        spatial (conservative: their map behavior is unverified)."""
+        return any(getattr(m, "spatial_context", True) for m in self.members)
 
     def init(self, key) -> Params:
         return {"members": [m.init(jax.random.fold_in(key, i))

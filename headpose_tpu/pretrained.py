@@ -121,14 +121,14 @@ def best_detector(**kwargs):
     detections with the most accurate pose heads in either ecosystem (the
     stacked-mixed ensembles; see load_pretrained).
 
-    Defaults to head_eval='survivors': the stacked pools include SE-gated
-    members whose map-grafted evaluation pools over the WHOLE feature map —
-    a different function from the per-vector semantics every member was
-    trained and the stack calibrated/holdout-scored under (measured
-    on-chip across the 451-detection parity corpus: divergence p50 3.9 /
-    p99 18.5 / max 26.5 deg — docs/headeval_divergence.json;
-    tests/test_detection.py::TestSurvivorsHeadEval).  'survivors'
-    evaluates each detected face's
+    Serves with head_eval='survivors' (the detector's 'auto' default
+    resolves to it here): the stacked pools include SE-gated members whose
+    map-grafted evaluation pools over the WHOLE feature map — a different
+    function from the per-vector semantics every member was trained and
+    the stack calibrated/holdout-scored under (measured on-chip across the
+    451-detection parity corpus: divergence p50 3.9 / p99 18.5 / max 26.5
+    deg — docs/headeval_divergence.json; tests/test_detection.py::
+    TestSurvivorsHeadEval).  'survivors' evaluates each detected face's
     gathered feature vector independently, so the artifact's advertised
     holdout accuracy is the accuracy it actually serves — and the heads run
     on ≤ max_faces rows instead of all 320 map cells.  Pass
@@ -136,5 +136,4 @@ def best_detector(**kwargs):
     from .runtime.detector import FaceDetector
 
     model, params = load_pretrained(BEST)
-    kwargs.setdefault("head_eval", "survivors")
     return FaceDetector(model, params, **kwargs)

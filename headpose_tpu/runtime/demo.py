@@ -44,7 +44,7 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
              max_frames: int | None = None, display: bool = True,
              precision: str = "highest", tracking: bool = True,
-             head_eval: str = "map") -> int:
+             head_eval: str = "auto") -> int:
     """Run the live loop.  Returns the number of frames processed.
     model_path: H5 file, native model dir, a pretrained registry name
     (e.g. 'unified-best' — see pretrained.load_pretrained), or None for the
@@ -53,9 +53,10 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
     tracking: match detections to persistent tracks by IoU before smoothing
     (filters follow faces across score-rank swaps; runtime.tracking); False
     falls back to slot-keyed smoothing.
-    head_eval: 'map' (grafted-graph semantics) or 'survivors' (heads on the
-    detected faces' gathered feature vectors — recommended for ensemble
-    artifacts like 'unified-best'; see FaceDetector)."""
+    head_eval: 'auto' (default — survivors exactly when a head declares
+    spatial context, e.g. 'unified-best'), 'map' (grafted-graph semantics),
+    or 'survivors' (heads on the detected faces' gathered feature vectors;
+    see FaceDetector)."""
     import cv2
 
     model_path = resolve_model_path(model_path)
@@ -137,12 +138,13 @@ def main(argv=None) -> None:
     p.add_argument("--precision", default="highest",
                    choices=["highest", "high", "fast", "turbo", "max"],
                    help="serving mode (docs/BENCH.md)")
-    p.add_argument("--head_eval", default="map",
-                   choices=["map", "survivors"],
+    p.add_argument("--head_eval", default="auto",
+                   choices=["auto", "map", "survivors"],
                    help="pose heads over every map cell ('map', the "
                         "reference semantics) or on the detected faces' "
-                        "feature vectors ('survivors' — recommended for "
-                        "ensemble artifacts like unified-best)")
+                        "feature vectors ('survivors'); 'auto' picks "
+                        "survivors exactly when a head declares spatial "
+                        "context (e.g. unified-best)")
     args = p.parse_args(argv)
     n = run_demo(model_path=args.model,
                  source=args.video if args.video else args.camera,

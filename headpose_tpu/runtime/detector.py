@@ -45,7 +45,7 @@ class FaceDetector:
                  channel_order: str = "bgr", precision: str = "highest",
                  anchor_config: AnchorConfig | None = None,
                  turbo_island: tuple[int, ...] | None = None,
-                 postprocess: str = "auto", head_eval: str = "map",
+                 postprocess: str = "auto", head_eval: str = "auto",
                  mesh: Any | None = None, data_axis: str = "data"):
         self.model = model
         self.params = params
@@ -114,7 +114,7 @@ class FaceDetector:
                              f"'auto', got {postprocess!r}")
         self.postprocess = postprocess
         # head evaluation profile:
-        #   'map'       (default) — the reference's grafted-graph semantics
+        #   'map'       — the reference's grafted-graph semantics
         #               (JoinModels.py:65-66): pose heads run over EVERY
         #               cell of both feature maps before NMS, poses gathered
         #               per survivor.  The parity-certified path.
@@ -123,24 +123,38 @@ class FaceDetector:
         #               rows instead of 320 map cells).  For per-cell head
         #               families (every 1x1-conv chain: mlp/residual/skip —
         #               all shipped reference heads) the poses are
-        #               numerically identical to 'map'; for heads with
-        #               SPATIAL context (SE gating's map-wide pooling, the
-        #               SE-Transformer's token attention) each face's vector
-        #               is evaluated independently — the TRAINING/dataset
-        #               semantics (SURVEY.md §2.15: one feature vector per
-        #               face), which is what stacked-ensemble calibration
-        #               (scripts/stack_ensemble.py) optimized.  The win:
-        #               big-head artifacts (unified-best's 99-member
-        #               stacks) pay per FACE, not per CELL — pair with a
-        #               small max_faces for the full effect.  Needs a
+        #               numerically identical to 'map' (measured bit-exact
+        #               on-chip, docs/headeval_divergence.json); for heads
+        #               with SPATIAL context (SE gating's map-wide pooling,
+        #               the SE-Transformer's token attention) each face's
+        #               vector is evaluated independently — the
+        #               TRAINING/dataset semantics (SURVEY.md §2.15: one
+        #               feature vector per face), which is what
+        #               stacked-ensemble calibration
+        #               (scripts/stack_ensemble.py) optimized: map-grafting
+        #               unified-best's SE-gated stacks diverges p50 3.9 /
+        #               max 26.5 deg from the calibrated function.  Needs a
         #               native model exposing both heads + feature taps
         #               (from_h5/from_native; not from_h5_compat).
-        if head_eval not in ("map", "survivors"):
-            raise ValueError(f"head_eval must be 'map' or 'survivors', "
-                             f"got {head_eval!r}")
-        if head_eval == "survivors" and (
-                getattr(model, "head88", None) is None
-                or getattr(model, "head96", None) is None):
+        #   'auto'      (default) — 'survivors' exactly when a head
+        #               declares spatial_context=True (so per-cell models —
+        #               every reference artifact — keep the bit-identical
+        #               'map' program, and ensemble artifacts with SE
+        #               members serve their calibrated semantics without
+        #               the caller knowing the flag).  Protocol heads
+        #               WITHOUT the attribute resolve to 'map' (reference
+        #               semantics preserved for arbitrary user heads).
+        if head_eval not in ("map", "survivors", "auto"):
+            raise ValueError(f"head_eval must be 'map', 'survivors' or "
+                             f"'auto', got {head_eval!r}")
+        h88 = getattr(model, "head88", None)
+        h96 = getattr(model, "head96", None)
+        if head_eval == "auto":
+            spatial = any(getattr(h, "spatial_context", False)
+                          for h in (h88, h96) if h is not None)
+            head_eval = ("survivors" if spatial and h88 is not None
+                         and h96 is not None else "map")
+        if head_eval == "survivors" and (h88 is None or h96 is None):
             raise ValueError(
                 "head_eval='survivors' needs a native UnifiedPoseModel with "
                 "both pose heads attached (graph-compiled models expose "

@@ -164,12 +164,13 @@ def main(argv=None) -> None:
     p.add_argument("--no_tracking", action="store_true",
                    help="key filters by NMS slot instead of IoU identity")
     p.add_argument("--max_frames", type=int, default=None)
-    p.add_argument("--head_eval", default="map",
-                   choices=["map", "survivors"],
+    p.add_argument("--head_eval", default="auto",
+                   choices=["auto", "map", "survivors"],
                    help="pose heads over every map cell ('map', the "
                         "reference semantics) or on the detected faces' "
-                        "feature vectors ('survivors' — recommended for "
-                        "ensemble artifacts like unified-best)")
+                        "feature vectors ('survivors'); 'auto' picks "
+                        "survivors exactly when a head declares spatial "
+                        "context (e.g. unified-best)")
     args = p.parse_args(argv)
     from ..pretrained import resolve_model_path
 

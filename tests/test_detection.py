@@ -399,9 +399,10 @@ class TestSurvivorsHeadEval:
                   "head88": h88.init(jax.random.PRNGKey(0)),
                   "head96": h96.init(jax.random.PRNGKey(1))}
         kw = dict(score_threshold=base.score_threshold)
-        rmap = FaceDetector(model, params, **kw).detect(img)
-        rsurv = FaceDetector(model, params, head_eval="survivors",
-                             **kw).detect(img)
+        rmap = FaceDetector(model, params, head_eval="map", **kw).detect(img)
+        det_auto = FaceDetector(model, params, **kw)  # 'auto' → survivors
+        assert det_auto.head_eval == "survivors"      # SE members present
+        rsurv = det_auto.detect(img)
         valid = np.asarray(rmap.valid)
         assert int(valid.sum()) >= 2
         # detections identical (the SSD branch is untouched)
@@ -437,3 +438,41 @@ class TestSurvivorsHeadEval:
                          head_eval="survivors")
         with pytest.raises(ValueError, match="head_eval"):
             FaceDetector(UnifiedPoseModel(), {}, head_eval="bogus")
+
+    def test_auto_resolves_by_spatial_context(self, production_detector):
+        """head_eval='auto' (the default) picks 'survivors' exactly when a
+        head declares spatial_context=True: reference artifacts (per-cell
+        chains) keep the bit-identical 'map' program; ensemble artifacts
+        with SE-gated members serve their calibrated per-vector semantics
+        without the caller knowing the flag; headless models (graph
+        adapters) and unknown protocol heads stay on 'map'."""
+        from headpose_tpu.models.heads import EnsembleHead, MLPHead, SEMLPHead
+        from headpose_tpu.models.unified import UnifiedPoseModel
+        from headpose_tpu.runtime import FaceDetector
+
+        base = production_detector
+        assert base.head_eval == "map"  # flagship: per-cell heads
+
+        mk = lambda h88, h96: FaceDetector(
+            UnifiedPoseModel(backbone=base.model.backbone,
+                             head88=h88, head96=h96), {})
+        mlp88 = MLPHead(88, ((16, "tanh"), (3, "linear")))
+        mlp96 = MLPHead(96, ((16, "tanh"), (3, "linear")))
+        assert mk(mlp88, mlp96).head_eval == "map"
+        assert mk(mlp88, SEMLPHead(in_features=96)).head_eval == "survivors"
+        assert mk(EnsembleHead(members=(mlp88, SEMLPHead(in_features=88))),
+                  mlp96).head_eval == "survivors"
+        # headless: auto falls back to map (explicit 'survivors' raises)
+        assert FaceDetector(UnifiedPoseModel(head88=None, head96=None),
+                            {}).head_eval == "map"
+
+        # a protocol head WITHOUT the attribute resolves to 'map'
+        class _Plain:
+            in_features = 88
+
+            def apply(self, params, x, *, train=False, rng=None):
+                return x[..., :3]
+
+        assert mk(_Plain(), mlp96).head_eval == "map"
+        # ...but an ensemble CONTAINING it counts as spatial (conservative)
+        assert EnsembleHead(members=(_Plain(),)).spatial_context is True
