@@ -372,6 +372,26 @@ class TestSurvivorsHeadEval:
                 np.asarray(surv.poses), np.asarray(base.poses), atol=1e-4,
                 err_msg=f"poses@{backend}")
 
+    def test_flagship_corpus_subset_bit_equal(self, production_detector):
+        """Standing CPU version of the on-chip gate (docs/
+        headeval_divergence.json: divergence exactly 0 across all 451
+        corpus detections): on a detection-rich corpus subset the flagship's
+        survivors profile must reproduce the map profile bit for bit."""
+        from headpose_tpu.runtime import FaceDetector
+
+        data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+        imgs = np.asarray(data["imgs"][:12], np.uint8)
+        det = production_detector
+        base = det.detect(imgs)
+        surv = FaceDetector(det.model, det.params,
+                            score_threshold=det.score_threshold,
+                            head_eval="survivors").detect(imgs)
+        assert int(np.asarray(base.valid).sum()) >= 10
+        for k in ("boxes", "keypoints", "scores", "poses", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(surv, k)),
+                                          np.asarray(getattr(base, k)),
+                                          err_msg=k)
+
     def test_spatial_heads_get_training_semantics(self, production_detector):
         """For heads with SPATIAL context (SE gating pools over the whole
         map when grafted), 'survivors' evaluates each face's vector
