@@ -274,6 +274,18 @@ class FaceDetector:
             out = self.model.apply(params, x, heads=head_eval == "map",
                                    **kwargs)
         if head_eval == "survivors":
+            # re-validate here, not only in __init__: head_eval is a
+            # mutation-safe static arg, so a post-construction
+            # `det.head_eval = 'survivors'` on a graph-compiled model must
+            # fail with THIS message, not a KeyError mid-trace
+            if (getattr(self.model, "head88", None) is None
+                    or getattr(self.model, "head96", None) is None
+                    or "feat88" not in out or "feat96" not in out):
+                raise ValueError(
+                    "head_eval='survivors' needs a native UnifiedPoseModel "
+                    "with both pose heads and feature-map taps (feat88/"
+                    "feat96) — graph-compiled models (from_h5_compat) "
+                    "expose neither; use head_eval='map'")
             # the postprocess extracts its 3 "pose" channels per survivor
             # with exact arithmetic in BOTH backends, so cell-index-encoded
             # maps ride the existing contract: channel 0 comes back as each

@@ -47,8 +47,9 @@ def main():
 
     data = np.load(CORPUS)
     imgs = np.asarray(data["imgs"], np.uint8)
+    on_tpu = jax.default_backend() == "tpu"
     report = {"images": int(len(imgs)), "corpus": os.path.basename(CORPUS),
-              "precision": "highest"}
+              "precision": "highest", "backend": jax.default_backend()}
     for tag, (m, p) in (("flagship", load_flagship()),
                         ("unified-best", load_pretrained("unified-best"))):
         res = {}
@@ -69,9 +70,14 @@ def main():
               f"divergence p50 {np.percentile(d, 50):.4g} "
               f"p99 {np.percentile(d, 99):.4g} max {d.max():.4g} deg",
               flush=True)
-    with open(OUT, "w") as f:
-        json.dump(report, f, indent=1)
-    print(f"wrote {OUT}")
+    if on_tpu:
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {OUT}")
+    else:
+        # the committed JSON is cited as ON-CHIP evidence (README, PARITY,
+        # best_detector docstring) — never overwrite it from a CPU run
+        print("not on TPU — results not written")
 
 
 if __name__ == "__main__":

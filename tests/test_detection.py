@@ -449,7 +449,7 @@ class TestSurvivorsHeadEval:
                       - np.asarray(rmap.poses)[valid]).max()
         assert dmax > 1e-3, f"expected map/survivors divergence, got {dmax}"
 
-    def test_needs_native_heads(self):
+    def test_needs_native_heads(self, production_detector):
         from headpose_tpu.models.unified import UnifiedPoseModel
         from headpose_tpu.runtime import FaceDetector
 
@@ -458,6 +458,19 @@ class TestSurvivorsHeadEval:
                          head_eval="survivors")
         with pytest.raises(ValueError, match="head_eval"):
             FaceDetector(UnifiedPoseModel(), {}, head_eval="bogus")
+        # head_eval is a mutation-safe static arg, so the guard must also
+        # hold on the SERVING path: flipping a headless detector to
+        # 'survivors' post-construction fails with the clear message, not
+        # a KeyError mid-trace
+        base = production_detector
+        det = FaceDetector(
+            UnifiedPoseModel(backbone=base.model.backbone,
+                             head88=None, head96=None),
+            {"backbone": base.params["backbone"]})
+        assert det.head_eval == "map"
+        det.head_eval = "survivors"
+        with pytest.raises(ValueError, match="survivors"):
+            det.detect(np.zeros((1, 128, 128, 3), np.uint8))
 
     def test_auto_resolves_by_spatial_context(self, production_detector):
         """head_eval='auto' (the default) picks 'survivors' exactly when a
