@@ -1,0 +1,121 @@
+"""Detector distillation (train/detector.py): the alignment facts the
+front→back transfer rests on, plus a tiny-topology end-to-end distill.
+
+The reference never trains its detector (weights are external,
+JoinModels.py:114) and reserves but never wires the 256-input back camera
+(INPUT_BACK=256, blazeFaceDetectorH5.py:8-11); scripts/distill_back.py uses
+this module to bring that topology up from the shipped front weights."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from headpose_tpu.models.anchors import (BACK_CONFIG, FRONT_CONFIG,
+                                         generate_anchors)
+from headpose_tpu.models.blazeface import BLAZEFACE_BACK, BLAZEFACE_FRONT, BlazeFace
+from headpose_tpu.ops.detection import decode_boxes, decode_keypoints
+from headpose_tpu.train.detector import (DetectorDistillConfig,
+                                         distill_detector, distill_targets)
+
+# Tiny teacher/student pair with aligned tap grids (8x8 and 4x4), mirroring
+# the production front(128)/back(256) relationship at 16/32 input.
+TINY_TEACHER = BlazeFace(input_size=16, stem_features=4,
+                         block_channels=(8, 12), downsample_blocks=(1,),
+                         tap88_block=0)
+TINY_STUDENT = BlazeFace(input_size=32, stem_features=4,
+                         block_channels=(8, 8, 12), downsample_blocks=(0, 2),
+                         tap88_block=1)
+
+
+class TestAlignment:
+    def test_front_back_anchor_tables_identical(self):
+        """The whole transfer rests on this: the back config's anchor table
+        (strides 16,32 of 256) equals the front's (strides 8,16 of 128) in
+        normalized coordinates — same grid shapes, fixed anchor size."""
+        np.testing.assert_array_equal(generate_anchors(FRONT_CONFIG),
+                                      generate_anchors(BACK_CONFIG))
+
+    def test_loc_scale_decodes_identically(self):
+        """Raw SSD offsets are in input-pixel units: scaling the teacher's
+        loc by student_size/teacher_size decodes to the SAME normalized
+        boxes/keypoints under the student's input size."""
+        rng = np.random.default_rng(0)
+        anchors = jnp.asarray(generate_anchors(FRONT_CONFIG), jnp.float32)
+        loc = jnp.asarray(rng.normal(scale=10.0, size=(896, 16)), jnp.float32)
+        b128 = decode_boxes(loc, anchors, 128)
+        b256 = decode_boxes(2.0 * loc, anchors, 256)
+        np.testing.assert_allclose(b128, b256, atol=1e-6)
+        k128 = decode_keypoints(loc, anchors, 128)
+        k256 = decode_keypoints(2.0 * loc, anchors, 256)
+        np.testing.assert_allclose(k128, k256, atol=1e-6)
+
+    def test_back_spec_tap_grids_match_front(self):
+        """BLAZEFACE_BACK lands feat88 on 16x16x88 and feat96 on 8x8x96 —
+        the grids every Model-88/96 head and the SSD reshape contract
+        expect."""
+        params = BLAZEFACE_BACK.init(jax.random.PRNGKey(0))
+        out = BLAZEFACE_BACK.apply(params, jnp.zeros((1, 256, 256, 3)))
+        assert out["feat88"].shape == (1, 16, 16, 88)
+        assert out["feat96"].shape == (1, 8, 8, 96)
+        assert out["scores"].shape == (1, 896)
+        assert out["loc"].shape == (1, 896, 16)
+        ref = BLAZEFACE_FRONT.apply(BLAZEFACE_FRONT.init(jax.random.PRNGKey(1)),
+                                    jnp.zeros((1, 128, 128, 3)))
+        assert out["feat88"].shape == ref["feat88"].shape
+        assert out["feat96"].shape == ref["feat96"].shape
+
+
+class TestDistill:
+    def _images(self, n=48, size=16, seed=0):
+        rng = np.random.default_rng(seed)
+        # smooth blobs + noise so the teacher's outputs vary across images
+        base = rng.integers(0, 256, size=(n, 4, 4, 3))
+        imgs = np.repeat(np.repeat(base, size // 4, 1), size // 4, 2)
+        imgs = imgs + rng.integers(-20, 20, size=(n, size, size, 3))
+        return np.clip(imgs, 0, 255).astype(np.uint8)
+
+    def test_targets_shapes_and_norms(self):
+        t_params = TINY_TEACHER.init(jax.random.PRNGKey(0))
+        imgs = self._images()
+        tgt, norms = distill_targets(TINY_TEACHER, t_params, imgs, chunk=32)
+        assert tgt["feat88"].shape == (48, 8, 8, 8)
+        assert tgt["feat96"].shape == (48, 4, 4, 12)
+        assert tgt["scores"].shape == (48, 224)
+        assert tgt["loc"].shape == (48, 224, 16)
+        assert tgt["loc_prob"].shape == (48, 224)
+        for k in ("feat88", "feat96", "loc"):
+            assert float(norms[k]) > 0
+
+    def test_distill_tiny_converges(self):
+        """End-to-end: a from-scratch student at 2x input resolution learns
+        to reproduce the teacher's feature maps, logits, and (scaled) loc —
+        the loss must fall by well over an order of magnitude."""
+        t_params = TINY_TEACHER.init(jax.random.PRNGKey(3))
+        imgs = self._images(n=48)
+        cfg = DetectorDistillConfig(steps=600, batch_size=16,
+                                    learning_rate=1e-2, warmup_steps=40,
+                                    steps_per_sync=200, seed=0)
+        synced = []
+        params, hist = distill_detector(TINY_STUDENT, TINY_TEACHER, t_params,
+                                        imgs, cfg,
+                                        on_sync=lambda s, m: synced.append(s))
+        assert synced == [200, 400, 600]
+        assert hist["loss"].shape == (600,)
+        start = float(np.mean(hist["loss"][:10]))
+        end = float(np.mean(hist["loss"][-10:]))
+        # random-teacher tiny nets have an irreducible floor (~0.2 here);
+        # the production front→back run reaches far lower (docs/)
+        assert end < 0.15 * start, (start, end)
+
+        # the distilled student tracks the teacher on held-out images
+        hold = self._images(n=16, seed=99)
+        tgt, _ = distill_targets(TINY_TEACHER, t_params, hold)
+        from headpose_tpu.ops.image import preprocess
+        out = TINY_STUDENT.apply(
+            params, preprocess(jnp.asarray(hold), 32, "bgr"))
+        t_std = float(jnp.std(tgt["feat88"])) + 1e-9
+        err = float(jnp.sqrt(jnp.mean((out["feat88"] - tgt["feat88"]) ** 2)))
+        assert err < 0.5 * t_std, (err, t_std)
