@@ -1,4 +1,16 @@
-"""Detector training by distillation: teach one BlazeFace topology from another.
+"""Detector training: supervised SSD losses and teacher distillation.
+
+Two ways to train a BlazeFace topology, neither of which the reference has
+(its detector arrives as external weights, JoinModels.py:114):
+
+1. SUPERVISED (`fit_detector`): ground-truth boxes → per-anchor targets by
+   scale-split cell assignment (`ssd_targets`), sigmoid-focal classification
+   + Huber localisation (`ssd_loss`).
+2. DISTILLATION (`distill_detector`): a trained detector supervises another
+   topology — the production route for the back camera
+   (scripts/distill_back.py), detailed below.
+
+Distillation: teach one BlazeFace topology from another.
 
 The reference never trains its detector — BlazeFace arrives as external
 weights (JoinModels.py:114) and the back-camera input size is reserved but
@@ -47,7 +59,9 @@ import numpy as np
 from ..models.blazeface import BlazeFace
 from ..ops.image import preprocess
 
-__all__ = ["DetectorDistillConfig", "distill_targets", "distill_detector"]
+__all__ = ["DetectorDistillConfig", "distill_targets", "distill_detector",
+           "DetectorFitConfig", "ssd_grids", "ssd_targets", "ssd_loss",
+           "fit_detector"]
 
 Params = dict[str, Any]
 
@@ -187,6 +201,206 @@ def distill_detector(student_spec: BlazeFace, teacher_spec: BlazeFace,
     done = 0
     n_blocks = math.ceil(cfg.steps / cfg.steps_per_sync)
     for b in range(n_blocks):
+        length = min(cfg.steps_per_sync, cfg.steps - done)
+        key, block_key = jax.random.split(key)
+        params, opt_state, metrics = run_block(params, opt_state, block_key,
+                                               length)
+        metrics = jax.tree.map(np.asarray, metrics)
+        for k, v in metrics.items():
+            history.setdefault(k, []).append(v)
+        done += length
+        if on_sync is not None:
+            on_sync(done, {k: float(v[-1]) for k, v in metrics.items()})
+    return params, {k: np.concatenate(v) for k, v in history.items()}
+
+
+# --------------------------------------------------------------- supervised
+
+@dataclasses.dataclass(frozen=True)
+class DetectorFitConfig:
+    """Supervised SSD training recipe (fit_detector)."""
+
+    steps: int = 2000
+    batch_size: int = 64
+    learning_rate: float = 1e-3
+    warmup_steps: int = 100
+    steps_per_sync: int = 250
+    seed: int = 0
+    precision: str = "highest"
+    # anchor assignment: GT faces smaller than this (normalized max extent)
+    # go to the fine front grid, larger ones to the coarse back grid —
+    # mirroring how the shipped model uses its two SSD scales
+    scale_split: float = 0.35
+    focal_alpha: float = 0.75
+    focal_gamma: float = 2.0
+    loc_weight: float = 5.0
+    huber_delta: float = 0.1     # in normalized (input-relative) units
+
+
+def ssd_grids(spec: BlazeFace) -> tuple[int, int, int, int]:
+    """(front_grid, back_grid, anchors_per_front_cell, anchors_per_back_cell)
+    for a BlazeFace spec — the SSD geometry its forward flattens scores/loc
+    by (models/blazeface.py apply; 16, 8, 2, 6 for both production specs)."""
+    d_before = sum(1 for d in spec.downsample_blocks if d <= spec.tap88_block)
+    g1 = spec.input_size // (2 * 2 ** d_before)
+    g2 = spec.input_size // (2 * 2 ** len(spec.downsample_blocks))
+    return g1, g2, spec.cls_channels[0], spec.cls_channels[1]
+
+
+def ssd_targets(spec: BlazeFace, boxes: jax.Array, mask: jax.Array,
+                keypoints: jax.Array | None = None,
+                scale_split: float = 0.35):
+    """Ground truth → per-anchor SSD targets, fully vectorized/static-shape.
+
+    boxes: (B, K, 4) normalized corners [x1, y1, x2, y2]; mask: (B, K) 1 for
+    real GT rows; keypoints: optional (B, K, 6, 2) normalized.  Each GT is
+    assigned to every anchor of the cell containing its center on ONE grid
+    chosen by face scale (< scale_split → fine front grid, else coarse back
+    grid) — with fixed_anchor_size all anchors of a cell share their center,
+    so they share the target too (ops/detection.py decode).  Returns
+    (labels (B, A), loc_tgt (B, A, 16), pos (B, A)); loc targets are in
+    input-PIXEL units exactly as the forward's raw loc is decoded
+    (ops/detection.py:36-51).  Cell collisions keep one GT (scatter order) —
+    matching NMS's one-face-per-anchor serving reality."""
+    g1, g2, pc1, pc2 = ssd_grids(spec)
+    n_front = g1 * g1 * pc1
+    n_anchors = n_front + g2 * g2 * pc2
+    B, K, _ = boxes.shape
+    size = spec.input_size
+
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    fine = jnp.maximum(w, h) < scale_split
+
+    def cell_base(g, pc, offset):
+        col = jnp.clip((cx * g).astype(jnp.int32), 0, g - 1)
+        row = jnp.clip((cy * g).astype(jnp.int32), 0, g - 1)
+        base = offset + (row * g + col) * pc
+        acx = (col + 0.5) / g
+        acy = (row + 0.5) / g
+        return base, acx, acy
+
+    base_f, acx_f, acy_f = cell_base(g1, pc1, 0)
+    base_b, acx_b, acy_b = cell_base(g2, pc2, n_front)
+    base = jnp.where(fine, base_f, base_b)            # (B, K)
+    acx = jnp.where(fine, acx_f, acx_b)
+    acy = jnp.where(fine, acy_f, acy_b)
+    per_cell = jnp.where(fine, pc1, pc2)
+
+    # raw-loc targets in input pixels (the decode inverse)
+    tgt = jnp.zeros((B, K, 16))
+    tgt = tgt.at[..., 0].set((cx - acx) * size)
+    tgt = tgt.at[..., 1].set((cy - acy) * size)
+    tgt = tgt.at[..., 2].set(w * size)
+    tgt = tgt.at[..., 3].set(h * size)
+    if keypoints is not None:
+        kp = (keypoints - jnp.stack([acx, acy], -1)[:, :, None, :]) * size
+        tgt = tgt.at[..., 4:16].set(kp.reshape(B, K, 12))
+
+    # scatter each GT into all anchors of its cell; invalid rows (mask=0 or
+    # beyond per_cell) are routed to index n_anchors which .at[] drops
+    max_pc = max(pc1, pc2)
+    offs = jnp.arange(max_pc)                         # (max_pc,)
+    idx = base[..., None] + offs                      # (B, K, max_pc)
+    live = (mask[..., None] > 0) & (offs < per_cell[..., None])
+    idx = jnp.where(live, idx, n_anchors)
+
+    labels = jnp.zeros((B, n_anchors + 1))
+    labels = labels.at[jnp.arange(B)[:, None, None], idx].set(1.0)
+    loc_tgt = jnp.zeros((B, n_anchors + 1, 16))
+    loc_tgt = loc_tgt.at[jnp.arange(B)[:, None, None], idx].set(
+        jnp.broadcast_to(tgt[:, :, None, :], (B, K, max_pc, 16)))
+    return labels[:, :-1], loc_tgt[:, :-1], labels[:, :-1]
+
+
+def ssd_loss(spec: BlazeFace, out: dict, labels, loc_tgt, pos,
+             cfg: DetectorFitConfig, kp_weight: float = 0.0):
+    """Sigmoid-focal classification + Huber localisation (normalized units).
+    kp_weight > 0 additionally supervises the 12 keypoint offsets."""
+    logits = out["scores"]
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, labels)
+    pt = labels * p + (1 - labels) * (1 - p)
+    alpha = labels * cfg.focal_alpha + (1 - labels) * (1 - cfg.focal_alpha)
+    focal = jnp.mean(alpha * (1 - pt) ** cfg.focal_gamma * ce) * labels.shape[-1]
+
+    diff = (out["loc"] - loc_tgt) / spec.input_size
+    dim_w = jnp.concatenate([jnp.ones(4), jnp.full(12, kp_weight)])
+    hub = jnp.where(jnp.abs(diff) <= cfg.huber_delta,
+                    0.5 * diff ** 2 / cfg.huber_delta,
+                    jnp.abs(diff) - 0.5 * cfg.huber_delta)
+    loc = (jnp.sum(pos[..., None] * dim_w * hub)
+           / (jnp.sum(pos) * (4 + 12 * (kp_weight > 0)) + 1e-6))
+    total = focal + cfg.loc_weight * loc
+    return total, {"loss": total, "focal": focal, "loc": loc}
+
+
+def optax_sigmoid_ce(logits, labels):
+    # stable BCE-with-logits (optax.sigmoid_binary_cross_entropy semantics,
+    # inlined to keep the loss self-contained for shard_map/scan tracing)
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
+                 cfg: DetectorFitConfig = DetectorFitConfig(),
+                 *, keypoints=None, kp_weight: float = 0.0,
+                 channel_order: str = "bgr",
+                 init_params: Params | None = None,
+                 on_sync: Callable[[int, dict], None] | None = None,
+                 ) -> tuple[Params, dict[str, np.ndarray]]:
+    """Supervised SSD training of a BlazeFace spec from ground-truth boxes
+    (images_u8 (N,H,W,3) at the spec's own or any resolution — preprocessed
+    through the production path; boxes (N,K,4) normalized corners, mask
+    (N,K)).  Same scanned-block device loop as distill_detector."""
+    import functools
+
+    import optax
+
+    images_u8 = jnp.asarray(images_u8)
+    boxes = jnp.asarray(boxes, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    kps = None if keypoints is None else jnp.asarray(keypoints, jnp.float32)
+    labels, loc_tgt, pos = ssd_targets(spec, boxes, mask, kps,
+                                       cfg.scale_split)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = init_params if init_params is not None else spec.init(init_key)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.learning_rate, max(cfg.warmup_steps, 1),
+        max(cfg.steps, cfg.warmup_steps + 1))
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+    n = images_u8.shape[0]
+
+    def loss_fn(p, idx):
+        with jax.default_matmul_precision(cfg.precision):
+            x = preprocess(images_u8[idx], spec.input_size, channel_order)
+            out = spec.apply(p, x)
+        return ssd_loss(spec, out, labels[idx], loc_tgt[idx], pos[idx],
+                        cfg, kp_weight)
+
+    def step(carry, step_key):
+        params, opt_state = carry
+        idx = jax.random.randint(step_key, (cfg.batch_size,), 0, n)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params, idx)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), metrics
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run_block(params, opt_state, block_key, length):
+        keys = jax.random.split(block_key, length)
+        (params, opt_state), metrics = jax.lax.scan(
+            step, (params, opt_state), keys)
+        return params, opt_state, metrics
+
+    history: dict[str, list] = {}
+    done = 0
+    for _ in range(math.ceil(cfg.steps / cfg.steps_per_sync)):
         length = min(cfg.steps_per_sync, cfg.steps - done)
         key, block_key = jax.random.split(key)
         params, opt_state, metrics = run_block(params, opt_state, block_key,

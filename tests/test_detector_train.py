@@ -68,6 +68,110 @@ class TestAlignment:
         assert out["feat96"].shape == ref["feat96"].shape
 
 
+class TestSupervised:
+    """fit_detector: supervised SSD training (anchor assignment + focal/Huber
+    losses) — a capability the reference lacks entirely (its detector is
+    external weights, JoinModels.py:114)."""
+
+    SPEC = TINY_STUDENT  # input 32, grids 8x8 (2/cell) + 4x4 (6/cell)
+
+    @staticmethod
+    def _squares(n, seed):
+        """Dark-noise images with one bright square; GT = the square."""
+        rng = np.random.default_rng(seed)
+        imgs = rng.integers(0, 60, size=(n, 32, 32, 3)).astype(np.uint8)
+        boxes = np.zeros((n, 1, 4), np.float32)
+        mask = np.ones((n, 1), np.float32)
+        for i in range(n):
+            s = rng.uniform(0.15, 0.6)
+            cx = rng.uniform(s / 2, 1 - s / 2)
+            cy = rng.uniform(s / 2, 1 - s / 2)
+            boxes[i, 0] = [cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2]
+            px = (boxes[i, 0] * 32).astype(int)
+            imgs[i, px[1]:px[3], px[0]:px[2]] = rng.integers(180, 256, size=3)
+        return imgs, boxes, mask
+
+    def test_ssd_grids_production_specs(self):
+        from headpose_tpu.train.detector import ssd_grids
+        assert ssd_grids(BLAZEFACE_FRONT) == (16, 8, 2, 6)
+        assert ssd_grids(BLAZEFACE_BACK) == (16, 8, 2, 6)
+        assert ssd_grids(self.SPEC) == (8, 4, 2, 6)
+
+    def test_ssd_targets_roundtrip_decode(self):
+        """The loc targets are the decode inverse: decoding a perfect
+        prediction recovers the GT boxes/keypoints."""
+        from headpose_tpu.models.anchors import AnchorConfig
+        from headpose_tpu.train.detector import ssd_targets
+
+        rng = np.random.default_rng(1)
+        boxes = np.zeros((4, 2, 4), np.float32)
+        kps = rng.uniform(0.2, 0.8, size=(4, 2, 6, 2)).astype(np.float32)
+        mask = np.ones((4, 2), np.float32)
+        mask[3, 1] = 0.0
+        for i in range(4):
+            for k in range(2):
+                s = rng.uniform(0.1, 0.5)
+                cx, cy = rng.uniform(s / 2, 1 - s / 2, size=2)
+                boxes[i, k] = [cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2]
+        labels, loc_tgt, pos = ssd_targets(self.SPEC, jnp.asarray(boxes),
+                                           jnp.asarray(mask),
+                                           jnp.asarray(kps))
+        assert labels.shape == (4, 224) and loc_tgt.shape == (4, 224, 16)
+        # masked GT contributes no positives beyond the live ones
+        assert float(labels[3].sum()) in (2.0, 6.0)
+        cfg_a = AnchorConfig(input_width=32, input_height=32,
+                             strides=(4, 8, 8, 8))
+        anchors = jnp.asarray(generate_anchors(cfg_a), jnp.float32)
+        dec = decode_boxes(loc_tgt, anchors, 32)
+        deck = decode_keypoints(loc_tgt, anchors, 32)
+        for i in range(4):
+            for k in range(2):
+                if mask[i, k] == 0:
+                    continue
+                a = np.flatnonzero(np.asarray(labels[i]))
+                # one of the positive anchors decodes to this GT exactly
+                err_box = np.abs(np.asarray(dec[i, a]) - boxes[i, k]).max(1)
+                j = a[int(err_box.argmin())]
+                np.testing.assert_allclose(np.asarray(dec[i, j]),
+                                           boxes[i, k], atol=1e-5)
+                np.testing.assert_allclose(np.asarray(deck[i, j]),
+                                           kps[i, k], atol=1e-5)
+
+    def test_fit_detector_learns_squares(self):
+        """From-scratch supervised training localizes held-out squares."""
+        from headpose_tpu.models.anchors import AnchorConfig
+        from headpose_tpu.train.detector import DetectorFitConfig, fit_detector
+
+        imgs, boxes, mask = self._squares(256, 0)
+        cfg = DetectorFitConfig(steps=800, batch_size=32, learning_rate=2e-3,
+                                warmup_steps=50, steps_per_sync=200, seed=0)
+        params, hist = fit_detector(self.SPEC, imgs, boxes, mask, cfg)
+        start = float(np.mean(hist["loss"][:10]))
+        end = float(np.mean(hist["loss"][-10:]))
+        assert end < 0.1 * start, (start, end)
+
+        himgs, hboxes, _ = self._squares(64, 99)
+        from headpose_tpu.ops.image import preprocess
+        out = self.SPEC.apply(params, preprocess(jnp.asarray(himgs), 32, "bgr"))
+        cfg_a = AnchorConfig(input_width=32, input_height=32,
+                             strides=(4, 8, 8, 8))
+        anchors = jnp.asarray(generate_anchors(cfg_a), jnp.float32)
+        dec = np.asarray(decode_boxes(out["loc"], anchors, 32))
+        top = np.argmax(np.asarray(out["scores"]), axis=1)
+        ious = []
+        for i in range(64):
+            a, b = dec[i, top[i]], hboxes[i, 0]
+            x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+            x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+            inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+            ua = (a[2] - a[0]) * (a[3] - a[1])
+            ub = (b[2] - b[0]) * (b[3] - b[1])
+            ious.append(inter / (ua + ub - inter))
+        ious = np.asarray(ious)
+        assert ious.mean() > 0.4, ious.mean()
+        assert (ious > 0.5).mean() >= 0.5, (ious > 0.5).mean()
+
+
 class TestDistill:
     def _images(self, n=48, size=16, seed=0):
         rng = np.random.default_rng(seed)
