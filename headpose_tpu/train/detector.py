@@ -177,21 +177,26 @@ def distill_detector(student_spec: BlazeFace, teacher_spec: BlazeFace,
     opt_state = opt.init(params)
     n = images_u8.shape[0]
 
-    def step(carry, step_key):
-        params, opt_state = carry
-        idx = jax.random.randint(step_key, (cfg.batch_size,), 0, n)
-        batch_tgt = jax.tree.map(lambda a: a[idx],
-                                 {k: v for k, v in tgt.items()})
-        grads, metrics = jax.grad(
-            lambda p: _distill_loss(student_spec, p, images_u8[idx],
-                                    batch_tgt, norms, loc_scale, cfg,
-                                    channel_order), has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), metrics
+    # The training set and target pytree are LARGE (hundreds of MB for a
+    # real run) — they must enter the jitted block as ARGUMENTS, never as
+    # closed-over constants: captured arrays are embedded in the serialized
+    # HLO, which this container's remote-compile tunnel rejects outright
+    # (HTTP 413 body-length limit) and which any backend would recompile
+    # per dataset.
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_block(length, params, opt_state, block_key, imgs, tgt, norms):
+        def step(carry, step_key):
+            params, opt_state = carry
+            idx = jax.random.randint(step_key, (cfg.batch_size,), 0, n)
+            batch_tgt = jax.tree.map(lambda a: a[idx], tgt)
+            grads, metrics = jax.grad(
+                lambda p: _distill_loss(student_spec, p, imgs[idx],
+                                        batch_tgt, norms, loc_scale, cfg,
+                                        channel_order), has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
 
-    @functools.partial(jax.jit, static_argnums=3)
-    def run_block(params, opt_state, block_key, length):
         keys = jax.random.split(block_key, length)
         (params, opt_state), metrics = jax.lax.scan(
             step, (params, opt_state), keys)
@@ -203,8 +208,9 @@ def distill_detector(student_spec: BlazeFace, teacher_spec: BlazeFace,
     for b in range(n_blocks):
         length = min(cfg.steps_per_sync, cfg.steps - done)
         key, block_key = jax.random.split(key)
-        params, opt_state, metrics = run_block(params, opt_state, block_key,
-                                               length)
+        params, opt_state, metrics = run_block(length, params, opt_state,
+                                               block_key, images_u8, tgt,
+                                               norms)
         metrics = jax.tree.map(np.asarray, metrics)
         for k, v in metrics.items():
             history.setdefault(k, []).append(v)
@@ -376,23 +382,26 @@ def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
     opt_state = opt.init(params)
     n = images_u8.shape[0]
 
-    def loss_fn(p, idx):
-        with jax.default_matmul_precision(cfg.precision):
-            x = preprocess(images_u8[idx], spec.input_size, channel_order)
-            out = spec.apply(p, x)
-        return ssd_loss(spec, out, labels[idx], loc_tgt[idx], pos[idx],
-                        cfg, kp_weight)
+    # data enters as jit arguments, not closures — see distill_detector's
+    # run_block comment (tunnel HTTP 413 on embedded-constant HLO)
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_block(length, params, opt_state, block_key, imgs, labels,
+                  loc_tgt, pos):
+        def loss_fn(p, idx):
+            with jax.default_matmul_precision(cfg.precision):
+                x = preprocess(imgs[idx], spec.input_size, channel_order)
+                out = spec.apply(p, x)
+            return ssd_loss(spec, out, labels[idx], loc_tgt[idx], pos[idx],
+                            cfg, kp_weight)
 
-    def step(carry, step_key):
-        params, opt_state = carry
-        idx = jax.random.randint(step_key, (cfg.batch_size,), 0, n)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(params, idx)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), metrics
+        def step(carry, step_key):
+            params, opt_state = carry
+            idx = jax.random.randint(step_key, (cfg.batch_size,), 0, n)
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(params, idx)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
 
-    @functools.partial(jax.jit, static_argnums=3)
-    def run_block(params, opt_state, block_key, length):
         keys = jax.random.split(block_key, length)
         (params, opt_state), metrics = jax.lax.scan(
             step, (params, opt_state), keys)
@@ -403,8 +412,9 @@ def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
     for _ in range(math.ceil(cfg.steps / cfg.steps_per_sync)):
         length = min(cfg.steps_per_sync, cfg.steps - done)
         key, block_key = jax.random.split(key)
-        params, opt_state, metrics = run_block(params, opt_state, block_key,
-                                               length)
+        params, opt_state, metrics = run_block(length, params, opt_state,
+                                               block_key, images_u8, labels,
+                                               loc_tgt, pos)
         metrics = jax.tree.map(np.asarray, metrics)
         for k, v in metrics.items():
             history.setdefault(k, []).append(v)
