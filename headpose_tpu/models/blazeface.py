@@ -90,7 +90,8 @@ class BlazeFace:
     def apply(self, params: Params, x, *, dtype=None,
               dense: bool = False,
               fast_blocks: tuple[int, ...] | None = None,
-              simulate_fast: bool | str = False) -> dict[str, jax.Array]:
+              simulate_fast: bool | str = False,
+              tap_blocks: tuple[int, ...] = ()) -> dict[str, jax.Array]:
         """x: (B, 128, 128, 3) in [-1, 1].  Returns dict with feat88, feat96,
         scores (B, 896) logits, and loc (B, 896, 16) raw offsets.
 
@@ -110,6 +111,11 @@ class BlazeFace:
         feat88/feat96 pose taps (rounding there is amplified through the
         un-normalized conv stack).  The 'turbo' serving mode picks the
         measured-safe set (docs/BENCH.md).
+
+        tap_blocks returns the listed blocks' activation maps as extra
+        'block{i}_out' entries (index -1 = the stem output) — the hooks
+        stage-wise distillation aligns on (train/detector.py, scripts/
+        distill_back.py).
 
         simulate_fast=True replaces each fast-island conv by an explicit
         bf16-rounding model of the MXU single-pass mode (round operands to
@@ -144,6 +150,9 @@ class BlazeFace:
 
         y = jax.nn.relu(conv((params["stem"]["kernel"], params["stem"]["bias"]),
                              x, stride=2))
+        taps: dict[str, jax.Array] = {}
+        if -1 in tap_blocks:
+            taps["block-1_out"] = y
         feat88 = None
         for i, (blk, cout) in enumerate(zip(params["blocks"], self.block_channels)):
             cin = y.shape[-1]
@@ -168,6 +177,8 @@ class BlazeFace:
             y = jax.nn.relu(t + skip)
             if i == self.tap88_block:
                 feat88 = y
+            if i in tap_blocks:
+                taps[f"block{i}_out"] = y
         feat96 = y
 
         B = x.shape[0]
@@ -182,7 +193,7 @@ class BlazeFace:
         loc = jnp.concatenate(
             [loc_f.reshape(B, -1, 16), loc_b.reshape(B, -1, 16)], axis=1)
         return {"feat88": feat88, "feat96": feat96,
-                "scores": scores, "loc": loc}
+                "scores": scores, "loc": loc, **taps}
 
 
 BLAZEFACE_FRONT = BlazeFace()

@@ -61,7 +61,7 @@ from ..ops.image import preprocess
 
 __all__ = ["DetectorDistillConfig", "distill_targets", "distill_detector",
            "DetectorFitConfig", "ssd_grids", "ssd_targets", "ssd_loss",
-           "fit_detector"]
+           "fit_detector", "warmstart_params", "distill_prefix"]
 
 Params = dict[str, Any]
 
@@ -85,6 +85,8 @@ class DetectorDistillConfig:
     # background anchors (teacher logit ~ -20) cannot dominate the MSE while
     # the decision region (|logit| < ~8, sigmoid still moving) stays faithful
     logit_squash: float = 8.0
+    clip_norm: float = 1.0           # global-norm gradient clip (0 disables);
+    # the synthetic-corpus loss spikes without it (docs/distill_back_result)
 
 
 def _squash(x: jax.Array, s: float) -> jax.Array:
@@ -93,7 +95,8 @@ def _squash(x: jax.Array, s: float) -> jax.Array:
 
 def distill_targets(teacher_spec: BlazeFace, teacher_params: Params,
                     images_u8: jax.Array, *, chunk: int = 128,
-                    channel_order: str = "bgr") -> dict[str, jax.Array]:
+                    channel_order: str = "bgr",
+                    ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
     """One exact (HIGHEST) teacher forward over the training images →
     target pytree {feat88, feat96, scores, loc} plus the global second
     moments the loss normalizes by.  Chunked so the activation footprint
@@ -121,6 +124,48 @@ def distill_targets(teacher_spec: BlazeFace, teacher_params: Params,
     }
     tgt["loc_prob"] = probs
     return tgt, norms
+
+
+def warmstart_params(student_spec: BlazeFace, teacher_spec: BlazeFace,
+                     teacher_params: Params, key=None) -> Params:
+    """Student init from teacher weights wherever block shapes align.
+
+    The front→back relationship (models/blazeface.py BLAZEFACE_BACK) is
+    "same stem + same block ladder with extra leading blocks and shifted
+    downsample positions" — after the extra stages both nets walk identical
+    (resolution, channel) rungs, and a BlazeBlock's weight shapes don't
+    depend on its stride.  So blocks are aligned from the END (the shared
+    suffix), each unmatched leading student block borrows the first
+    teacher block with identical weight shapes, and stem + SSD heads copy
+    directly.  Blocks with no shape-compatible teacher analog keep their
+    random init (`key`).  Distillation from this start polishes an
+    almost-right function instead of rediscovering it (scripts/
+    distill_back.py measured the from-scratch route plateauing at ~0.54
+    held-out feature rmse; docs/distill_back_result.json)."""
+    init = student_spec.init(key if key is not None else jax.random.PRNGKey(0))
+
+    def shapes(b):
+        return {k: tuple(v.shape) for k, v in b.items()}
+
+    t_blocks = teacher_params["blocks"]
+    out = dict(init)
+    for name in ("stem", "cls_front", "cls_back", "loc_front", "loc_back"):
+        if shapes(teacher_params[name]) == shapes(init[name]):
+            out[name] = jax.tree.map(jnp.asarray, teacher_params[name])
+    offset = len(student_spec.block_channels) - len(teacher_spec.block_channels)
+    blocks = []
+    for k, blk in enumerate(init["blocks"]):
+        j = k - offset
+        src = None
+        if 0 <= j < len(t_blocks) and shapes(t_blocks[j]) == shapes(blk):
+            src = t_blocks[j]
+        else:
+            src = next((tb for tb in t_blocks
+                        if shapes(tb) == shapes(blk)), None)
+        blocks.append(jax.tree.map(jnp.asarray, src) if src is not None
+                      else blk)
+    out["blocks"] = blocks
+    return out
 
 
 def _distill_loss(student_spec: BlazeFace, params: Params, imgs_u8, tgt,
@@ -173,7 +218,9 @@ def distill_detector(student_spec: BlazeFace, teacher_spec: BlazeFace,
     sched = optax.warmup_cosine_decay_schedule(
         0.0, cfg.learning_rate, max(cfg.warmup_steps, 1),
         max(cfg.steps, cfg.warmup_steps + 1))
-    opt = optax.adam(sched)
+    opt = (optax.chain(optax.clip_by_global_norm(cfg.clip_norm),
+                       optax.adam(sched))
+           if cfg.clip_norm > 0 else optax.adam(sched))
     opt_state = opt.init(params)
     n = images_u8.shape[0]
 
@@ -211,6 +258,103 @@ def distill_detector(student_spec: BlazeFace, teacher_spec: BlazeFace,
         params, opt_state, metrics = run_block(length, params, opt_state,
                                                block_key, images_u8, tgt,
                                                norms)
+        metrics = jax.tree.map(np.asarray, metrics)
+        for k, v in metrics.items():
+            history.setdefault(k, []).append(v)
+        done += length
+        if on_sync is not None:
+            on_sync(done, {k: float(v[-1]) for k, v in metrics.items()})
+    return params, {k: np.concatenate(v) for k, v in history.items()}
+
+
+def distill_prefix(student_spec: BlazeFace, student_tap: int,
+                   teacher_spec: BlazeFace, teacher_tap: int,
+                   teacher_params: Params, images_u8,
+                   cfg: DetectorDistillConfig = DetectorDistillConfig(),
+                   *, trainable_blocks: tuple[int, ...] = (0,),
+                   train_stem: bool = True, channel_order: str = "bgr",
+                   init_params: Params | None = None,
+                   on_sync: Callable[[int, dict], None] | None = None,
+                   ) -> tuple[Params, dict[str, np.ndarray]]:
+    """Stage-wise distillation: train only a leading slice of the student
+    (stem + `trainable_blocks`) so its `student_tap` activation map
+    reproduces the teacher's `teacher_tap` map (tap index -1 = stem output;
+    BlazeFace.apply tap_blocks).
+
+    The front→back warm start (warmstart_params) makes the student's
+    SUFFIX the teacher's own weights walking identical (resolution,
+    channel) rungs — the only genuinely new function is the leading slice
+    that absorbs the extra input resolution.  Aligning that slice on its
+    local target first turns whole-network distillation into polish
+    (scripts/distill_back.py).  Loss = MSE normalized by the teacher map's
+    second moment; everything outside the slice is frozen by an optimizer
+    mask, and XLA dead-code-eliminates the untapped suffix from the step."""
+    import functools
+
+    import optax
+
+    images_u8 = jnp.asarray(images_u8)
+    n = images_u8.shape[0]
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = (init_params if init_params is not None
+              else student_spec.init(init_key))
+
+    mask = jax.tree.map(lambda _: False, params)
+    mask["stem"] = jax.tree.map(lambda _: train_stem, mask["stem"])
+    for i in trainable_blocks:
+        mask["blocks"][i] = jax.tree.map(lambda _: True, mask["blocks"][i])
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.learning_rate, max(cfg.warmup_steps, 1),
+        max(cfg.steps, cfg.warmup_steps + 1))
+    inner = (optax.chain(optax.clip_by_global_norm(cfg.clip_norm),
+                         optax.adam(sched))
+             if cfg.clip_norm > 0 else optax.adam(sched))
+    opt = optax.masked(inner, mask)
+    opt_state = opt.init(params)
+
+    t_key = f"block{teacher_tap}_out"
+    s_key = f"block{student_tap}_out"
+
+    def loss_fn(p, t_params, imgs):
+        with jax.default_matmul_precision(cfg.precision):
+            tgt = jax.lax.stop_gradient(teacher_spec.apply(
+                t_params, preprocess(imgs, teacher_spec.input_size,
+                                     channel_order),
+                tap_blocks=(teacher_tap,))[t_key])
+            out = student_spec.apply(
+                p, preprocess(imgs, student_spec.input_size, channel_order),
+                tap_blocks=(student_tap,))[s_key]
+        loss = jnp.mean((out - tgt) ** 2) / (jnp.mean(tgt ** 2) + 1e-6)
+        return loss, {"loss": loss}
+
+    # data enters as jit arguments, not closures (tunnel HTTP 413 —
+    # see distill_detector)
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_block(length, params, opt_state, block_key, imgs, t_params):
+        def step(carry, step_key):
+            params, opt_state = carry
+            idx = jax.random.randint(step_key, (cfg.batch_size,), 0, n)
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                params, t_params, imgs[idx])
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        keys = jax.random.split(block_key, length)
+        (params, opt_state), metrics = jax.lax.scan(
+            step, (params, opt_state), keys)
+        return params, opt_state, metrics
+
+    history: dict[str, list] = {}
+    done = 0
+    for _ in range(math.ceil(cfg.steps / cfg.steps_per_sync)):
+        length = min(cfg.steps_per_sync, cfg.steps - done)
+        key, block_key = jax.random.split(key)
+        params, opt_state, metrics = run_block(length, params, opt_state,
+                                               block_key, images_u8,
+                                               teacher_params)
         metrics = jax.tree.map(np.asarray, metrics)
         for k, v in metrics.items():
             history.setdefault(k, []).append(v)

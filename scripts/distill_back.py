@@ -219,27 +219,71 @@ def main() -> None:
         OUT_JSON = "/tmp/distill_back_smoke.json"
         jax.config.update("jax_platforms", "cpu")
 
+    def flag(name, default, cast):
+        argv = sys.argv[1:]
+        return cast(argv[argv.index(name) + 1]) if name in argv else default
+
     t0 = time.time()
     imgs = build_training_set()
 
     model, params = load_flagship()
-    cfg = (DetectorDistillConfig(steps=20, batch_size=4, steps_per_sync=10,
-                                 warmup_steps=2, seed=SEED) if smoke else
-           DetectorDistillConfig(steps=8000, batch_size=64,
-                                 learning_rate=1.5e-3, warmup_steps=300,
-                                 steps_per_sync=500, seed=SEED))
-    print(f"distilling BLAZEFACE_BACK ({cfg.steps} steps, batch "
-          f"{cfg.batch_size}, lr {cfg.learning_rate}) on "
-          f"{jax.devices()[0].platform}...", flush=True)
+
+    # Three-stage recipe (each stage measured necessary, docs/
+    # distill_back_result.json history):
+    #   1. warm start — the back topology is the front plus one extra
+    #      leading block, so the teacher's own weights seed the shared
+    #      suffix (train/detector.warmstart_params);
+    #   2. prefix alignment — train ONLY stem+block0 to reproduce the
+    #      teacher's stem map (the one genuinely new function: absorbing
+    #      the 2x input resolution); the teacher-weight suffix then
+    #      matches by construction;
+    #   3. whole-network distillation polish at low lr.
+    # From-scratch single-stage runs plateaued at held-out feature rmse
+    # ~0.54 (8k and 50k steps agree — capacity/optimization, not steps).
+    scratch = "--scratch" in sys.argv[1:]
 
     def on_sync(step, m):
-        print(f"  step {step}: loss {m['loss']:.4f} (feat {m['feat']:.4f} "
-              f"score {m['score']:.5f} loc {m['loc']:.4f}) "
+        extra = (f" (feat {m['feat']:.4f} score {m['score']:.5f} "
+                 f"loc {m['loc']:.4f})" if "feat" in m else "")
+        print(f"  step {step}: loss {m['loss']:.4f}{extra} "
               f"[{time.time() - t0:.0f}s]", flush=True)
+
+    init = None
+    if not scratch:
+        from headpose_tpu.train.detector import (distill_prefix,
+                                                 warmstart_params)
+        init = warmstart_params(BLAZEFACE_BACK, model.backbone,
+                                params["backbone"])
+        pre_cfg = (DetectorDistillConfig(steps=20, batch_size=4,
+                                         steps_per_sync=10, warmup_steps=2,
+                                         seed=SEED) if smoke else
+                   DetectorDistillConfig(steps=flag("--prefix-steps", 6000, int),
+                                         batch_size=32, learning_rate=2e-3,
+                                         warmup_steps=200,
+                                         steps_per_sync=1000, seed=SEED))
+        print(f"phase A: aligning stem+block0 on the teacher stem map "
+              f"({pre_cfg.steps} steps)...", flush=True)
+        init, _ = distill_prefix(BLAZEFACE_BACK, 0, model.backbone, -1,
+                                 params["backbone"], imgs, pre_cfg,
+                                 init_params=init, on_sync=on_sync)
+
+    cfg = (DetectorDistillConfig(steps=20, batch_size=4, steps_per_sync=10,
+                                 warmup_steps=2, seed=SEED) if smoke else
+           DetectorDistillConfig(steps=flag("--steps", 20000, int),
+                                 batch_size=flag("--batch", 64, int),
+                                 learning_rate=flag("--lr",
+                                                    1e-3 if scratch else 3e-4,
+                                                    float),
+                                 warmup_steps=1000,
+                                 steps_per_sync=2000, seed=SEED))
+    print(f"distilling BLAZEFACE_BACK ({cfg.steps} steps, batch "
+          f"{cfg.batch_size}, lr {cfg.learning_rate}, "
+          f"{'from scratch' if scratch else 'warm-started'}) on "
+          f"{jax.devices()[0].platform}...", flush=True)
 
     student_params, hist = distill_detector(
         BLAZEFACE_BACK, model.backbone, params["backbone"], imgs, cfg,
-        on_sync=on_sync)
+        init_params=init, on_sync=on_sync)
 
     print("evaluating on the held-out parity corpus...", flush=True)
     corpus = dict(np.load(CORPUS))
@@ -267,6 +311,10 @@ def main() -> None:
                       "blazeFaceDetectorH5.py:8-11).",
         "teacher": "unified-stoqa9pt-hrchr82r",
         "pose_heads": "teacher's stoqa9pt/hrchr82r, grafted unchanged",
+        "recipe": ("from-scratch single-stage" if scratch else
+                   "teacher warm start (warmstart_params) -> prefix "
+                   "alignment (distill_prefix: stem+block0 vs teacher stem "
+                   "map) -> whole-network distillation polish"),
         "train_config": {k: getattr(cfg, k) for k in
                          ("steps", "batch_size", "learning_rate",
                           "warmup_steps", "seed", "precision")},

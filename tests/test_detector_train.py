@@ -172,6 +172,86 @@ class TestSupervised:
         assert (ious > 0.5).mean() >= 0.5, (ious > 0.5).mean()
 
 
+class TestWarmstart:
+    def test_back_from_front_copies_aligned_blocks(self):
+        """BLAZEFACE_BACK = front + one extra leading block: stem, SSD heads
+        and every block k>=1 copy the teacher (block k-1); the extra block 0
+        borrows the teacher block with matching shapes (front block 0)."""
+        from headpose_tpu.train.detector import warmstart_params
+
+        t = BLAZEFACE_FRONT.init(jax.random.PRNGKey(0))
+        ws = warmstart_params(BLAZEFACE_BACK, BLAZEFACE_FRONT, t)
+        for name in ("stem", "cls_front", "cls_back", "loc_front", "loc_back"):
+            for k, v in t[name].items():
+                np.testing.assert_array_equal(ws[name][k], v)
+        for k in range(1, len(BLAZEFACE_BACK.block_channels)):
+            for kk, v in t["blocks"][k - 1].items():
+                np.testing.assert_array_equal(ws["blocks"][k][kk], v)
+        for kk, v in t["blocks"][0].items():
+            np.testing.assert_array_equal(ws["blocks"][0][kk], v)
+
+    def test_tiny_unmatched_block_keeps_random_init(self):
+        """TINY_STUDENT block 1 (8->8) has no shape-compatible teacher
+        analog — it must keep its random init, while the suffix copies."""
+        from headpose_tpu.train.detector import warmstart_params
+
+        t = TINY_TEACHER.init(jax.random.PRNGKey(1))
+        key = jax.random.PRNGKey(7)
+        ws = warmstart_params(TINY_STUDENT, TINY_TEACHER, t, key=key)
+        rnd = TINY_STUDENT.init(key)
+        for kk, v in t["blocks"][1].items():
+            np.testing.assert_array_equal(ws["blocks"][2][kk], v)
+        for kk, v in t["blocks"][0].items():
+            np.testing.assert_array_equal(ws["blocks"][0][kk], v)
+        for kk, v in rnd["blocks"][1].items():
+            np.testing.assert_array_equal(ws["blocks"][1][kk], v)
+
+
+class TestPrefixDistill:
+    def test_apply_tap_blocks(self):
+        params = TINY_TEACHER.init(jax.random.PRNGKey(0))
+        out = TINY_TEACHER.apply(params, jnp.zeros((2, 16, 16, 3)),
+                                 tap_blocks=(-1, 0))
+        assert out["block-1_out"].shape == (2, 8, 8, 4)   # stem map
+        assert out["block0_out"].shape == (2, 8, 8, 8)
+        np.testing.assert_array_equal(out["block0_out"], out["feat88"])
+
+    def test_trains_only_the_slice_and_converges(self):
+        """distill_prefix moves ONLY stem+block0; the frozen suffix stays
+        bit-identical to the warm start, and the prefix loss collapses."""
+        from headpose_tpu.train.detector import (distill_prefix,
+                                                 warmstart_params)
+
+        t_params = TINY_TEACHER.init(jax.random.PRNGKey(3))
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, size=(32, 16, 16, 3)).astype(np.uint8)
+        ws = warmstart_params(TINY_STUDENT, TINY_TEACHER, t_params)
+        cfg = DetectorDistillConfig(steps=500, batch_size=8,
+                                    learning_rate=5e-3, warmup_steps=20,
+                                    steps_per_sync=250, seed=0)
+        # aligned rung for the tiny pair: student block0 out == teacher
+        # block0 out, both (8, 8, 8)-shaped (the production pair aligns
+        # student block0 to the teacher STEM map instead)
+        p2, hist = distill_prefix(TINY_STUDENT, 0, TINY_TEACHER, 0,
+                                  t_params, imgs, cfg, init_params=ws)
+        start = float(np.mean(hist["loss"][:10]))
+        end = float(np.mean(hist["loss"][-10:]))
+        # random tiny teachers have an irreducible matching floor; the
+        # production warm-started run collapses far lower (docs/)
+        assert end < 0.35 * start, (start, end)
+        changed = any(
+            not np.array_equal(p2["stem"][k], ws["stem"][k])
+            for k in p2["stem"])
+        assert changed
+        for i in range(1, len(TINY_STUDENT.block_channels)):
+            for kk in p2["blocks"][i]:
+                np.testing.assert_array_equal(p2["blocks"][i][kk],
+                                              ws["blocks"][i][kk])
+        for name in ("cls_front", "cls_back", "loc_front", "loc_back"):
+            for kk in p2[name]:
+                np.testing.assert_array_equal(p2[name][kk], ws[name][kk])
+
+
 class TestDistill:
     def _images(self, n=48, size=16, seed=0):
         rng = np.random.default_rng(seed)
