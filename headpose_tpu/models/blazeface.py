@@ -212,11 +212,14 @@ BLAZEFACE_FRONT = BlazeFace()
 def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
     """Block indices of the trailing bf16 island (see above — a non-parity
     accuracy/speed trade certified on the corpus for the front spec; for
-    BLAZEFACE_BACK no trained weights exist anywhere, so the island's
-    propagation through that topology is measured on-chip at random init
-    instead — pose p99 8e-4 deg, scripts/certify_back.py →
-    docs/certification_back.json — indicative of the structural boundary,
-    not a trained-weight parity certificate)."""
+    BLAZEFACE_BACK — which the reference ships no weights for — the
+    island is measured on-chip relative to the model's own 'highest' at
+    BOTH random init (structural propagation: pose p99 8e-4 deg) and the
+    shipped distilled weights (trained dynamic range: fast p99 ~0.007,
+    turbo ~0.35, max ~1.2 deg — same ordering/magnitude as the front
+    certification), scripts/certify_back.py →
+    docs/certification_back.json; neither is a reference-parity
+    certificate since no reference back model exists)."""
     return tuple(range(spec.downsample_blocks[-1] - 1, len(spec.block_channels)))
 
 
@@ -229,8 +232,11 @@ TURBO_FAST_BLOCKS = turbo_fast_blocks(BLAZEFACE_FRONT)  # (10, 11, ..., 15)
 # grids land on 16x16 (stride 16) and 8x8 (stride 32) of the 256 input —
 # matching the 896-anchor table of anchors.BACK_CONFIG (16*16*2 + 8*8*6).
 # Resolution walk: 256 → stem/2 → 128 → ds@0 → 64 → ds@3 → 32 → ds@6 → 16
-# (tap88 at block 11, 88ch) → ds@12 → 8 (96ch).  No pretrained weights exist;
-# train from scratch or distill when back-camera data appears.
+# (tap88 at block 11, 88ch) → ds@12 → 8 (96ch).  The reference ships no
+# weights for it; ours are trained by distillation from the front flagship
+# (pretrained_models/unified-back-distilled, scripts/distill_back.py — a
+# topology bring-up on synthetic imagery, not a real-world back-camera
+# model; retrain with fit_detector/distill_detector when real data appears).
 BLAZEFACE_BACK = BlazeFace(
     input_size=256,
     block_channels=(24, 24, 28, 32, 36, 42, 48, 56, 64,

@@ -69,6 +69,18 @@ def load_pretrained(name: str):
       (labeled in metadata): 'ensemble96-stacked-mixed' AFLW 7.533±0.17
       holdout — the best 96-d head in either ecosystem;
       'ensemble88-stacked-mixed' 7.647±0.20 at BIWI 4.26.
+    - 'unified-back-distilled' (scripts/distill_back.py): the 256-input
+      back-camera topology (BLAZEFACE_BACK — reserved but never shipped by
+      the reference, blazeFaceDetectorH5.py:8-11), brought up by
+      three-stage distillation from the front flagship (teacher warm start
+      → prefix alignment → whole-network polish, train/detector.py) on
+      synthetic imagery, with the teacher's pose heads grafted unchanged.
+      Held-out (the 112-image parity corpus, never seen in training):
+      detection-set agreement with the reference goldens and
+      feature/score/loc error distributions live in its metadata and
+      docs/distill_back_result.json.  HONESTLY LABELED a topology
+      bring-up: it mimics the front detector, it is NOT a real-world
+      back-camera face detector — retrain when real 256-input data exists.
     - 'unified-best' (scripts/build_unified_best.py): the flagship backbone
       + SSD heads joined with both '-stacked-mixed' ensembles — the most
       accurate end-to-end pipeline in either ecosystem.  Detections are

@@ -172,6 +172,58 @@ class TestSupervised:
         assert (ious > 0.5).mean() >= 0.5, (ious > 0.5).mean()
 
 
+class TestShippedBackArtifact:
+    """pretrained_models/unified-back-distilled: the back-camera bring-up
+    scripts/distill_back.py ships.  Gates the metadata's held-out evidence
+    (captured on the parity corpus the training never saw) and that the
+    artifact actually serves through the production detector."""
+
+    def _load(self):
+        from headpose_tpu.pretrained import load_pretrained
+        return load_pretrained("unified-back-distilled")
+
+    @staticmethod
+    def _metadata():
+        import json
+        import os
+
+        from headpose_tpu.pretrained import PRETRAINED_DIR
+        with open(os.path.join(PRETRAINED_DIR, "unified-back-distilled",
+                               "spec.json")) as f:
+            return json.load(f)["metadata"]
+
+    def test_metadata_provenance_and_heldout_gates(self):
+        md = self._metadata()
+        assert "distill" in md["provenance"].lower()
+        assert "synthetic" in md["provenance"].lower()
+        assert md["teacher"] == "unified-stoqa9pt-hrchr82r"
+        raw = md["heldout_raw_agreement"]
+        assert raw["feat88_rel_rmse"] <= 0.12
+        assert raw["feat96_rel_rmse"] <= 0.12
+        assert raw["score_prob"]["p99"] <= 0.12
+        e2e = md["heldout_e2e_vs_reference"]
+        assert e2e["set_agreement"] >= 0.7
+        assert e2e["pose_deg"]["p50"] <= 4.0
+
+    def test_serves_at_256_on_golden_content(self):
+        """The artifact detects the corpus's faces through FaceDetector at
+        its native 256 input (the corpus goldens themselves are a front-
+        model contract, so this checks serving, not bit-parity)."""
+        import os
+
+        from headpose_tpu.runtime.detector import FaceDetector
+
+        spec, params = self._load()
+        det = FaceDetector(spec, params, score_threshold=0.4,
+                           precision="highest")
+        assert det.input_size == 256
+        corpus = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                      "parity_corpus.npz"))
+        r = det.detect(corpus["imgs"][:4])
+        assert r.boxes.shape == (4, 100, 4)
+        assert int(np.asarray(r.valid).sum()) > 0
+
+
 class TestWarmstart:
     def test_back_from_front_copies_aligned_blocks(self):
         """BLAZEFACE_BACK = front + one extra leading block: stem, SSD heads
