@@ -216,7 +216,7 @@ def turbo_fast_blocks(spec: BlazeFace) -> tuple[int, ...]:
     island is measured on-chip relative to the model's own 'highest' at
     BOTH random init (structural propagation: pose p99 8e-4 deg) and the
     shipped distilled weights (trained dynamic range: fast p99 ~0.007,
-    turbo ~0.35, max ~1.2 deg — same ordering/magnitude as the front
+    turbo ~0.38, max ~1.0 deg — same ordering/magnitude as the front
     certification), scripts/certify_back.py →
     docs/certification_back.json; neither is a reference-parity
     certificate since no reference back model exists)."""

@@ -300,10 +300,12 @@ def distill_prefix(student_spec: BlazeFace, student_tap: int,
     params = (init_params if init_params is not None
               else student_spec.init(init_key))
 
-    mask = jax.tree.map(lambda _: False, params)
-    mask["stem"] = jax.tree.map(lambda _: train_stem, mask["stem"])
+    labels = jax.tree.map(lambda _: "freeze", params)
+    labels["stem"] = jax.tree.map(lambda _: "train" if train_stem
+                                  else "freeze", labels["stem"])
     for i in trainable_blocks:
-        mask["blocks"][i] = jax.tree.map(lambda _: True, mask["blocks"][i])
+        labels["blocks"][i] = jax.tree.map(lambda _: "train",
+                                           labels["blocks"][i])
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, cfg.learning_rate, max(cfg.warmup_steps, 1),
@@ -311,7 +313,11 @@ def distill_prefix(student_spec: BlazeFace, student_tap: int,
     inner = (optax.chain(optax.clip_by_global_norm(cfg.clip_norm),
                          optax.adam(sched))
              if cfg.clip_norm > 0 else optax.adam(sched))
-    opt = optax.masked(inner, mask)
+    # multi_transform with set_to_zero, NOT optax.masked: masked passes
+    # unmasked leaves' updates through UNCHANGED (raw-gradient ascent on
+    # the "frozen" params), it does not zero them
+    opt = optax.multi_transform({"train": inner,
+                                 "freeze": optax.set_to_zero()}, labels)
     opt_state = opt.init(params)
 
     t_key = f"block{teacher_tap}_out"
@@ -408,10 +414,11 @@ def ssd_targets(spec: BlazeFace, boxes: jax.Array, mask: jax.Array,
     chosen by face scale (< scale_split → fine front grid, else coarse back
     grid) — with fixed_anchor_size all anchors of a cell share their center,
     so they share the target too (ops/detection.py decode).  Returns
-    (labels (B, A), loc_tgt (B, A, 16), pos (B, A)); loc targets are in
-    input-PIXEL units exactly as the forward's raw loc is decoded
-    (ops/detection.py:36-51).  Cell collisions keep one GT (scatter order) —
-    matching NMS's one-face-per-anchor serving reality."""
+    (labels (B, A), loc_tgt (B, A, 16)); labels doubles as the positive
+    mask for the localisation loss.  Loc targets are in input-PIXEL units
+    exactly as the forward's raw loc is decoded (ops/detection.py:36-51).
+    Cell collisions keep one GT (scatter order) — matching NMS's
+    one-face-per-anchor serving reality."""
     g1, g2, pc1, pc2 = ssd_grids(spec)
     n_front = g1 * g1 * pc1
     n_anchors = n_front + g2 * g2 * pc2
@@ -462,16 +469,19 @@ def ssd_targets(spec: BlazeFace, boxes: jax.Array, mask: jax.Array,
     loc_tgt = jnp.zeros((B, n_anchors + 1, 16))
     loc_tgt = loc_tgt.at[jnp.arange(B)[:, None, None], idx].set(
         jnp.broadcast_to(tgt[:, :, None, :], (B, K, max_pc, 16)))
-    return labels[:, :-1], loc_tgt[:, :-1], labels[:, :-1]
+    return labels[:, :-1], loc_tgt[:, :-1]
 
 
-def ssd_loss(spec: BlazeFace, out: dict, labels, loc_tgt, pos,
+def ssd_loss(spec: BlazeFace, out: dict, labels, loc_tgt,
              cfg: DetectorFitConfig, kp_weight: float = 0.0):
     """Sigmoid-focal classification + Huber localisation (normalized units).
+    `labels` doubles as the positive mask weighting the localisation term.
     kp_weight > 0 additionally supervises the 12 keypoint offsets."""
+    import optax
+
     logits = out["scores"]
     p = jax.nn.sigmoid(logits)
-    ce = optax_sigmoid_ce(logits, labels)
+    ce = optax.sigmoid_binary_cross_entropy(logits, labels)
     pt = labels * p + (1 - labels) * (1 - p)
     alpha = labels * cfg.focal_alpha + (1 - labels) * (1 - cfg.focal_alpha)
     focal = jnp.mean(alpha * (1 - pt) ** cfg.focal_gamma * ce) * labels.shape[-1]
@@ -481,17 +491,10 @@ def ssd_loss(spec: BlazeFace, out: dict, labels, loc_tgt, pos,
     hub = jnp.where(jnp.abs(diff) <= cfg.huber_delta,
                     0.5 * diff ** 2 / cfg.huber_delta,
                     jnp.abs(diff) - 0.5 * cfg.huber_delta)
-    loc = (jnp.sum(pos[..., None] * dim_w * hub)
-           / (jnp.sum(pos) * (4 + 12 * (kp_weight > 0)) + 1e-6))
+    loc = (jnp.sum(labels[..., None] * dim_w * hub)
+           / (jnp.sum(labels) * (4 + 12 * (kp_weight > 0)) + 1e-6))
     total = focal + cfg.loc_weight * loc
     return total, {"loss": total, "focal": focal, "loc": loc}
-
-
-def optax_sigmoid_ce(logits, labels):
-    # stable BCE-with-logits (optax.sigmoid_binary_cross_entropy semantics,
-    # inlined to keep the loss self-contained for shard_map/scan tracing)
-    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits)))
 
 
 def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
@@ -513,8 +516,7 @@ def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
     boxes = jnp.asarray(boxes, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
     kps = None if keypoints is None else jnp.asarray(keypoints, jnp.float32)
-    labels, loc_tgt, pos = ssd_targets(spec, boxes, mask, kps,
-                                       cfg.scale_split)
+    labels, loc_tgt = ssd_targets(spec, boxes, mask, kps, cfg.scale_split)
 
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
@@ -530,12 +532,12 @@ def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
     # run_block comment (tunnel HTTP 413 on embedded-constant HLO)
     @functools.partial(jax.jit, static_argnums=0)
     def run_block(length, params, opt_state, block_key, imgs, labels,
-                  loc_tgt, pos):
+                  loc_tgt):
         def loss_fn(p, idx):
             with jax.default_matmul_precision(cfg.precision):
                 x = preprocess(imgs[idx], spec.input_size, channel_order)
                 out = spec.apply(p, x)
-            return ssd_loss(spec, out, labels[idx], loc_tgt[idx], pos[idx],
+            return ssd_loss(spec, out, labels[idx], loc_tgt[idx],
                             cfg, kp_weight)
 
         def step(carry, step_key):
@@ -558,7 +560,7 @@ def fit_detector(spec: BlazeFace, images_u8, boxes, mask,
         key, block_key = jax.random.split(key)
         params, opt_state, metrics = run_block(length, params, opt_state,
                                                block_key, images_u8, labels,
-                                               loc_tgt, pos)
+                                               loc_tgt)
         metrics = jax.tree.map(np.asarray, metrics)
         for k, v in metrics.items():
             history.setdefault(k, []).append(v)

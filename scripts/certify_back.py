@@ -59,7 +59,7 @@ def main() -> None:
     from headpose_tpu.models.unified import join_models
     from headpose_tpu.ops.image import preprocess
 
-    def sweep(model, uparams, spec, imgs, label):
+    def sweep(model, uparams, spec, imgs, label, channel_order):
         def run(mode):
             # mirror FaceDetector's forward configuration per mode
             # (runtime/detector.py): dense composition + 'high' ambient
@@ -75,7 +75,8 @@ def main() -> None:
             def fwd(p, x):
                 with jax.default_matmul_precision("high" if fast else mode):
                     return model.apply(p, preprocess(x, spec.input_size,
-                                                     "rgb"), **kwargs)
+                                                     channel_order),
+                                       **kwargs)
 
             out = fwd(uparams, imgs)
             jax.block_until_ready(out["scores"])
@@ -113,7 +114,9 @@ def main() -> None:
                                  h96, h96.init(jax.random.PRNGKey(3)))
     imgs = np.random.default_rng(7).integers(
         0, 256, size=(N_IMAGES, 256, 256, 3)).astype(np.uint8)
-    report = sweep(model, uparams, spec, imgs, "random-init")
+    # channel order is irrelevant for random weights on random inputs;
+    # "rgb" kept for continuity with the r2 measurement
+    report = sweep(model, uparams, spec, imgs, "random-init", "rgb")
 
     out_doc = {
         "spec": "BLAZEFACE_BACK (random init, PRNGKey(0)/2/3 — structural "
@@ -137,8 +140,10 @@ def main() -> None:
 
         tmodel, tparams = load_model(trained_dir)
         corpus = np.load(corpus_path)["imgs"][:N_IMAGES]
+        # "bgr": the order the model was distilled and is served with
+        # (FaceDetector default, scripts/distill_back.py)
         out_doc["trained_modes"] = sweep(tmodel, tparams, tmodel.backbone,
-                                         corpus, "trained")
+                                         corpus, "trained", "bgr")
         out_doc["trained_spec"] = ("unified-back-distilled (shipped), "
                                    "parity-corpus images")
 

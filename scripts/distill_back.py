@@ -4,7 +4,7 @@ had anywhere (the reference reserves INPUT_BACK=256 but ships neither weights
 nor a runtime path, blazeFaceDetectorH5.py:8-11).
 
 Teacher: the imported production front detector (128 input).  Student: the
-256-input back topology, trained from scratch with train/detector.py — the
+256-input back topology, trained with train/detector.py — the
 anchor tables are identical in normalized coordinates and loc targets scale
 by 2x (alignment facts tested in tests/test_detector_train.py), and matching
 the feat88/feat96 taps makes the student a drop-in backbone for the shipped
@@ -21,8 +21,12 @@ capability end to end; it mimics the front detector (including on held-out
 synthetic data, measured below), and is NOT a real-world back-camera face
 detector — retrain/fine-tune when real 256-input data exists.
 
-Run on the real chip (~10-20 min: ascent + 8k distill steps + eval):
-    python scripts/distill_back.py
+Recipe: teacher warm start → prefix alignment (6k steps, --prefix-steps) →
+whole-network polish (20k steps default, --steps / --lr / --batch; the
+shipped artifact used --steps 60000 --lr 4e-4, ~22 min total on this chip
+including ascent + eval).  --scratch runs the measured-worse single-stage
+baseline.  Run on the real chip:
+    python scripts/distill_back.py [--steps N] [--lr X] [--scratch]
 Writes headpose_tpu/pretrained_models/unified-back-distilled/ and
 docs/distill_back_result.json.
 """
@@ -221,7 +225,23 @@ def main() -> None:
 
     def flag(name, default, cast):
         argv = sys.argv[1:]
-        return cast(argv[argv.index(name) + 1]) if name in argv else default
+        if name not in argv:
+            return default
+        i = argv.index(name)
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            raise SystemExit(f"{name} requires a value")
+        try:
+            return cast(argv[i + 1])
+        except ValueError as e:
+            raise SystemExit(f"{name}: {e}")
+
+    # parse ALL flags before the expensive synthesis so a typo fails in
+    # milliseconds, not after the ascent phase
+    scratch = "--scratch" in sys.argv[1:]
+    steps = flag("--steps", 20000, int)
+    prefix_steps = flag("--prefix-steps", 6000, int)
+    batch = flag("--batch", 64, int)
+    lr = flag("--lr", 1e-3 if scratch else 3e-4, float)
 
     t0 = time.time()
     imgs = build_training_set()
@@ -240,8 +260,6 @@ def main() -> None:
     #   3. whole-network distillation polish at low lr.
     # From-scratch single-stage runs plateaued at held-out feature rmse
     # ~0.54 (8k and 50k steps agree — capacity/optimization, not steps).
-    scratch = "--scratch" in sys.argv[1:]
-
     def on_sync(step, m):
         extra = (f" (feat {m['feat']:.4f} score {m['score']:.5f} "
                  f"loc {m['loc']:.4f})" if "feat" in m else "")
@@ -257,7 +275,7 @@ def main() -> None:
         pre_cfg = (DetectorDistillConfig(steps=20, batch_size=4,
                                          steps_per_sync=10, warmup_steps=2,
                                          seed=SEED) if smoke else
-                   DetectorDistillConfig(steps=flag("--prefix-steps", 6000, int),
+                   DetectorDistillConfig(steps=prefix_steps,
                                          batch_size=32, learning_rate=2e-3,
                                          warmup_steps=200,
                                          steps_per_sync=1000, seed=SEED))
@@ -269,12 +287,8 @@ def main() -> None:
 
     cfg = (DetectorDistillConfig(steps=20, batch_size=4, steps_per_sync=10,
                                  warmup_steps=2, seed=SEED) if smoke else
-           DetectorDistillConfig(steps=flag("--steps", 20000, int),
-                                 batch_size=flag("--batch", 64, int),
-                                 learning_rate=flag("--lr",
-                                                    1e-3 if scratch else 3e-4,
-                                                    float),
-                                 warmup_steps=1000,
+           DetectorDistillConfig(steps=steps, batch_size=batch,
+                                 learning_rate=lr, warmup_steps=1000,
                                  steps_per_sync=2000, seed=SEED))
     print(f"distilling BLAZEFACE_BACK ({cfg.steps} steps, batch "
           f"{cfg.batch_size}, lr {cfg.learning_rate}, "

@@ -113,9 +113,8 @@ class TestSupervised:
                 s = rng.uniform(0.1, 0.5)
                 cx, cy = rng.uniform(s / 2, 1 - s / 2, size=2)
                 boxes[i, k] = [cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2]
-        labels, loc_tgt, pos = ssd_targets(self.SPEC, jnp.asarray(boxes),
-                                           jnp.asarray(mask),
-                                           jnp.asarray(kps))
+        labels, loc_tgt = ssd_targets(self.SPEC, jnp.asarray(boxes),
+                                      jnp.asarray(mask), jnp.asarray(kps))
         assert labels.shape == (4, 224) and loc_tgt.shape == (4, 224, 16)
         # masked GT contributes no positives beyond the live ones
         assert float(labels[3].sum()) in (2.0, 6.0)
@@ -302,6 +301,30 @@ class TestPrefixDistill:
         for name in ("cls_front", "cls_back", "loc_front", "loc_back"):
             for kk in p2[name]:
                 np.testing.assert_array_equal(p2[name][kk], ws[name][kk])
+
+
+    def test_frozen_upstream_params_do_not_drift(self):
+        """Regression: optax.masked passes unmasked updates through
+        UNCHANGED (raw-gradient ascent on the 'frozen' params) — with
+        train_stem=False the stem sits upstream of the tap and used to
+        diverge to inf within steps.  multi_transform+set_to_zero must
+        keep it bit-identical and the loss finite."""
+        from headpose_tpu.train.detector import (distill_prefix,
+                                                 warmstart_params)
+
+        t_params = TINY_TEACHER.init(jax.random.PRNGKey(3))
+        rng = np.random.default_rng(1)
+        imgs = rng.integers(0, 256, size=(16, 16, 16, 3)).astype(np.uint8)
+        ws = warmstart_params(TINY_STUDENT, TINY_TEACHER, t_params)
+        cfg = DetectorDistillConfig(steps=60, batch_size=8,
+                                    learning_rate=5e-3, warmup_steps=5,
+                                    steps_per_sync=30, seed=0)
+        p2, hist = distill_prefix(TINY_STUDENT, 0, TINY_TEACHER, 0,
+                                  t_params, imgs, cfg, train_stem=False,
+                                  init_params=ws)
+        assert np.all(np.isfinite(hist["loss"])), hist["loss"][-5:]
+        for k in p2["stem"]:
+            np.testing.assert_array_equal(p2["stem"][k], ws["stem"][k])
 
 
 class TestDistill:
