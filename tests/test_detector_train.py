@@ -170,6 +170,41 @@ class TestSupervised:
         assert ious.mean() > 0.4, ious.mean()
         assert (ious > 0.5).mean() >= 0.5, (ious > 0.5).mean()
 
+    def test_fit_detector_learns_keypoints(self):
+        """kp_weight > 0 trains the 12 keypoint offsets too: synthetic GT
+        keypoints at the square's corners are recovered on held-out data."""
+        from headpose_tpu.models.anchors import AnchorConfig
+        from headpose_tpu.train.detector import DetectorFitConfig, fit_detector
+
+        def with_kps(boxes):
+            # 6 keypoints: 4 corners + 2 edge midpoints of the GT square
+            x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+            mx = (x1 + x2) / 2
+            kps = np.stack([
+                np.stack([x1, y1], -1), np.stack([x2, y1], -1),
+                np.stack([x2, y2], -1), np.stack([x1, y2], -1),
+                np.stack([mx, y1], -1), np.stack([mx, y2], -1)], axis=-2)
+            return kps.astype(np.float32)
+
+        imgs, boxes, mask = self._squares(256, 3)
+        cfg = DetectorFitConfig(steps=800, batch_size=32, learning_rate=2e-3,
+                                warmup_steps=50, steps_per_sync=200, seed=0)
+        params, _ = fit_detector(self.SPEC, imgs, boxes, mask, cfg,
+                                 keypoints=with_kps(boxes), kp_weight=1.0)
+
+        himgs, hboxes, _ = self._squares(64, 98)
+        hkps = with_kps(hboxes)
+        from headpose_tpu.ops.image import preprocess
+        out = self.SPEC.apply(params, preprocess(jnp.asarray(himgs), 32, "bgr"))
+        cfg_a = AnchorConfig(input_width=32, input_height=32,
+                             strides=(4, 8, 8, 8))
+        anchors = jnp.asarray(generate_anchors(cfg_a), jnp.float32)
+        deck = np.asarray(decode_keypoints(out["loc"], anchors, 32))
+        top = np.argmax(np.asarray(out["scores"]), axis=1)
+        err = np.abs(deck[np.arange(64), top] - hkps[:, 0]).mean()
+        # mean keypoint error well under the mean face half-extent
+        assert err < 0.08, err
+
 
 class TestShippedBackArtifact:
     """pretrained_models/unified-back-distilled: the back-camera bring-up
