@@ -1,0 +1,157 @@
+"""Dynamic-batching serving front end: many clients, one MXU-wide program.
+
+The reference serves exactly one synchronous camera loop (blazeFaceDetector
+`__main__`, blazeFaceDetectorH5.py:366-449).  A production deployment has
+the opposite shape: many independent request streams, each submitting single
+frames, while the accelerator only earns its keep on wide batches (this
+chip's wall time is nearly FLAT from batch 1 to 128 — docs/BENCH.md batch
+sweep — so a 1-frame dispatch wastes ~99% of a dispatch's capacity).
+
+`DynamicBatcher` coalesces concurrent single-frame requests into batched
+`FaceDetector.detect` dispatches:
+
+  * requests queue up; a dispatcher thread drains them into one batch of at
+    most `max_batch`, waiting at most `max_delay` seconds past the OLDEST
+    queued request before flushing (bounded added latency);
+  * the batch is padded up to a fixed LADDER of widths (powers of two up to
+    `max_batch`) so the number of distinct compiled programs stays small —
+    static shapes are the XLA contract, and an exact-size batch per request
+    count would compile once per distinct count;
+  * results come back per request as host-side ragged `Results` via the
+    single combined D2H transfer of `BatchResults.trim`.
+
+Pure host-side orchestration around the existing jitted program — no new
+device code.  Through this container's TPU tunnel the round trip dominates
+(~30 ms, CLAUDE.md), so the win here is architectural; on directly-attached
+hosts the batcher converts N concurrent 1-frame clients into ~N/128 full
+dispatches.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+from .detector import FaceDetector
+from .results import Results
+
+__all__ = ["DynamicBatcher"]
+
+
+class DynamicBatcher:
+    """Batch concurrent detect requests onto one detector.
+
+    All submitted frames must share one (H, W, 3) shape (one program ladder;
+    mixed sizes would each recompile anyway — run one batcher per size).
+
+    max_delay is the flush deadline measured from the OLDEST queued request:
+    the latency a lone request pays on an idle server is ~max_delay + one
+    dispatch; under load batches fill to max_batch sooner and flush early.
+    """
+
+    def __init__(self, detector: FaceDetector, max_batch: int = 128,
+                 max_delay: float = 0.002):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.detector = detector
+        self.max_batch = max_batch
+        self.max_delay = max_delay
+        # pad ladder: powers of two up to max_batch (plus max_batch itself)
+        widths = []
+        w = 1
+        while w < max_batch:
+            widths.append(w)
+            w *= 2
+        widths.append(max_batch)
+        self.widths = tuple(widths)
+        self.dispatches = 0          # batches sent to the device
+        self.frames_served = 0       # real (unpadded) frames in them
+        self._frame_shape = None
+        self._q: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="DynamicBatcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------- client API
+    def submit(self, frame) -> Future:
+        """Enqueue one (H, W, 3) frame; resolves to a ragged `Results`."""
+        if self._closed.is_set():
+            raise RuntimeError("DynamicBatcher is closed")
+        frame = np.asarray(frame)
+        if frame.ndim != 3:
+            raise ValueError(f"submit takes one (H, W, 3) frame, "
+                             f"got shape {frame.shape}")
+        if self._frame_shape is None:
+            self._frame_shape = frame.shape
+        elif frame.shape != self._frame_shape:
+            raise ValueError(
+                f"all frames must share one shape per batcher "
+                f"(got {frame.shape}, serving {self._frame_shape}) — "
+                "run one DynamicBatcher per frame size")
+        fut: Future = Future()
+        self._q.put((frame, fut, time.monotonic()))
+        return fut
+
+    def detect(self, frame, timeout: float | None = None) -> Results:
+        """Synchronous convenience: submit + wait."""
+        return self.submit(frame).result(timeout)
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Flush queued work and stop the dispatcher thread."""
+        self._closed.set()
+        self._thread.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---------------------------------------------------------- dispatcher
+    def _take_batch(self):
+        """Block for the first request, then drain until max_batch or the
+        oldest request's deadline passes."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = first[2] + self.max_delay
+        while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                if remaining <= 0:
+                    items.append(self._q.get_nowait())
+                else:
+                    items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        while not (self._closed.is_set() and self._q.empty()):
+            items = self._take_batch()
+            if not items:
+                continue
+            frames = [f for f, _, _ in items]
+            futs = [fut for _, fut, _ in items]
+            n = len(frames)
+            width = next(w for w in self.widths if w >= n)
+            # pad by repeating the first frame: rows are independent through
+            # the whole pipeline (convs, per-image NMS), so pad content only
+            # costs compute, never correctness
+            batch = np.stack(frames + [frames[0]] * (width - n))
+            try:
+                ragged = self.detector.detect(batch).trim()
+            except Exception as e:  # resolve, don't orphan, the waiters
+                for fut in futs:
+                    fut.set_exception(e)
+                continue
+            self.dispatches += 1
+            self.frames_served += n
+            for fut, res in zip(futs, ragged[:n]):
+                fut.set_result(res)

@@ -1,0 +1,91 @@
+"""DynamicBatcher (runtime/server.py): many single-frame clients coalesced
+into wide dispatches of the one jitted program.
+
+The reference serves exactly one synchronous camera loop; this is the
+multi-client front end a production deployment needs (docs/BENCH.md batch
+sweep: wall time is ~flat batch 1→128, so unbatched single-frame serving
+wastes the dispatch)."""
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from headpose_tpu.runtime import DynamicBatcher
+
+
+@pytest.fixture()
+def frames():
+    rng = np.random.default_rng(0)
+    golden = np.load("tests/golden/parity_corpus.npz")["imgs"]
+    idx = rng.permutation(len(golden))[:12]
+    return [golden[i] for i in idx]
+
+
+class TestDynamicBatcher:
+    def test_results_match_direct_detect(self, production_detector, frames):
+        """Each client's ragged Results equals the detector's own answer for
+        its frame — batching (and first-frame padding) never leaks across
+        rows."""
+        direct = production_detector.detect(np.stack(frames)).trim()
+        with DynamicBatcher(production_detector, max_batch=16,
+                            max_delay=0.25) as srv:
+            futs = [srv.submit(f) for f in frames]
+            got = [f.result(timeout=120) for f in futs]
+        assert srv.frames_served == len(frames)
+        for g, d in zip(got, direct):
+            assert len(g) == len(d)
+            np.testing.assert_allclose(g.boxes, d.boxes, rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(g.poses, d.poses, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(g.scores, d.scores,
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_concurrent_clients_coalesce(self, production_detector, frames):
+        """12 threads each submitting one frame produce FAR fewer device
+        dispatches than requests (that is the whole point), and every
+        client gets its own answer."""
+        with DynamicBatcher(production_detector, max_batch=16,
+                            max_delay=0.25) as srv:
+            results = [None] * len(frames)
+
+            def client(i):
+                results[i] = srv.detect(frames[i], timeout=120)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(len(frames))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert srv.frames_served == len(frames)
+            assert srv.dispatches <= len(frames) // 2, srv.dispatches
+        direct = production_detector.detect(np.stack(frames)).trim()
+        for got, want in zip(results, direct):
+            assert len(got) == len(want)
+            np.testing.assert_allclose(got.poses, want.poses,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_contract_errors(self, production_detector, frames):
+        srv = DynamicBatcher(production_detector, max_batch=4,
+                             max_delay=0.01)
+        try:
+            with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+                srv.submit(np.stack(frames[:2]))          # a batch, not a frame
+            srv.submit(frames[0]).result(timeout=120)
+            with pytest.raises(ValueError, match="one shape"):
+                srv.submit(frames[0][:64])                # mixed frame sizes
+        finally:
+            srv.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            srv.submit(frames[0])
+
+    def test_close_flushes_queued_work(self, production_detector, frames):
+        srv = DynamicBatcher(production_detector, max_batch=4,
+                             max_delay=0.01)
+        futs = [srv.submit(f) for f in frames[:6]]
+        srv.close(timeout=120)
+        for f in futs:
+            assert f.result(timeout=1) is not None
