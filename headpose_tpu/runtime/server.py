@@ -101,7 +101,11 @@ class DynamicBatcher:
         return self.submit(frame).result(timeout)
 
     def close(self, timeout: float = 10.0) -> None:
-        """Flush queued work and stop the dispatcher thread."""
+        """Flush queued work and stop the dispatcher thread.
+
+        Call only after every submit() has RETURNED: a submit racing with
+        close() can enqueue after the dispatcher's final drain check, and
+        that future would never resolve."""
         self._closed.set()
         self._thread.join(timeout)
 
