@@ -87,6 +87,11 @@ class DetectorDistillConfig:
     logit_squash: float = 8.0
     clip_norm: float = 1.0           # global-norm gradient clip (0 disables);
     # the synthetic-corpus loss spikes without it (docs/distill_back_result)
+    # > 0: weight the feature-map MSE per CELL by (this + teacher face
+    # probability at the cell) — the pose heads only ever read features at
+    # detected-face cells, so background cells shouldn't spend the student's
+    # capacity; the value is the background floor (0 = uniform weighting)
+    feat_cell_eps: float = 0.0
 
 
 def _squash(x: jax.Array, s: float) -> jax.Array:
@@ -175,8 +180,16 @@ def _distill_loss(student_spec: BlazeFace, params: Params, imgs_u8, tgt,
         x = preprocess(imgs_u8, student_spec.input_size, channel_order)
         out = student_spec.apply(params, x)
     s = cfg.logit_squash
-    feat = (jnp.mean((out["feat88"] - tgt["feat88"]) ** 2) / norms["feat88"]
-            + jnp.mean((out["feat96"] - tgt["feat96"]) ** 2) / norms["feat96"])
+    if "w88" in tgt:  # per-cell face-probability weighting (feat_cell_eps)
+        def wmse(k, wk):
+            w = tgt[wk]
+            return (jnp.sum(w * (out[k] - tgt[k]) ** 2)
+                    / (jnp.sum(w) * tgt[k].shape[-1] + 1e-6)) / norms[k]
+
+        feat = wmse("feat88", "w88") + wmse("feat96", "w96")
+    else:
+        feat = (jnp.mean((out["feat88"] - tgt["feat88"]) ** 2) / norms["feat88"]
+                + jnp.mean((out["feat96"] - tgt["feat96"]) ** 2) / norms["feat96"])
     score = jnp.mean((_squash(out["scores"], s)
                       - _squash(tgt["scores"], s)) ** 2) / (s * s * 0.25)
     w = tgt["loc_prob"][..., None]
@@ -210,6 +223,21 @@ def distill_detector(student_spec: BlazeFace, teacher_spec: BlazeFace,
     images_u8 = jnp.asarray(images_u8)
     tgt, norms = distill_targets(teacher_spec, teacher_params, images_u8,
                                  channel_order=channel_order)
+    if cfg.feat_cell_eps > 0:
+        # per-cell weights for the feature losses: (eps + the teacher's max
+        # face probability over the cell's anchors), one map per tap grid;
+        # normalizers recomputed under the same weighting so the loss scale
+        # stays comparable to the uniform mode
+        g1, g2, pc1, pc2 = ssd_grids(teacher_spec)
+        p = tgt["loc_prob"]
+        n_front = g1 * g1 * pc1
+        tgt["w88"] = cfg.feat_cell_eps + p[:, :n_front].reshape(
+            -1, g1, g1, pc1).max(-1)[..., None]
+        tgt["w96"] = cfg.feat_cell_eps + p[:, n_front:].reshape(
+            -1, g2, g2, pc2).max(-1)[..., None]
+        for k, wk in (("feat88", "w88"), ("feat96", "w96")):
+            norms[k] = (jnp.sum(tgt[wk] * tgt[k] ** 2)
+                        / (jnp.sum(tgt[wk]) * tgt[k].shape[-1] + 1e-6) + 1e-6)
 
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)

@@ -242,6 +242,7 @@ def main() -> None:
     prefix_steps = flag("--prefix-steps", 6000, int)
     batch = flag("--batch", 64, int)
     lr = flag("--lr", 1e-3 if scratch else 3e-4, float)
+    feat_eps = flag("--feat-eps", 0.0, float)
 
     t0 = time.time()
     imgs = build_training_set()
@@ -289,7 +290,8 @@ def main() -> None:
                                  warmup_steps=2, seed=SEED) if smoke else
            DetectorDistillConfig(steps=steps, batch_size=batch,
                                  learning_rate=lr, warmup_steps=1000,
-                                 steps_per_sync=2000, seed=SEED))
+                                 steps_per_sync=2000, seed=SEED,
+                                 feat_cell_eps=feat_eps))
     print(f"distilling BLAZEFACE_BACK ({cfg.steps} steps, batch "
           f"{cfg.batch_size}, lr {cfg.learning_rate}, "
           f"{'from scratch' if scratch else 'warm-started'}) on "
@@ -331,7 +333,8 @@ def main() -> None:
                    "map) -> whole-network distillation polish"),
         "train_config": {k: getattr(cfg, k) for k in
                          ("steps", "batch_size", "learning_rate",
-                          "warmup_steps", "seed", "precision")},
+                          "warmup_steps", "seed", "precision",
+                          "feat_cell_eps")},
         "train_images": int(imgs.shape[0]),
         "final_loss": float(np.mean(hist["loss"][-50:])),
         "heldout_raw_agreement": raw,

@@ -383,6 +383,23 @@ class TestDistill:
         for k in ("feat88", "feat96", "loc"):
             assert float(norms[k]) > 0
 
+    def test_feat_cell_weighting_converges(self):
+        """feat_cell_eps > 0 (per-cell face-probability feature weighting)
+        trains and converges like the uniform mode — the weighted loss is
+        normalized to a comparable scale."""
+        t_params = TINY_TEACHER.init(jax.random.PRNGKey(3))
+        imgs = self._images(n=48)
+        cfg = DetectorDistillConfig(steps=300, batch_size=16,
+                                    learning_rate=1e-2, warmup_steps=40,
+                                    steps_per_sync=150, seed=0,
+                                    feat_cell_eps=0.2)
+        params, hist = distill_detector(TINY_STUDENT, TINY_TEACHER, t_params,
+                                        imgs, cfg)
+        assert np.all(np.isfinite(hist["loss"]))
+        start = float(np.mean(hist["loss"][:10]))
+        end = float(np.mean(hist["loss"][-10:]))
+        assert end < 0.5 * start, (start, end)
+
     def test_distill_tiny_converges(self):
         """End-to-end: a from-scratch student at 2x input resolution learns
         to reproduce the teacher's feature maps, logits, and (scaled) loc —
