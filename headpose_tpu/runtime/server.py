@@ -70,6 +70,7 @@ class DynamicBatcher:
         self.dispatches = 0          # batches sent to the device
         self.frames_served = 0       # real (unpadded) frames in them
         self._frame_shape = None
+        self._shape_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._closed = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -82,16 +83,19 @@ class DynamicBatcher:
         if self._closed.is_set():
             raise RuntimeError("DynamicBatcher is closed")
         frame = np.asarray(frame)
-        if frame.ndim != 3:
+        if frame.ndim != 3 or frame.shape[-1] != 3:
             raise ValueError(f"submit takes one (H, W, 3) frame, "
                              f"got shape {frame.shape}")
-        if self._frame_shape is None:
-            self._frame_shape = frame.shape
-        elif frame.shape != self._frame_shape:
-            raise ValueError(
-                f"all frames must share one shape per batcher "
-                f"(got {frame.shape}, serving {self._frame_shape}) — "
-                "run one DynamicBatcher per frame size")
+        # lock the check-then-set: two first submissions racing with
+        # different shapes would otherwise both pass and poison the batch
+        with self._shape_lock:
+            if self._frame_shape is None:
+                self._frame_shape = frame.shape
+            elif frame.shape != self._frame_shape:
+                raise ValueError(
+                    f"all frames must share one shape per batcher "
+                    f"(got {frame.shape}, serving {self._frame_shape}) — "
+                    "run one DynamicBatcher per frame size")
         fut: Future = Future()
         self._q.put((frame, fut, time.monotonic()))
         return fut
@@ -100,14 +104,29 @@ class DynamicBatcher:
         """Synchronous convenience: submit + wait."""
         return self.submit(frame).result(timeout)
 
-    def close(self, timeout: float = 10.0) -> None:
+    def close(self, timeout: float = 120.0) -> bool:
         """Flush queued work and stop the dispatcher thread.
 
-        Call only after every submit() has RETURNED: a submit racing with
-        close() can enqueue after the dispatcher's final drain check, and
-        that future would never resolve."""
+        Returns True if the dispatcher fully drained and exited within
+        `timeout` (size it to cover a possible first XLA compile of a new
+        ladder width — 30-90 s through this container's tunnel); False if
+        it is still flushing (daemon thread keeps running).  Requests
+        enqueued by a submit() racing with close() are resolved with a
+        RuntimeError rather than left hanging."""
         self._closed.set()
         self._thread.join(timeout)
+        drained = not self._thread.is_alive()
+        if drained:
+            while True:  # a submit that raced past the dispatcher's exit
+                try:
+                    _, fut, _ = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(RuntimeError(
+                        "DynamicBatcher closed before this request was "
+                        "dispatched (submit raced with close)"))
+        return drained
 
     def __enter__(self):
         return self
@@ -139,19 +158,26 @@ class DynamicBatcher:
     def _loop(self) -> None:
         while not (self._closed.is_set() and self._q.empty()):
             items = self._take_batch()
-            if not items:
+            # claim the futures: a client-cancelled future must neither be
+            # dispatched nor set_result (InvalidStateError would kill this
+            # thread and hang every other client)
+            live = [(f, fut) for f, fut, _ in items
+                    if fut.set_running_or_notify_cancel()]
+            if not live:
                 continue
-            frames = [f for f, _, _ in items]
-            futs = [fut for _, fut, _ in items]
+            frames = [f for f, _ in live]
+            futs = [fut for _, fut in live]
             n = len(frames)
-            width = next(w for w in self.widths if w >= n)
-            # pad by repeating the first frame: rows are independent through
-            # the whole pipeline (convs, per-image NMS), so pad content only
-            # costs compute, never correctness
-            batch = np.stack(frames + [frames[0]] * (width - n))
-            try:
+            try:  # EVERYTHING here resolves the waiters on failure — an
+                # uncaught exception would end the dispatcher and hang all
+                # pending and future requests
+                width = next(w for w in self.widths if w >= n)
+                batch = np.stack(frames + [frames[0]] * (width - n))
+                # pad by repeating the first frame: rows are independent
+                # through the whole pipeline (convs, per-image NMS), so pad
+                # content only costs compute, never correctness
                 ragged = self.detector.detect(batch).trim()
-            except Exception as e:  # resolve, don't orphan, the waiters
+            except Exception as e:
                 for fut in futs:
                     fut.set_exception(e)
                 continue

@@ -287,7 +287,8 @@ def main() -> None:
                                  init_params=init, on_sync=on_sync)
 
     cfg = (DetectorDistillConfig(steps=20, batch_size=4, steps_per_sync=10,
-                                 warmup_steps=2, seed=SEED) if smoke else
+                                 warmup_steps=2, seed=SEED,
+                                 feat_cell_eps=feat_eps) if smoke else
            DetectorDistillConfig(steps=steps, batch_size=batch,
                                  learning_rate=lr, warmup_steps=1000,
                                  steps_per_sync=2000, seed=SEED,

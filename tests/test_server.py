@@ -7,6 +7,7 @@ sweep: wall time is ~flat batch 1→128, so unbatched single-frame serving
 wastes the dispatch)."""
 from __future__ import annotations
 
+import os
 import threading
 
 import numpy as np
@@ -16,11 +17,13 @@ jax = pytest.importorskip("jax")
 
 from headpose_tpu.runtime import DynamicBatcher
 
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
 
 @pytest.fixture()
 def frames():
     rng = np.random.default_rng(0)
-    golden = np.load("tests/golden/parity_corpus.npz")["imgs"]
+    golden = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))["imgs"]
     idx = rng.permutation(len(golden))[:12]
     return [golden[i] for i in idx]
 
@@ -74,18 +77,34 @@ class TestDynamicBatcher:
         try:
             with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
                 srv.submit(np.stack(frames[:2]))          # a batch, not a frame
+            with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+                srv.submit(np.zeros((64, 64, 4), np.uint8))   # RGBA channels
             srv.submit(frames[0]).result(timeout=120)
             with pytest.raises(ValueError, match="one shape"):
                 srv.submit(frames[0][:64])                # mixed frame sizes
         finally:
-            srv.close()
+            assert srv.close() is True
         with pytest.raises(RuntimeError, match="closed"):
             srv.submit(frames[0])
+
+    def test_cancelled_future_does_not_kill_dispatcher(
+            self, production_detector, frames):
+        """A client cancelling its pending future must not crash the
+        dispatcher thread (set_result on a cancelled Future raises
+        InvalidStateError) — later requests still get served."""
+        with DynamicBatcher(production_detector, max_batch=4,
+                            max_delay=0.2) as srv:
+            doomed = srv.submit(frames[0])
+            assert doomed.cancel() or doomed.done()
+            # dispatcher survives: a fresh request round-trips
+            res = srv.detect(frames[1], timeout=120)
+            assert res is not None
+            assert srv.frames_served >= 1
 
     def test_close_flushes_queued_work(self, production_detector, frames):
         srv = DynamicBatcher(production_detector, max_batch=4,
                              max_delay=0.01)
         futs = [srv.submit(f) for f in frames[:6]]
-        srv.close(timeout=120)
+        assert srv.close(timeout=120) is True
         for f in futs:
             assert f.result(timeout=1) is not None
