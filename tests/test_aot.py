@@ -1,0 +1,147 @@
+"""AOT serving artifacts (tools/aot.py): export the compiled pipeline via
+jax.export and replay it without model code.
+
+The contract under test: an ExportedDetector serves row-for-row identical
+results to the FaceDetector it was exported from — including arbitrary batch
+sizes covered by chunking + tail padding — and every config knob is baked in
+(the artifact is self-contained; loading touches only aot.py + BatchResults).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from headpose_tpu.runtime.detector import FaceDetector
+from headpose_tpu.tools.aot import (ExportedDetector, export_detector,
+                                    load_exported)
+
+
+def _frames(n, size=128, seed=0):
+    # detection-free noise frames exercise the full pipeline (the slab
+    # contract is shape-stable regardless of how many faces survive NMS)
+    return np.random.default_rng(seed).integers(
+        0, 256, (n, size, size, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def detector(unified_native):
+    model, params = unified_native
+    return FaceDetector(model, params, score_threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def artifact(detector, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("aot") / "flagship")
+    meta = export_detector(detector, path, batch_sizes=(2, 4),
+                           platforms=("cpu",))
+    return path, meta
+
+
+class TestExport:
+    def test_artifact_layout(self, artifact):
+        path, meta = artifact
+        assert meta["batch_sizes"] == [2, 4]
+        assert meta["platforms"] == ["cpu"]
+        assert meta["dtype"] == "uint8"
+        assert meta["config"]["precision"] == "highest"
+        on_disk = json.load(open(os.path.join(path, "aot.json")))
+        assert on_disk == meta
+        for entry in meta["programs"].values():
+            f = os.path.join(path, entry["file"])
+            assert os.path.getsize(f) > 1000
+            assert entry["postprocess"] == "xla"  # cpu target never pallas
+
+    def test_exact_match_at_exported_width(self, detector, artifact):
+        path, _ = artifact
+        aot = load_exported(path)
+        frames = _frames(2)
+        want = detector.detect(frames)
+        got = aot.detect(frames)
+        for field in ("boxes", "keypoints", "scores", "poses", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(got, field)),
+                                          np.asarray(getattr(want, field)),
+                                          err_msg=field)
+
+    def test_chunked_and_padded_batches(self, detector, artifact):
+        """Widths NOT exported directly (1, 3, 7) serve via greedy chunking
+        + tail padding, row-for-row equal to the source detector."""
+        path, _ = artifact
+        aot = load_exported(path)
+        for b in (1, 3, 7):
+            frames = _frames(b, seed=b)
+            want = detector.detect(frames)
+            got = aot.detect(frames)
+            assert got.boxes.shape[0] == b
+            for field in ("boxes", "scores", "poses", "valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, field)),
+                    np.asarray(getattr(want, field)),
+                    err_msg=f"batch {b}: {field}")
+
+    def test_chunk_plan_greedy(self, artifact):
+        aot = load_exported(artifact[0])
+        assert aot._chunks(1) == [2]
+        assert aot._chunks(4) == [4]
+        assert aot._chunks(5) == [4, 2]
+        assert aot._chunks(11) == [4, 4, 4]
+
+    def test_single_image_rank3(self, detector, artifact):
+        aot = load_exported(artifact[0])
+        frame = _frames(1)[0]
+        got = aot.detect(frame)
+        want = detector.detect(frame)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(want.valid))
+
+
+class TestValidation:
+    def test_rejects_wrong_dtype(self, artifact):
+        aot = load_exported(artifact[0])
+        with pytest.raises(ValueError, match="uint8"):
+            aot.detect(np.zeros((2, 128, 128, 3), np.float32))
+
+    def test_rejects_wrong_resolution(self, artifact):
+        aot = load_exported(artifact[0])
+        with pytest.raises(ValueError, match="Re-export"):
+            aot.detect(_frames(2, size=64))
+
+    def test_rejects_mesh_detector(self, detector, tmp_path):
+        import jax
+        from headpose_tpu.parallel import create_mesh
+
+        mesh = create_mesh(min(2, jax.device_count()))
+        det = FaceDetector(detector.model, detector.params, mesh=mesh)
+        with pytest.raises(ValueError, match="mesh"):
+            export_detector(det, str(tmp_path / "x"), batch_sizes=(2,),
+                            platforms=("cpu",))
+
+    def test_rejects_pallas_for_cpu_target(self, detector, tmp_path):
+        det = FaceDetector(detector.model, detector.params,
+                           postprocess="pallas")
+        with pytest.raises(ValueError, match="TPU"):
+            export_detector(det, str(tmp_path / "x"), batch_sizes=(2,),
+                            platforms=("cpu",))
+
+    def test_auto_resolves_xla_off_tpu(self, detector, artifact):
+        # postprocess='auto' + cpu platform must pin 'xla' even at >=64 lanes
+        from headpose_tpu.tools.aot import _resolve_backend
+
+        assert _resolve_backend(detector, 128, ("cpu",)) == "xla"
+        assert _resolve_backend(detector, 128, ("tpu", "cpu")) == "xla"
+
+    def test_rejects_bad_batch_sizes(self, detector, tmp_path):
+        with pytest.raises(ValueError, match="positive"):
+            export_detector(detector, str(tmp_path / "x"), batch_sizes=(0,),
+                            platforms=("cpu",))
+
+    def test_rejects_future_format(self, artifact, tmp_path):
+        import shutil
+
+        path = str(tmp_path / "fut")
+        shutil.copytree(artifact[0], path)
+        meta = json.load(open(os.path.join(path, "aot.json")))
+        meta["format_version"] = 99
+        json.dump(meta, open(os.path.join(path, "aot.json"), "w"))
+        with pytest.raises(ValueError, match="format_version"):
+            ExportedDetector(path)
