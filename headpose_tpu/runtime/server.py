@@ -35,7 +35,6 @@ from concurrent.futures import Future
 
 import numpy as np
 
-from .detector import FaceDetector
 from .results import Results
 
 __all__ = ["DynamicBatcher"]
@@ -43,6 +42,12 @@ __all__ = ["DynamicBatcher"]
 
 class DynamicBatcher:
     """Batch concurrent detect requests onto one detector.
+
+    `detector` is anything with `.detect(batch) -> BatchResults` — a
+    FaceDetector, or a tools.aot.ExportedDetector (an AOT artifact fronted
+    by a batcher is a complete serving host with no model code on the
+    import path; export the ladder widths, e.g. batch_sizes=(1, 128), so
+    each padded dispatch maps to a compiled program — tests/test_aot.py).
 
     All submitted frames must share one (H, W, 3) shape (one program ladder;
     mixed sizes would each recompile anyway — run one batcher per size).
@@ -52,7 +57,7 @@ class DynamicBatcher:
     dispatch; under load batches fill to max_batch sooner and flush early.
     """
 
-    def __init__(self, detector: FaceDetector, max_batch: int = 128,
+    def __init__(self, detector, max_batch: int = 128,
                  max_delay: float = 0.002):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")

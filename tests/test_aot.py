@@ -95,6 +95,27 @@ class TestExport:
                                       np.asarray(want.valid))
 
 
+class TestServing:
+    def test_dynamic_batcher_over_exported(self, detector, artifact):
+        """A model-code-free serving host: AOT artifact + DynamicBatcher.
+        Concurrent single-frame clients get results identical to direct
+        detection on the source detector."""
+        from headpose_tpu.runtime.server import DynamicBatcher
+
+        aot = load_exported(artifact[0])
+        frames = _frames(5, seed=42)
+        want = detector.detect(frames).trim()
+        with DynamicBatcher(aot, max_batch=4, max_delay=0.05) as srv:
+            futs = [srv.submit(f) for f in frames]
+            got = [f.result(timeout=120) for f in futs]
+        assert srv.frames_served == 5
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g.poses),
+                                          np.asarray(w.poses))
+            np.testing.assert_array_equal(np.asarray(g.boxes),
+                                          np.asarray(w.boxes))
+
+
 class TestValidation:
     def test_rejects_wrong_dtype(self, artifact):
         aot = load_exported(artifact[0])
