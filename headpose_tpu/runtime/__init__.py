@@ -1,15 +1,33 @@
-"""Detection runtime: fused detect pipeline, results, temporal smoothing."""
-from .detector import FaceDetector
-from .results import Results, BatchResults
-from .server import DynamicBatcher
-from .smoothing import EmaState, ema_init, ema_update, smooth_sequence, TrackSmoother
-from .streaming import detect_stream
-from .tracking import IoUTrackSmoother, TrackState, tracks_init, tracks_update
-from .viz import draw_detections
+"""Detection runtime: fused detect pipeline, results, temporal smoothing.
 
-__all__ = [
-    "FaceDetector", "Results", "BatchResults",
-    "EmaState", "ema_init", "ema_update", "smooth_sequence", "TrackSmoother",
-    "IoUTrackSmoother", "TrackState", "tracks_init", "tracks_update",
-    "draw_detections", "detect_stream", "DynamicBatcher",
-]
+Exports resolve lazily (PEP 562) so light consumers — the AOT serving loader
+needs only `results` — don't pay for the detector/model import chain.
+"""
+import importlib
+
+_EXPORTS = {
+    "FaceDetector": ".detector",
+    "Results": ".results", "BatchResults": ".results",
+    "DynamicBatcher": ".server",
+    "EmaState": ".smoothing", "ema_init": ".smoothing",
+    "ema_update": ".smoothing", "smooth_sequence": ".smoothing",
+    "TrackSmoother": ".smoothing",
+    "IoUTrackSmoother": ".tracking", "TrackState": ".tracking",
+    "tracks_init": ".tracking", "tracks_update": ".tracking",
+    "detect_stream": ".streaming",
+    "draw_detections": ".viz",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        value = getattr(importlib.import_module(_EXPORTS[name], __name__), name)
+        globals()[name] = value           # cache: __getattr__ runs once
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(__all__) | set(globals()))

@@ -197,17 +197,37 @@ class ExportedDetector:
                 rest = 0
         return out
 
+    def _empty_slabs(self) -> dict:
+        """The B=0 contract: empty padded slabs with the exported max_faces
+        width (FaceDetector.detect's slab shapes at batch 0)."""
+        F = int(self.meta["max_faces"])
+        return {"boxes": jnp.zeros((0, F, 4), jnp.float32),
+                "keypoints": jnp.zeros((0, F, 6, 2), jnp.float32),
+                "scores": jnp.zeros((0, F), jnp.float32),
+                "poses": jnp.zeros((0, F, 3), jnp.float32),
+                "valid": jnp.zeros((0, F), jnp.bool_)}
+
     def call(self, images) -> dict:
         """Raw padded postprocess slabs (the _pipeline_dispatch contract).
 
-        Stays on device end to end: jnp.asarray is a no-op for resident
-        arrays, and chunk slicing/padding happens in-program — the only
-        transfer is the caller's original host batch."""
-        images = jnp.asarray(images)
+        Batch sizes that match an exported width dispatch with zero extra
+        work — size your serving widths (e.g. the DynamicBatcher ladder) to
+        the exported batch_sizes.  Other sizes chunk greedily: host batches
+        pad in numpy (free), and only the tail chunk ever needs the
+        per-leaf trim + cross-chunk concatenate, a handful of small device
+        ops outside the programs (visible only through this container's
+        per-op dispatch tunnel; see docs/BENCH.md methodology notes)."""
+        is_host = not isinstance(images, jax.Array)
+        if is_host:
+            images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
-        b, h, w = images.shape[0], *images.shape[1:3]
-        if (h, w) != self._shape_hw or images.shape[-1] != 3:
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(
+                f"expected (B, H, W, 3) or (H, W, 3) frames, got shape "
+                f"{images.shape}")
+        b, h, w = images.shape[:3]
+        if (h, w) != self._shape_hw:
             raise ValueError(
                 f"exported programs accept (B, {self._shape_hw[0]}, "
                 f"{self._shape_hw[1]}, 3) frames; got {images.shape}. "
@@ -217,16 +237,21 @@ class ExportedDetector:
                 f"exported programs accept uint8 frames, got {images.dtype} "
                 "(float inputs are a tracing-time choice; re-export from a "
                 "detector traced on your dtype, or quantize to uint8).")
+        if b == 0:
+            return self._empty_slabs()
+        xp = np if is_host else jnp
         parts, row = [], 0
         for width in self._chunks(b):
             take = min(width, b - row)
             chunk = images[row:row + take]
             if take < width:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((width - take, h, w, 3), jnp.uint8)])
-            post = self._program(width)(chunk)
-            parts.append(jax.tree.map(lambda x: x[:take], post)
-                         if take < width else post)
+                # greedy cover: only the TAIL chunk is ever padded
+                chunk = xp.concatenate(
+                    [chunk, xp.zeros((width - take, h, w, 3), xp.uint8)])
+            post = self._program(width)(jnp.asarray(chunk))
+            if take < width:
+                post = jax.tree.map(lambda x: x[:take], post)
+            parts.append(post)
             row += take
         if len(parts) == 1:
             return parts[0]

@@ -95,6 +95,25 @@ class TestExport:
                                       np.asarray(want.valid))
 
 
+def test_loader_imports_no_model_code():
+    """The deployment claim, literally: a serving host importing the AOT
+    loader pulls in NONE of the model/compiler/training stack (the package
+    __init__s are lazy, PEP 562)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import headpose_tpu.tools.aot\n"
+        "heavy = [m for m in sys.modules if m.startswith('headpose_tpu.')\n"
+        "         and m.split('.')[1] in ('models', 'core', 'ops', 'train',\n"
+        "                                 'data', 'parallel', 'compat',\n"
+        "                                 'pretrained')]\n"
+        "assert not heavy, heavy\n"
+        "assert 'headpose_tpu.runtime.detector' not in sys.modules\n")
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
+
+
 class TestServing:
     def test_dynamic_batcher_over_exported(self, detector, artifact):
         """A model-code-free serving host: AOT artifact + DynamicBatcher.
@@ -155,6 +174,17 @@ class TestValidation:
         with pytest.raises(ValueError, match="positive"):
             export_detector(detector, str(tmp_path / "x"), batch_sizes=(0,),
                             platforms=("cpu",))
+
+    def test_empty_batch_returns_empty_slabs(self, artifact):
+        aot = load_exported(artifact[0])
+        res = aot.detect(np.zeros((0, 128, 128, 3), np.uint8))
+        assert res.boxes.shape == (0, aot.meta["max_faces"], 4)
+        assert res.valid.shape[0] == 0 and res.trim() == []
+
+    def test_rejects_bad_rank(self, artifact):
+        aot = load_exported(artifact[0])
+        with pytest.raises(ValueError, match=r"\(B, H, W, 3\)"):
+            aot.detect(np.zeros((128, 128), np.uint8))
 
     def test_rejects_future_format(self, artifact, tmp_path):
         import shutil
