@@ -95,6 +95,63 @@ class TestExport:
                                       np.asarray(want.valid))
 
 
+class TestSurvivorsExport:
+    def test_ensemble_survivors_profile_round_trips(self, detector, tmp_path):
+        """head_eval='survivors' (SE-gated ensemble heads evaluated on each
+        survivor's feature VECTOR after NMS — the semantics such heads were
+        calibrated under, docs/headeval_divergence.json) is a baked serving
+        config like every other knob: the exported program must reproduce
+        the source detector bit for bit, not silently fall back to the
+        map-grafted function (which genuinely differs for these heads)."""
+        import jax
+
+        from headpose_tpu.models.heads import (EnsembleHead, MLPHead,
+                                               SEMLPHead)
+        from headpose_tpu.models.unified import UnifiedPoseModel
+
+        base = detector
+        h88 = EnsembleHead(members=(
+            SEMLPHead(in_features=88, reduction=8, hidden=16),
+            MLPHead(in_features=88,
+                    layers=((16, "softsign"), (3, "linear")))))
+        h96 = SEMLPHead(in_features=96, reduction=8, hidden=16)
+        model = UnifiedPoseModel(backbone=base.model.backbone,
+                                 head88=h88, head96=h96)
+        params = {"backbone": base.params["backbone"],
+                  "head88": h88.init(jax.random.PRNGKey(0)),
+                  "head96": h96.init(jax.random.PRNGKey(1))}
+        src = FaceDetector(model, params,
+                           score_threshold=base.score_threshold)
+        assert src.head_eval == "survivors"  # 'auto': SE members present
+
+        golden = os.path.join(os.path.dirname(__file__), "golden",
+                              "e2e_production.npz")
+        img = np.asarray(np.load(golden)["img"], np.uint8)
+        frames = np.stack([img, np.zeros_like(img)])
+
+        path = str(tmp_path / "survivors")
+        meta = export_detector(src, path, batch_sizes=(2,),
+                               image_shape=img.shape[:2],
+                               platforms=("cpu",))
+        assert meta["config"]["head_eval"] == "survivors"
+        got = load_exported(path).detect(frames)
+        want = src.detect(frames)
+        valid = np.asarray(want.valid)
+        assert int(valid.sum()) > 0
+        for field in ("boxes", "keypoints", "scores", "poses", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(got, field)),
+                                          np.asarray(getattr(want, field)),
+                                          err_msg=field)
+        # the baked profile is genuinely the per-vector function: the map
+        # profile of the SAME weights diverges on these SE-gated heads
+        rmap = FaceDetector(model, params,
+                            score_threshold=base.score_threshold,
+                            head_eval="map").detect(frames)
+        dmax = np.abs(np.asarray(got.poses)[valid]
+                      - np.asarray(rmap.poses)[valid]).max()
+        assert dmax > 1e-3, f"expected map/survivors divergence, got {dmax}"
+
+
 def test_loader_imports_no_model_code():
     """The deployment claim, literally: a serving host importing the AOT
     loader pulls in NONE of the model/compiler/training stack (the package
