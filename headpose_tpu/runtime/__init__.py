@@ -9,6 +9,7 @@ _EXPORTS = {
     "FaceDetector": ".detector",
     "Results": ".results", "BatchResults": ".results",
     "DynamicBatcher": ".server",
+    "PoseServer": ".http",
     "EmaState": ".smoothing", "ema_init": ".smoothing",
     "ema_update": ".smoothing", "smooth_sequence": ".smoothing",
     "TrackSmoother": ".smoothing",

@@ -1,0 +1,313 @@
+"""HTTP serving front end: detection-as-a-service over the DynamicBatcher.
+
+The reference's only application surface is a single synchronous webcam loop
+(/root/reference/BlazePoser/blazeFaceDetectorH5.py:366-449).  A production
+deployment serves many independent clients over the network; this module
+puts a stdlib HTTP/1.1 endpoint in front of `runtime.server.DynamicBatcher`,
+so concurrent requests — each carrying one frame — coalesce into MXU-wide
+dispatches of the one jitted program (each request is handled on its own
+thread by `ThreadingHTTPServer`; those threads block in `batcher.detect`,
+which IS the coalescing mechanism — no extra queueing layer).
+
+Wire protocol (deliberately dependency-free — stdlib `urllib` + numpy on the
+client side is enough):
+
+  POST /v1/detect     body = one frame serialized with `np.save` (the `.npy`
+                      container: dtype + shape + raw bytes), shape (H, W, 3)
+                      uint8, BGR like the reference's cv2 frames.  Response:
+                      200 JSON {"count": N, "faces": [{"box": [x1,y1,x2,y2],
+                      "score": s, "pose": [yaw,pitch,roll],
+                      "keypoints": [[x,y] * 6]}]} — boxes/keypoints
+                      normalized to [0,1], pose in degrees (the ragged
+                      `Results` contract of runtime/results.py).
+  GET  /v1/health     200 {"status": "ok"} once the server accepts work.
+  GET  /v1/stats      200 serving counters: frames served, device dispatches,
+                      frames/dispatch (the coalescing ratio — the number that
+                      says whether batching is earning its keep), request-
+                      latency p50/p99 over the last 1000 requests, uptime.
+
+Errors are JSON too: 400 malformed/ill-shaped payloads, 404 unknown routes,
+413 oversized bodies, 503 after `close()`.  On-chip measurement of the
+batcher under this exact concurrent-client shape: docs/server_tpu.json
+(64 clients -> 16.1x a synchronous client's throughput, perfect coalescing).
+
+Serve the shipped flagship from the command line:
+
+    python -m headpose_tpu.runtime.http --model unified-best --port 8000
+
+Client round trip:
+
+    buf = io.BytesIO(); np.save(buf, frame)
+    req = urllib.request.Request("http://host:8000/v1/detect",
+                                 data=buf.getvalue(), method="POST")
+    faces = json.load(urllib.request.urlopen(req))["faces"]
+"""
+from __future__ import annotations
+
+import collections
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .server import DynamicBatcher
+
+__all__ = ["PoseServer"]
+
+# One uncompressed 1080p BGR frame is ~6 MB; 64 MB rejects runaway bodies
+# without ever touching a legitimate frame.
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1 keep-alive: a client streaming frames reuses its connection
+    # instead of paying a TCP handshake per frame.
+    protocol_version = "HTTP/1.1"
+
+    # The server object (set by PoseServer) carries the batcher + counters.
+    server: "_Httpd"
+
+    def log_message(self, fmt, *args):  # quiet by default; stats endpoint
+        pass                            # replaces access-log archaeology
+
+    # -- helpers ---------------------------------------------------------
+    def _reply(self, code: int, payload: dict, *,
+               close: bool = False) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        if close:
+            # error paths may leave an unread body in the pipe (e.g. 413
+            # rejects before draining); under keep-alive those bytes would
+            # be parsed as the next request — drop the connection instead
+            self.send_header("Connection", "close")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_frame(self) -> np.ndarray:
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            raise ValueError("missing request body (np.save'd frame)")
+        if length > MAX_BODY_BYTES:
+            raise OverflowError(f"body {length} B exceeds {MAX_BODY_BYTES} B")
+        raw = self.rfile.read(length)
+        try:
+            frame = np.load(io.BytesIO(raw), allow_pickle=False)
+        except Exception as e:
+            raise ValueError(f"body is not a .npy array: {e}") from None
+        # Shape/dtype errors below this point surface as the batcher's own
+        # ValueError (same (H, W, 3) contract) — mapped to 400 by do_POST.
+        return frame
+
+    # -- routes ----------------------------------------------------------
+    def do_GET(self) -> None:
+        srv = self.server
+        if self.path == "/v1/health":
+            self._reply(200, {"status": "ok"})
+        elif self.path == "/v1/stats":
+            b = srv.batcher
+            dispatches = max(b.dispatches, 1)
+            with srv.lock:
+                lats = sorted(srv.latencies)
+            stats = {
+                "frames_served": b.frames_served,
+                "dispatches": b.dispatches,
+                "frames_per_dispatch": round(b.frames_served / dispatches, 2),
+                "requests": srv.requests,
+                "errors": srv.errors,
+                "uptime_s": round(time.monotonic() - srv.started, 1),
+            }
+            if lats:  # body-read -> response-ready, over the last window
+                stats["latency_ms"] = {
+                    "p50": round(lats[len(lats) // 2] * 1e3, 1),
+                    "p99": round(lats[min(len(lats) - 1,
+                                          99 * len(lats) // 100)] * 1e3, 1),
+                    "window": len(lats),
+                }
+            self._reply(200, stats)
+        else:
+            self._reply(404, {"error": f"unknown route {self.path!r}"})
+
+    def do_POST(self) -> None:
+        srv = self.server
+        if self.path != "/v1/detect":
+            # _fail (not _reply): the unread request body must not be parsed
+            # as the next request on a kept-alive connection
+            self._fail(404, f"unknown route {self.path!r}")
+            return
+        with srv.lock:
+            srv.requests += 1
+        t0 = time.monotonic()
+        try:
+            frame = self._read_frame()
+            res = srv.batcher.detect(frame, timeout=srv.request_timeout)
+        except OverflowError as e:
+            self._fail(413, str(e))
+            return
+        except ValueError as e:
+            self._fail(400, str(e))
+            return
+        except RuntimeError as e:          # batcher closed mid-flight
+            self._fail(503, str(e))
+            return
+        except TimeoutError:               # Future.result past request_timeout
+            self._fail(504, f"no result within {srv.request_timeout} s")
+            return
+        except Exception as e:             # device/dispatch failure
+            self._fail(500, f"{type(e).__name__}: {e}")
+            return
+        with srv.lock:
+            srv.latencies.append(time.monotonic() - t0)
+        self._reply(200, {
+            "count": len(res),
+            "faces": [{
+                "box": [float(v) for v in res.boxes[i]],
+                "score": float(res.scores[i]),
+                "pose": [float(v) for v in res.poses[i]],
+                "keypoints": [[float(x), float(y)]
+                              for x, y in res.keypoints[i]],
+            } for i in range(len(res))],
+        })
+
+    def _fail(self, code: int, msg: str) -> None:
+        with self.server.lock:
+            self.server.errors += 1
+        self._reply(code, {"error": msg}, close=True)
+
+
+class _Httpd(ThreadingHTTPServer):
+    daemon_threads = True       # request threads die with the server
+    # Concurrent clients ARE the batching width — never serialize accepts.
+    request_queue_size = 128
+
+    batcher: DynamicBatcher
+    request_timeout: float
+    started: float
+
+    def __init__(self, addr):
+        super().__init__(addr, _Handler)
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        # last-1000 successful request latencies (submit -> result), the
+        # stats route's p50/p99 window
+        self.latencies = collections.deque(maxlen=1000)
+
+
+class PoseServer:
+    """Detection-as-a-service: an HTTP endpoint over one detector.
+
+    `detector` is anything with `.detect(batch) -> BatchResults` — a
+    FaceDetector or a tools.aot.ExportedDetector (an AOT artifact behind
+    this server is a complete network-facing deployment with no model code
+    on the import path).  Batching knobs are the DynamicBatcher's; requests
+    arriving within `max_delay` of each other share one device dispatch.
+
+    port=0 picks a free port (read it back from `.port` — the test/dev
+    pattern).  Context-manager friendly; `close()` stops accepting, then
+    drains the batcher.
+    """
+
+    def __init__(self, detector, host: str = "127.0.0.1", port: int = 0, *,
+                 max_batch: int = 128, max_delay: float = 0.005,
+                 request_timeout: float = 120.0):
+        self._batcher = DynamicBatcher(detector, max_batch=max_batch,
+                                       max_delay=max_delay)
+        try:
+            self._httpd = _Httpd((host, port))
+        except BaseException:
+            self._batcher.close()
+            raise
+        self._httpd.batcher = self._batcher
+        self._httpd.request_timeout = request_timeout
+        self._httpd.started = time.monotonic()
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="pose-http", daemon=True)
+        self._thread.start()
+
+    @property
+    def host(self) -> str:
+        return self._httpd.server_address[0]
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    @property
+    def batcher(self) -> DynamicBatcher:
+        return self._batcher
+
+    def close(self, timeout: float = 120.0) -> bool:
+        """Stop accepting connections, then drain in-flight work."""
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=10.0)
+        return self._batcher.close(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def _build_detector(model_path, **kw):
+    """--model value (H5 / native dir / registry name / None) -> detector."""
+    import os
+
+    from ..pretrained import resolve_model_path
+    from .detector import FaceDetector
+
+    model_path = resolve_model_path(model_path)
+    if model_path is None:
+        from ..pretrained import flagship_detector
+        return flagship_detector(**kw)
+    if os.path.isdir(model_path):
+        return FaceDetector.from_native(model_path, **kw)
+    return FaceDetector.from_h5(model_path, **kw)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    p.add_argument("--model", default=None,
+                   help="H5, native model dir, or pretrained registry name "
+                        "(e.g. unified-best); default: shipped flagship")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "fast", "turbo", "max"])
+    p.add_argument("--head_eval", default="auto",
+                   choices=["auto", "map", "survivors"])
+    p.add_argument("--max_batch", type=int, default=128)
+    p.add_argument("--max_delay", type=float, default=0.005,
+                   help="flush deadline in seconds past the oldest "
+                        "queued request")
+    args = p.parse_args(argv)
+
+    detector = _build_detector(args.model, precision=args.precision,
+                               head_eval=args.head_eval)
+    with PoseServer(detector, host=args.host, port=args.port,
+                    max_batch=args.max_batch,
+                    max_delay=args.max_delay) as srv:
+        print(f"serving on {srv.url}  (POST /v1/detect, GET /v1/health, "
+              f"GET /v1/stats; ctrl-c to stop)", flush=True)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            print("shutting down", flush=True)
+
+
+if __name__ == "__main__":
+    main()

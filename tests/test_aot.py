@@ -191,6 +191,33 @@ class TestServing:
             np.testing.assert_array_equal(np.asarray(g.boxes),
                                           np.asarray(w.boxes))
 
+    def test_pose_server_over_exported(self, detector, artifact):
+        """The full deployment stack: AOT artifact behind the HTTP endpoint.
+        Network clients get the source detector's answers from a host with
+        no model code on the import path (runtime.http -> server -> aot)."""
+        import io
+        import json
+        import urllib.request
+
+        from headpose_tpu.runtime import PoseServer
+
+        aot = load_exported(artifact[0])
+        frames = _frames(3, seed=43)
+        want = detector.detect(frames).trim()
+        with PoseServer(aot, port=0, max_batch=4, max_delay=0.05) as srv:
+            for frame, w in zip(frames, want):
+                buf = io.BytesIO()
+                np.save(buf, frame)
+                req = urllib.request.Request(f"{srv.url}/v1/detect",
+                                             data=buf.getvalue(),
+                                             method="POST")
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    got = json.load(resp)
+                assert got["count"] == len(w)
+                for k, face in enumerate(got["faces"]):
+                    np.testing.assert_allclose(face["pose"], w.poses[k],
+                                               rtol=1e-5, atol=1e-5)
+
 
 class TestValidation:
     def test_rejects_wrong_dtype(self, artifact):

@@ -1,0 +1,159 @@
+"""PoseServer (runtime/http.py): the network-facing serving front end.
+
+The reference's only application surface is one synchronous webcam loop
+(blazeFaceDetectorH5.py:366-449); this endpoint serves many HTTP clients
+whose concurrent requests coalesce through the DynamicBatcher into wide
+dispatches of the one jitted program.  On-chip behaviour of the batcher
+under this load shape: docs/server_tpu.json."""
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from headpose_tpu.runtime import PoseServer
+from headpose_tpu.runtime import http as http_mod
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture()
+def frames():
+    rng = np.random.default_rng(1)
+    golden = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))["imgs"]
+    idx = rng.permutation(len(golden))[:12]
+    return [golden[i] for i in idx]
+
+
+@pytest.fixture()
+def server(production_detector):
+    with PoseServer(production_detector, port=0, max_batch=16,
+                    max_delay=0.25) as srv:
+        yield srv
+
+
+def _post_frame(url: str, frame: np.ndarray) -> dict:
+    buf = io.BytesIO()
+    np.save(buf, frame)
+    req = urllib.request.Request(f"{url}/v1/detect", data=buf.getvalue(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        return json.load(resp)
+
+
+def _get(url: str, route: str):
+    with urllib.request.urlopen(f"{url}{route}", timeout=30) as resp:
+        return resp.status, json.load(resp)
+
+
+class TestPoseServer:
+    def test_concurrent_requests_match_direct_detect(self, server,
+                                                     production_detector,
+                                                     frames):
+        """Concurrent HTTP clients each get exactly the detector's own
+        answer for their frame, and the requests coalesce into far fewer
+        device dispatches than requests."""
+        direct = production_detector.detect(np.stack(frames)).trim()
+        results = [None] * len(frames)
+
+        def client(i):
+            results[i] = _post_frame(server.url, frames[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(frames))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for got, want in zip(results, direct):
+            assert got["count"] == len(want)
+            faces = got["faces"]
+            assert len(faces) == len(want)
+            for k, face in enumerate(faces):
+                np.testing.assert_allclose(face["box"], want.boxes[k],
+                                           rtol=1e-5, atol=1e-5)
+                np.testing.assert_allclose(face["pose"], want.poses[k],
+                                           rtol=1e-4, atol=1e-4)
+                np.testing.assert_allclose(face["keypoints"],
+                                           want.keypoints[k],
+                                           rtol=1e-5, atol=1e-5)
+                assert face["score"] == pytest.approx(
+                    float(want.scores[k]), rel=1e-5)
+
+        status, stats = _get(server.url, "/v1/stats")
+        assert status == 200
+        assert stats["frames_served"] == len(frames)
+        assert stats["dispatches"] <= len(frames) // 2, stats
+        assert stats["frames_per_dispatch"] > 1
+        assert stats["requests"] == len(frames)
+        assert stats["errors"] == 0
+        assert stats["latency_ms"]["window"] == len(frames)
+        assert 0 < stats["latency_ms"]["p50"] <= stats["latency_ms"]["p99"]
+
+    def test_health(self, server):
+        status, body = _get(server.url, "/v1/health")
+        assert status == 200 and body == {"status": "ok"}
+
+    def test_error_routes_and_payloads(self, server, frames):
+        # unknown route
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server.url, "/v1/nope")
+        assert e.value.code == 404
+
+        # garbage body: not a .npy container
+        req = urllib.request.Request(f"{server.url}/v1/detect",
+                                     data=b"not-npy", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        assert "npy" in json.load(e.value)["error"]
+
+        # a batch, not a frame: the batcher's (H, W, 3) contract -> 400
+        buf = io.BytesIO()
+        np.save(buf, np.stack(frames[:2]))
+        req = urllib.request.Request(f"{server.url}/v1/detect",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        assert "(H, W, 3)" in json.load(e.value)["error"]
+
+        # empty body
+        req = urllib.request.Request(f"{server.url}/v1/detect", data=b"",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+        # the server keeps serving after errors, and counted them
+        status, stats = _get(server.url, "/v1/stats")
+        assert status == 200 and stats["errors"] == 3
+
+    def test_oversized_body_rejected(self, server, frames, monkeypatch):
+        monkeypatch.setattr(http_mod, "MAX_BODY_BYTES", 1024)
+        buf = io.BytesIO()
+        np.save(buf, frames[0])
+        req = urllib.request.Request(f"{server.url}/v1/detect",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+
+    def test_close_is_clean(self, production_detector, frames):
+        srv = PoseServer(production_detector, port=0, max_batch=4,
+                         max_delay=0.01)
+        assert _post_frame(srv.url, frames[0])["count"] >= 0
+        assert srv.close() is True
+        # socket is gone: connections are refused, nothing hangs
+        with pytest.raises(urllib.error.URLError):
+            urllib.request.urlopen(f"{srv.url}/v1/health", timeout=5)
