@@ -10,6 +10,7 @@ _EXPORTS = {
     "Results": ".results", "BatchResults": ".results",
     "DynamicBatcher": ".server",
     "PoseServer": ".http",
+    "PoseClient": ".client",
     "EmaState": ".smoothing", "ema_init": ".smoothing",
     "ema_update": ".smoothing", "smooth_sequence": ".smoothing",
     "TrackSmoother": ".smoothing",

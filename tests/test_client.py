@@ -1,0 +1,115 @@
+"""PoseClient (runtime/client.py): the Python SDK over the PoseServer wire.
+
+Server + client together replace the reference's only application surface
+(one synchronous webcam loop, blazeFaceDetectorH5.py:366-449) with a
+production deployment story; these tests drive a real server over real
+sockets and check the client returns the detector's own answers as native
+Results."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from headpose_tpu.runtime import PoseClient, PoseServer
+from headpose_tpu.runtime.results import Results
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture()
+def frames():
+    rng = np.random.default_rng(7)
+    golden = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))["imgs"]
+    idx = rng.permutation(len(golden))[:10]
+    return [golden[i] for i in idx]
+
+
+@pytest.fixture()
+def server(production_detector):
+    with PoseServer(production_detector, port=0, max_batch=16,
+                    max_delay=0.25) as srv:
+        yield srv
+
+
+def _assert_matches(got: Results, want: Results) -> None:
+    assert isinstance(got, Results)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got.boxes, want.boxes, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got.keypoints, want.keypoints,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got.poses, want.poses, rtol=1e-4, atol=1e-4)
+
+
+class TestPoseClient:
+    def test_detect_roundtrip_keepalive(self, server, production_detector,
+                                        frames):
+        """Sequential detects over ONE kept-alive connection return the
+        detector's own answers as native ragged Results."""
+        want = production_detector.detect(np.stack(frames[:3])).trim()
+        with PoseClient(server.url) as client:
+            for frame, w in zip(frames[:3], want):
+                _assert_matches(client.detect(frame), w)
+            # all three rode one connection: the server saw 3 requests
+            # and no errors (an error reply would have closed the socket)
+            stats = client.stats()
+            assert stats["requests"] == 3 and stats["errors"] == 0
+
+    def test_detect_many_concurrent_and_ordered(self, server,
+                                                production_detector, frames):
+        """Fan-out returns results in input order, and the in-flight window
+        coalesced into fewer device dispatches than frames."""
+        want = production_detector.detect(np.stack(frames)).trim()
+        with PoseClient(server.url) as client:
+            got = client.detect_many(frames, concurrency=len(frames))
+            for g, w in zip(got, want):
+                _assert_matches(g, w)
+            stats = client.stats()
+            assert stats["frames_served"] == len(frames)
+            assert stats["dispatches"] <= len(frames) // 2, stats
+            assert client.detect_many([]) == []
+
+    def test_empty_frame_gives_empty_results(self, server):
+        """A faceless frame comes back as a zero-length Results with the
+        contract shapes (not a crash on empty JSON lists)."""
+        with PoseClient(server.url) as client:
+            res = client.detect(np.zeros((128, 128, 3), np.uint8))
+        assert len(res) == 0
+        assert res.boxes.shape == (0, 4)
+        assert res.keypoints.shape == (0, 6, 2)
+        assert res.poses.shape == (0, 3)
+
+    def test_error_mapping_and_recovery(self, server, frames):
+        """Bad frames raise ValueError with the server's message; the
+        client transparently reconnects after the server's error-path
+        connection close and keeps working."""
+        with PoseClient(server.url) as client:
+            with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+                client.detect(np.stack(frames[:2]))  # a batch, not a frame
+            # the 400 reply closed the connection; the next call rebuilds it
+            assert len(client.detect(frames[0])) >= 0
+            assert client.health() == {"status": "ok"}
+
+    def test_url_forms_and_close(self, server, frames):
+        """host:port without a scheme parses; closed clients refuse calls."""
+        client = PoseClient(f"{server.host}:{server.port}")
+        assert client.health() == {"status": "ok"}
+        client.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            client.detect(frames[0])
+        with pytest.raises(ValueError, match="http"):
+            PoseClient("https://example.com")
+
+    def test_stale_connection_retry(self, server, frames):
+        """A connection the server side has dropped (here: forced stale by
+        closing the client's socket out from under it) is rebuilt and the
+        request retried once, invisibly."""
+        with PoseClient(server.url) as client:
+            first = client.detect(frames[0])
+            client._local.conn.sock.close()  # simulate idle reap / restart
+            again = client.detect(frames[0])
+            _assert_matches(again, first)
