@@ -12,10 +12,14 @@ which IS the coalescing mechanism — no extra queueing layer).
 Wire protocol (deliberately dependency-free — stdlib `urllib` + numpy on the
 client side is enough):
 
-  POST /v1/detect     body = one frame serialized with `np.save` (the `.npy`
-                      container: dtype + shape + raw bytes), shape (H, W, 3)
-                      uint8, BGR like the reference's cv2 frames.  Response:
-                      200 JSON {"count": N, "faces": [{"box": [x1,y1,x2,y2],
+  POST /v1/detect     body = one frame, either serialized with `np.save`
+                      (the `.npy` container: dtype + shape + raw bytes),
+                      shape (H, W, 3) uint8, BGR like the reference's cv2
+                      frames — or a JPEG/PNG file (sniffed by magic bytes,
+                      decoded server-side with OpenCV to the same BGR
+                      contract), so `curl --data-binary @face.jpg` works
+                      with no client code at all.  Response: 200 JSON
+                      {"count": N, "faces": [{"box": [x1,y1,x2,y2],
                       "score": s, "pose": [yaw,pitch,roll],
                       "keypoints": [[x,y] * 6]}]} — boxes/keypoints
                       normalized to [0,1], pose in degrees (the ragged
@@ -25,9 +29,13 @@ client side is enough):
                       frames/dispatch (the coalescing ratio — the number that
                       says whether batching is earning its keep), request-
                       latency p50/p99 over the last 1000 requests, uptime.
+  GET  /metrics       the same counters in Prometheus text exposition
+                      format (text/plain; version=0.0.4), so a standard
+                      scraper monitors the endpoint with zero glue.
 
 Errors are JSON too: 400 malformed/ill-shaped payloads, 404 unknown routes,
-413 oversized bodies, 503 after `close()`.  On-chip measurement of the
+413 oversized bodies, 415 image bodies on a server without OpenCV,
+503 after `close()`.  On-chip measurement of the
 batcher under this exact concurrent-client shape: docs/server_tpu.json
 (64 clients -> 16.1x a synchronous client's throughput, perfect coalescing).
 
@@ -62,10 +70,20 @@ __all__ = ["PoseServer"]
 MAX_BODY_BYTES = 64 * 1024 * 1024
 
 
+class _UnsupportedMedia(Exception):
+    """Image body on a host without OpenCV -> 415 (the media type is the
+    problem, not the request)."""
+
+
 class _Handler(BaseHTTPRequestHandler):
     # HTTP/1.1 keep-alive: a client streaming frames reuses its connection
     # instead of paying a TCP handshake per frame.
     protocol_version = "HTTP/1.1"
+    # http.server writes headers and body in separate send()s; with Nagle on,
+    # the second waits for the peer's delayed ACK — a flat +40 ms (the Linux
+    # delayed-ACK timer) per response, measured on-chip (docs/http_tpu.json:
+    # single-client p50 76 ms vs 37 ms through the raw batcher).
+    disable_nagle_algorithm = True
 
     # The server object (set by PoseServer) carries the batcher + counters.
     server: "_Httpd"
@@ -91,14 +109,33 @@ class _Handler(BaseHTTPRequestHandler):
     def _read_frame(self) -> np.ndarray:
         length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
-            raise ValueError("missing request body (np.save'd frame)")
+            raise ValueError("missing request body (np.save'd frame or "
+                             "JPEG/PNG image)")
         if length > MAX_BODY_BYTES:
             raise OverflowError(f"body {length} B exceeds {MAX_BODY_BYTES} B")
         raw = self.rfile.read(length)
-        try:
-            frame = np.load(io.BytesIO(raw), allow_pickle=False)
-        except Exception as e:
-            raise ValueError(f"body is not a .npy array: {e}") from None
+        if raw[:6] == b"\x93NUMPY":
+            try:
+                frame = np.load(io.BytesIO(raw), allow_pickle=False)
+            except Exception as e:
+                raise ValueError(f"body is not a .npy array: {e}") from None
+        elif raw[:3] == b"\xff\xd8\xff" or raw[:8] == b"\x89PNG\r\n\x1a\n":
+            # an encoded image: decode server-side to the same BGR (H, W, 3)
+            # contract cv2 frames carry — `curl --data-binary @face.jpg`
+            # needs no client code at all
+            try:
+                import cv2
+            except ImportError:
+                raise _UnsupportedMedia(
+                    "server lacks OpenCV for image decoding; send an "
+                    "np.save'd frame instead") from None
+            frame = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                 cv2.IMREAD_COLOR)
+            if frame is None:
+                raise ValueError("undecodable JPEG/PNG body")
+        else:
+            raise ValueError("body is neither a .npy array nor a JPEG/PNG "
+                             "image (sniffed by magic bytes)")
         # Shape/dtype errors below this point surface as the batcher's own
         # ValueError (same (H, W, 3) contract) — mapped to 400 by do_POST.
         return frame
@@ -129,8 +166,54 @@ class _Handler(BaseHTTPRequestHandler):
                     "window": len(lats),
                 }
             self._reply(200, stats)
+        elif self.path == "/metrics":
+            self._reply_metrics()
         else:
             self._reply(404, {"error": f"unknown route {self.path!r}"})
+
+    def _reply_metrics(self) -> None:
+        """Prometheus text exposition (version 0.0.4) of the serving
+        counters — a standard scraper monitors the endpoint with no glue."""
+        srv = self.server
+        b = srv.batcher
+        with srv.lock:
+            lats = sorted(srv.latencies)
+            requests, errors = srv.requests, srv.errors
+        lines = [
+            "# HELP headpose_frames_served_total Frames answered.",
+            "# TYPE headpose_frames_served_total counter",
+            f"headpose_frames_served_total {b.frames_served}",
+            "# HELP headpose_dispatches_total Device dispatches issued.",
+            "# TYPE headpose_dispatches_total counter",
+            f"headpose_dispatches_total {b.dispatches}",
+            "# HELP headpose_requests_total HTTP detect requests.",
+            "# TYPE headpose_requests_total counter",
+            f"headpose_requests_total {requests}",
+            "# HELP headpose_errors_total Failed requests.",
+            "# TYPE headpose_errors_total counter",
+            f"headpose_errors_total {errors}",
+            "# HELP headpose_uptime_seconds Seconds since serving began.",
+            "# TYPE headpose_uptime_seconds gauge",
+            f"headpose_uptime_seconds "
+            f"{time.monotonic() - srv.started:.1f}",
+        ]
+        if lats:
+            lines += [
+                "# HELP headpose_request_latency_seconds Request latency "
+                "over the last %d requests." % len(lats),
+                "# TYPE headpose_request_latency_seconds summary",
+                'headpose_request_latency_seconds{quantile="0.5"} '
+                f"{lats[len(lats) // 2]:.4f}",
+                'headpose_request_latency_seconds{quantile="0.99"} '
+                f"{lats[min(len(lats) - 1, 99 * len(lats) // 100)]:.4f}",
+            ]
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self) -> None:
         srv = self.server
@@ -147,6 +230,9 @@ class _Handler(BaseHTTPRequestHandler):
             res = srv.batcher.detect(frame, timeout=srv.request_timeout)
         except OverflowError as e:
             self._fail(413, str(e))
+            return
+        except _UnsupportedMedia as e:
+            self._fail(415, str(e))
             return
         except ValueError as e:
             self._fail(400, str(e))
@@ -261,7 +347,8 @@ class PoseServer:
 
 
 def _build_detector(model_path, **kw):
-    """--model value (H5 / native dir / registry name / None) -> detector."""
+    """--model value (H5 / native dir / AOT artifact dir / registry name /
+    None) -> detector."""
     import os
 
     from ..pretrained import resolve_model_path
@@ -272,6 +359,20 @@ def _build_detector(model_path, **kw):
         from ..pretrained import flagship_detector
         return flagship_detector(**kw)
     if os.path.isdir(model_path):
+        if os.path.exists(os.path.join(model_path, "aot.json")):
+            # an AOT artifact: the serving config (precision, thresholds,
+            # head_eval, postprocess backend) is BAKED into its programs —
+            # fail loudly rather than silently ignore conflicting flags
+            baked_ignored = {k: v for k, v in kw.items()
+                             if v not in ("highest", "auto")}
+            if baked_ignored:
+                raise ValueError(
+                    f"{model_path} is an AOT artifact; its serving config "
+                    f"is baked in — re-export it instead of passing "
+                    f"{sorted(baked_ignored)} (python -m headpose_tpu."
+                    f"tools.aot)")
+            from ..tools.aot import load_exported
+            return load_exported(model_path)
         return FaceDetector.from_native(model_path, **kw)
     return FaceDetector.from_h5(model_path, **kw)
 
@@ -281,8 +382,10 @@ def main(argv=None) -> None:
 
     p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
     p.add_argument("--model", default=None,
-                   help="H5, native model dir, or pretrained registry name "
-                        "(e.g. unified-best); default: shipped flagship")
+                   help="H5, native model dir, AOT artifact dir (from "
+                        "tools.aot — serves with no model code), or "
+                        "pretrained registry name (e.g. unified-best); "
+                        "default: shipped flagship")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--precision", default="highest",

@@ -219,6 +219,20 @@ class TestServing:
                                                rtol=1e-5, atol=1e-5)
 
 
+    def test_http_cli_builder_resolves_aot_artifacts(self, artifact):
+        """runtime.http's --model accepts an AOT artifact directory (the
+        no-model-code serving host), and refuses conflicting flags rather
+        than silently ignoring config that is baked into the programs."""
+        from headpose_tpu.runtime.http import _build_detector
+        from headpose_tpu.tools.aot import ExportedDetector
+
+        det = _build_detector(artifact[0], precision="highest",
+                              head_eval="auto")
+        assert isinstance(det, ExportedDetector)
+        with pytest.raises(ValueError, match="baked in"):
+            _build_detector(artifact[0], precision="turbo", head_eval="auto")
+
+
 class TestValidation:
     def test_rejects_wrong_dtype(self, artifact):
         aot = load_exported(artifact[0])

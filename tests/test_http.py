@@ -40,14 +40,18 @@ def server(production_detector):
         yield srv
 
 
-def _post_frame(url: str, frame: np.ndarray) -> dict:
-    buf = io.BytesIO()
-    np.save(buf, frame)
-    req = urllib.request.Request(f"{url}/v1/detect", data=buf.getvalue(),
+def _post_frame_raw(url: str, body: bytes) -> dict:
+    req = urllib.request.Request(f"{url}/v1/detect", data=body,
                                  method="POST")
     with urllib.request.urlopen(req, timeout=120) as resp:
         assert resp.status == 200
         return json.load(resp)
+
+
+def _post_frame(url: str, frame: np.ndarray) -> dict:
+    buf = io.BytesIO()
+    np.save(buf, frame)
+    return _post_frame_raw(url, buf.getvalue())
 
 
 def _get(url: str, route: str):
@@ -110,13 +114,22 @@ class TestPoseServer:
             _get(server.url, "/v1/nope")
         assert e.value.code == 404
 
-        # garbage body: not a .npy container
+        # garbage body: neither .npy nor an image (magic-byte sniff)
         req = urllib.request.Request(f"{server.url}/v1/detect",
                                      data=b"not-npy", method="POST")
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=30)
         assert e.value.code == 400
         assert "npy" in json.load(e.value)["error"]
+
+        # JPEG magic but truncated/corrupt: sniffs as image, fails decode
+        req = urllib.request.Request(f"{server.url}/v1/detect",
+                                     data=b"\xff\xd8\xff-corrupt",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        assert "undecodable" in json.load(e.value)["error"]
 
         # a batch, not a frame: the batcher's (H, W, 3) contract -> 400
         buf = io.BytesIO()
@@ -137,7 +150,75 @@ class TestPoseServer:
 
         # the server keeps serving after errors, and counted them
         status, stats = _get(server.url, "/v1/stats")
-        assert status == 200 and stats["errors"] == 3
+        assert status == 200 and stats["errors"] == 4
+
+    def test_jpeg_and_png_bodies(self, server, production_detector, frames):
+        """An encoded image body (what `curl --data-binary @face.jpg`
+        sends) decodes server-side to the same BGR contract: PNG round-trips
+        losslessly to the np.save answer; JPEG agrees on the detection
+        count."""
+        import cv2
+
+        frame = frames[0]
+        want = production_detector.detect(frame[None]).trim()[0]
+
+        ok, png = cv2.imencode(".png", frame)
+        assert ok
+        got = _post_frame_raw(server.url, png.tobytes())
+        assert got["count"] == len(want)
+        for k, face in enumerate(got["faces"]):
+            np.testing.assert_allclose(face["pose"], want.poses[k],
+                                       rtol=1e-4, atol=1e-4)
+
+        # JPEG is lossy (and the parity-corpus images are adversarially
+        # detection-dense), so the contract is TRANSPORT parity: the server's
+        # answer for a JPEG body == the detector run on the decoded JPEG.
+        ok, jpg = cv2.imencode(".jpg", frame,
+                               [cv2.IMWRITE_JPEG_QUALITY, 98])
+        assert ok
+        decoded = cv2.imdecode(jpg, cv2.IMREAD_COLOR)
+        want_jpg = production_detector.detect(decoded[None]).trim()[0]
+        got = _post_frame_raw(server.url, jpg.tobytes())
+        assert got["count"] == len(want_jpg)
+        for k, face in enumerate(got["faces"]):
+            np.testing.assert_allclose(face["pose"], want_jpg.poses[k],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_image_body_without_opencv_is_415(self, server, frames,
+                                              monkeypatch):
+        """On a host without OpenCV an image body is 415 (unsupported
+        media), not a crash — and npy bodies still work."""
+        import sys
+
+        import cv2
+
+        ok, png = cv2.imencode(".png", frames[0])
+        assert ok
+        monkeypatch.setitem(sys.modules, "cv2", None)  # import cv2 -> error
+        req = urllib.request.Request(f"{server.url}/v1/detect",
+                                     data=png.tobytes(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 415
+        assert "OpenCV" in json.load(e.value)["error"]
+        assert _post_frame(server.url, frames[0])["count"] >= 0
+
+    def test_metrics_prometheus_exposition(self, server, frames):
+        _post_frame(server.url, frames[0])
+        req = urllib.request.Request(f"{server.url}/metrics")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert "headpose_frames_served_total 1" in text
+        assert "headpose_requests_total 1" in text
+        assert "headpose_errors_total 0" in text
+        assert '_latency_seconds{quantile="0.5"}' in text
+        # every non-comment line is `name[{labels}] value` — parseable
+        for line in text.splitlines():
+            if line and not line.startswith("#"):
+                name, value = line.rsplit(" ", 1)
+                float(value)
 
     def test_oversized_body_rejected(self, server, frames, monkeypatch):
         monkeypatch.setattr(http_mod, "MAX_BODY_BYTES", 1024)
