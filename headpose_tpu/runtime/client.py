@@ -71,10 +71,20 @@ class PoseClient:
             raise ValueError(f"only http:// endpoints supported, got {url!r}")
         if not parsed.hostname:
             raise ValueError(f"no host in {url!r}")
+        if parsed.path.strip("/"):
+            raise ValueError(
+                f"path prefixes are not supported ({url!r}): the endpoint's "
+                "routes live at the root (/v1/detect); point the client at "
+                "host:port and put prefix rewriting in the fronting proxy")
+        # explicit scheme + no port = the scheme's standard port; a bare
+        # host:port string without either falls back to the CLI's default
         self._host = parsed.hostname
-        self._port = parsed.port or 8000
+        self._port = parsed.port or (80 if parsed.scheme == "http" else 8000)
         self._timeout = timeout
         self._local = threading.local()
+        self._pool: ThreadPoolExecutor | None = None
+        self._pool_size = 0
+        self._pool_lock = threading.Lock()
         self._closed = False
 
     # -- transport ---------------------------------------------------------
@@ -113,9 +123,16 @@ class PoseClient:
                     # the server's error replies end the connection; drop
                     # ours too or the next request writes into a dead socket
                     self._drop_connection()
+            except TimeoutError:
+                # a live-but-slow server, not a dead socket: re-sending the
+                # request would duplicate inference on an already-overloaded
+                # server and double the caller's wait — surface it
+                self._drop_connection()  # mid-request socket is undefined
+                raise
             except (http.client.HTTPException, ConnectionError, OSError):
                 # stale keep-alive (server restarted, idle reap, error-path
-                # close that raced our send): rebuild once and retry
+                # close that raced our send): rebuild once and retry —
+                # safe, the POST is pure inference (idempotent)
                 self._drop_connection()
                 if attempt:
                     raise
@@ -148,15 +165,26 @@ class PoseClient:
 
         The in-flight window (up to `concurrency` requests) is what the
         server batches into shared device dispatches — a sequential loop
-        over `detect` would serve every frame at batch 1.
+        over `detect` would serve every frame at batch 1.  The worker pool
+        (and each worker's keep-alive connection) persists across calls,
+        so a streaming loop pays the TCP handshakes once, not per call.
         """
         frames = list(frames)
         if not frames:
             return []
-        workers = max(1, min(concurrency, len(frames)))
-        with ThreadPoolExecutor(max_workers=workers,
-                                thread_name_prefix="pose-client") as pool:
-            return list(pool.map(self.detect, frames))
+        return list(self._workers(max(1, concurrency)).map(self.detect,
+                                                           frames))
+
+    def _workers(self, concurrency: int) -> ThreadPoolExecutor:
+        with self._pool_lock:
+            if self._pool is None or self._pool_size < concurrency:
+                if self._pool is not None:
+                    self._pool.shutdown(wait=False)
+                self._pool = ThreadPoolExecutor(
+                    max_workers=concurrency,
+                    thread_name_prefix="pose-client")
+                self._pool_size = concurrency
+            return self._pool
 
     def health(self) -> dict:
         return self._request("GET", "/v1/health")
@@ -165,13 +193,14 @@ class PoseClient:
         return self._request("GET", "/v1/stats")
 
     def close(self) -> None:
-        """Drop this thread's connection and refuse further calls.
-
-        Connections owned by detect_many's pool threads were closed when
-        the pool exited scope; per-thread sockets opened by user threads
-        are reclaimed with those threads.
-        """
+        """Drop this thread's connection, stop the fan-out pool, and refuse
+        further calls.  Per-thread sockets opened by user threads are
+        reclaimed with those threads."""
         self._closed = True
+        with self._pool_lock:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None
         self._drop_connection()
 
     def __enter__(self):

@@ -57,6 +57,7 @@ import io
 import json
 import threading
 import time
+from concurrent import futures
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -75,6 +76,12 @@ class _UnsupportedMedia(Exception):
     problem, not the request)."""
 
 
+def _quantile(sorted_vals: list, q: float) -> float:
+    """Nearest-rank quantile of an ascending list (one definition shared by
+    /v1/stats and /metrics, so the two surfaces can never drift)."""
+    return sorted_vals[min(len(sorted_vals) - 1, int(q * len(sorted_vals)))]
+
+
 class _Handler(BaseHTTPRequestHandler):
     # HTTP/1.1 keep-alive: a client streaming frames reuses its connection
     # instead of paying a TCP handshake per frame.
@@ -84,6 +91,11 @@ class _Handler(BaseHTTPRequestHandler):
     # delayed-ACK timer) per response, measured on-chip (docs/http_tpu.json:
     # single-client p50 76 ms vs 37 ms through the raw batcher).
     disable_nagle_algorithm = True
+    # Reap idle kept-alive connections: without a socket timeout every
+    # abandoned-but-open connection pins a handler thread forever
+    # (rfile.readline blocks indefinitely).  300 s outlives any legitimate
+    # between-frames pause while bounding thread/fd growth.
+    timeout = 300
 
     # The server object (set by PoseServer) carries the batcher + counters.
     server: "_Httpd"
@@ -146,23 +158,23 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/v1/health":
             self._reply(200, {"status": "ok"})
         elif self.path == "/v1/stats":
-            b = srv.batcher
-            dispatches = max(b.dispatches, 1)
-            with srv.lock:
-                lats = sorted(srv.latencies)
+            snap = srv.snapshot()
             stats = {
-                "frames_served": b.frames_served,
-                "dispatches": b.dispatches,
-                "frames_per_dispatch": round(b.frames_served / dispatches, 2),
-                "requests": srv.requests,
-                "errors": srv.errors,
-                "uptime_s": round(time.monotonic() - srv.started, 1),
+                "frames_served": snap["frames_served"],
+                "dispatches": snap["dispatches"],
+                "frames_per_dispatch": round(
+                    snap["frames_served"] / max(snap["dispatches"], 1), 2),
+                "requests": snap["requests"],
+                "errors": snap["errors"],
+                "uptime_s": round(snap["uptime_s"], 1),
             }
+            shape = srv.batcher.frame_shape
+            stats["frame_shape"] = list(shape) if shape else None
+            lats = snap["latencies"]
             if lats:  # body-read -> response-ready, over the last window
                 stats["latency_ms"] = {
-                    "p50": round(lats[len(lats) // 2] * 1e3, 1),
-                    "p99": round(lats[min(len(lats) - 1,
-                                          99 * len(lats) // 100)] * 1e3, 1),
+                    "p50": round(_quantile(lats, 0.5) * 1e3, 1),
+                    "p99": round(_quantile(lats, 0.99) * 1e3, 1),
                     "window": len(lats),
                 }
             self._reply(200, stats)
@@ -174,38 +186,34 @@ class _Handler(BaseHTTPRequestHandler):
     def _reply_metrics(self) -> None:
         """Prometheus text exposition (version 0.0.4) of the serving
         counters — a standard scraper monitors the endpoint with no glue."""
-        srv = self.server
-        b = srv.batcher
-        with srv.lock:
-            lats = sorted(srv.latencies)
-            requests, errors = srv.requests, srv.errors
+        snap = self.server.snapshot()
         lines = [
             "# HELP headpose_frames_served_total Frames answered.",
             "# TYPE headpose_frames_served_total counter",
-            f"headpose_frames_served_total {b.frames_served}",
+            f"headpose_frames_served_total {snap['frames_served']}",
             "# HELP headpose_dispatches_total Device dispatches issued.",
             "# TYPE headpose_dispatches_total counter",
-            f"headpose_dispatches_total {b.dispatches}",
+            f"headpose_dispatches_total {snap['dispatches']}",
             "# HELP headpose_requests_total HTTP detect requests.",
             "# TYPE headpose_requests_total counter",
-            f"headpose_requests_total {requests}",
+            f"headpose_requests_total {snap['requests']}",
             "# HELP headpose_errors_total Failed requests.",
             "# TYPE headpose_errors_total counter",
-            f"headpose_errors_total {errors}",
+            f"headpose_errors_total {snap['errors']}",
             "# HELP headpose_uptime_seconds Seconds since serving began.",
             "# TYPE headpose_uptime_seconds gauge",
-            f"headpose_uptime_seconds "
-            f"{time.monotonic() - srv.started:.1f}",
+            f"headpose_uptime_seconds {snap['uptime_s']:.1f}",
         ]
+        lats = snap["latencies"]
         if lats:
             lines += [
                 "# HELP headpose_request_latency_seconds Request latency "
                 "over the last %d requests." % len(lats),
                 "# TYPE headpose_request_latency_seconds summary",
                 'headpose_request_latency_seconds{quantile="0.5"} '
-                f"{lats[len(lats) // 2]:.4f}",
+                f"{_quantile(lats, 0.5):.4f}",
                 'headpose_request_latency_seconds{quantile="0.99"} '
-                f"{lats[min(len(lats) - 1, 99 * len(lats) // 100)]:.4f}",
+                f"{_quantile(lats, 0.99):.4f}",
             ]
         body = ("\n".join(lines) + "\n").encode()
         self.send_response(200)
@@ -240,7 +248,9 @@ class _Handler(BaseHTTPRequestHandler):
         except RuntimeError as e:          # batcher closed mid-flight
             self._fail(503, str(e))
             return
-        except TimeoutError:               # Future.result past request_timeout
+        except futures.TimeoutError:       # Future.result past request_timeout
+            # (on 3.10 futures.TimeoutError is NOT the builtin; catching the
+            # futures name covers both, since 3.11+ makes them aliases)
             self._fail(504, f"no result within {srv.request_timeout} s")
             return
         except Exception as e:             # device/dispatch failure
@@ -283,6 +293,25 @@ class _Httpd(ThreadingHTTPServer):
         # stats route's p50/p99 window
         self.latencies = collections.deque(maxlen=1000)
 
+    def snapshot(self) -> dict:
+        """One consistent read of every serving counter (shared by /v1/stats
+        and /metrics).  frames_served is read BEFORE dispatches — the
+        batcher increments dispatches first, so this order can only
+        undercount frames/dispatch momentarily, never overshoot the
+        coalescing ratio the number exists to report."""
+        b = self.batcher
+        frames = b.frames_served
+        dispatches = b.dispatches
+        with self.lock:
+            return {
+                "frames_served": frames,
+                "dispatches": dispatches,
+                "requests": self.requests,
+                "errors": self.errors,
+                "uptime_s": time.monotonic() - self.started,
+                "latencies": sorted(self.latencies),
+            }
+
 
 class PoseServer:
     """Detection-as-a-service: an HTTP endpoint over one detector.
@@ -293,6 +322,16 @@ class PoseServer:
     on the import path).  Batching knobs are the DynamicBatcher's; requests
     arriving within `max_delay` of each other share one device dispatch.
 
+    frame_shape pins the (H, W) or (H, W, 3) every request must carry;
+    other shapes get 400 with the expected shape in the message.  If the
+    detector declares its own `frame_shape` (AOT artifacts do — their
+    programs bake it), that is the default pin.  With neither, the FIRST
+    request decides the shape for the server's lifetime (the batcher
+    compiles one program ladder per shape) — fine behind trusted clients,
+    but pin explicitly on open endpoints: one odd-sized first request
+    would otherwise 400 every later client.  `/v1/stats` reports the
+    current pin as `frame_shape`.
+
     port=0 picks a free port (read it back from `.port` — the test/dev
     pattern).  Context-manager friendly; `close()` stops accepting, then
     drains the batcher.
@@ -300,9 +339,13 @@ class PoseServer:
 
     def __init__(self, detector, host: str = "127.0.0.1", port: int = 0, *,
                  max_batch: int = 128, max_delay: float = 0.005,
-                 request_timeout: float = 120.0):
+                 request_timeout: float = 120.0,
+                 frame_shape: tuple | None = None):
+        if frame_shape is None:
+            frame_shape = getattr(detector, "frame_shape", None)
         self._batcher = DynamicBatcher(detector, max_batch=max_batch,
-                                       max_delay=max_delay)
+                                       max_delay=max_delay,
+                                       frame_shape=frame_shape)
         try:
             self._httpd = _Httpd((host, port))
         except BaseException:
@@ -396,13 +439,19 @@ def main(argv=None) -> None:
     p.add_argument("--max_delay", type=float, default=0.005,
                    help="flush deadline in seconds past the oldest "
                         "queued request")
+    p.add_argument("--frame_shape", default=None,
+                   help="pin the accepted frame shape, e.g. 480,640 — "
+                        "otherwise the first request (or an AOT artifact's "
+                        "baked shape) decides it for the server's lifetime")
     args = p.parse_args(argv)
+    frame_shape = (tuple(int(d) for d in args.frame_shape.split(","))
+                   if args.frame_shape else None)
 
     detector = _build_detector(args.model, precision=args.precision,
                                head_eval=args.head_eval)
     with PoseServer(detector, host=args.host, port=args.port,
-                    max_batch=args.max_batch,
-                    max_delay=args.max_delay) as srv:
+                    max_batch=args.max_batch, max_delay=args.max_delay,
+                    frame_shape=frame_shape) as srv:
         print(f"serving on {srv.url}  (POST /v1/detect, GET /v1/health, "
               f"GET /v1/stats; ctrl-c to stop)", flush=True)
         try:

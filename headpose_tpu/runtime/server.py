@@ -58,7 +58,13 @@ class DynamicBatcher:
     """
 
     def __init__(self, detector, max_batch: int = 128,
-                 max_delay: float = 0.002):
+                 max_delay: float = 0.002,
+                 frame_shape: tuple | None = None):
+        """frame_shape: optionally pin the (H, W) or (H, W, 3) every frame
+        must have, up front.  Left None, the FIRST submission pins it —
+        fine for a trusted in-process caller, but a network front end
+        should pin explicitly (one odd-sized first request would otherwise
+        decide the shape every later client must match)."""
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.detector = detector
@@ -74,7 +80,14 @@ class DynamicBatcher:
         self.widths = tuple(widths)
         self.dispatches = 0          # batches sent to the device
         self.frames_served = 0       # real (unpadded) frames in them
-        self._frame_shape = None
+        if frame_shape is not None:
+            frame_shape = tuple(int(d) for d in frame_shape)
+            if len(frame_shape) == 2:
+                frame_shape += (3,)
+            if len(frame_shape) != 3 or frame_shape[-1] != 3:
+                raise ValueError(f"frame_shape must be (H, W) or (H, W, 3), "
+                                 f"got {frame_shape}")
+        self._frame_shape = frame_shape
         self._shape_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._closed = threading.Event()
@@ -83,6 +96,13 @@ class DynamicBatcher:
         self._thread.start()
 
     # ------------------------------------------------------------- client API
+    @property
+    def frame_shape(self) -> tuple | None:
+        """The (H, W, 3) this batcher serves — None until the first submit
+        pins it (or a `frame_shape` constructor pin)."""
+        with self._shape_lock:
+            return self._frame_shape
+
     def submit(self, frame) -> Future:
         """Enqueue one (H, W, 3) frame; resolves to a ragged `Results`."""
         if self._closed.is_set():

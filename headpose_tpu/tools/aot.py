@@ -171,6 +171,12 @@ class ExportedDetector:
         self._shape_hw = (int(h), int(w))
         self._loaded: dict[int, Any] = {}
 
+    @property
+    def frame_shape(self) -> tuple[int, int, int]:
+        """The exact (H, W, 3) the exported programs accept — serving front
+        ends (runtime.PoseServer) pin their accepted shape from this."""
+        return self._shape_hw + (3,)
+
     def _program(self, batch: int):
         if batch not in self._loaded:
             fname = self.meta["programs"][str(batch)]["file"]

@@ -103,6 +103,26 @@ class TestPoseClient:
             client.detect(frames[0])
         with pytest.raises(ValueError, match="http"):
             PoseClient("https://example.com")
+        # scheme-explicit URL without a port means the scheme's standard
+        # port, not the CLI default; bare host keeps the CLI default
+        assert PoseClient("http://example.com")._port == 80
+        assert PoseClient("example.com")._port == 8000
+        assert PoseClient("http://example.com:8123")._port == 8123
+        # path prefixes would be silently dropped — refuse them loudly
+        with pytest.raises(ValueError, match="prefix"):
+            PoseClient("http://example.com:8000/pose")
+
+    def test_detect_many_pool_persists(self, server, frames):
+        """The fan-out pool (and its keep-alive connections) is reused
+        across calls — a streaming loop pays TCP handshakes once."""
+        with PoseClient(server.url) as client:
+            client.detect_many(frames[:3], concurrency=3)
+            pool = client._pool
+            client.detect_many(frames[3:6], concurrency=3)
+            assert client._pool is pool
+            client.detect_many(frames[:2], concurrency=8)  # grows once
+            assert client._pool is not pool
+        assert client._pool is None  # close() shut it down
 
     def test_stale_connection_retry(self, server, frames):
         """A connection the server side has dropped (here: forced stale by

@@ -157,7 +157,7 @@ class TestPoseServer:
         sends) decodes server-side to the same BGR contract: PNG round-trips
         losslessly to the np.save answer; JPEG agrees on the detection
         count."""
-        import cv2
+        cv2 = pytest.importorskip("cv2")
 
         frame = frames[0]
         want = production_detector.detect(frame[None]).trim()[0]
@@ -190,7 +190,7 @@ class TestPoseServer:
         media), not a crash — and npy bodies still work."""
         import sys
 
-        import cv2
+        cv2 = pytest.importorskip("cv2")
 
         ok, png = cv2.imencode(".png", frames[0])
         assert ok
@@ -229,6 +229,26 @@ class TestPoseServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=30)
         assert e.value.code == 413
+
+    def test_frame_shape_pin(self, production_detector, frames):
+        """An explicitly pinned server 400s odd-sized frames with the
+        expected shape in the message — one odd first request can NOT
+        decide the shape every later client must match — and reports the
+        pin in /v1/stats."""
+        with PoseServer(production_detector, port=0, max_batch=4,
+                        max_delay=0.01, frame_shape=(128, 128)) as srv:
+            status, stats = _get(srv.url, "/v1/stats")
+            assert stats["frame_shape"] == [128, 128, 3]
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((64, 64, 3), np.uint8))
+            req = urllib.request.Request(f"{srv.url}/v1/detect",
+                                         data=buf.getvalue(), method="POST")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 400
+            assert "(128, 128, 3)" in json.load(e.value)["error"]
+            # the pin survives the bad request; matching frames serve
+            assert _post_frame(srv.url, frames[0])["count"] >= 0
 
     def test_close_is_clean(self, production_detector, frames):
         srv = PoseServer(production_detector, port=0, max_batch=4,
