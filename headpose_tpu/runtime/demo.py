@@ -40,11 +40,29 @@ def _center_square(frame: np.ndarray) -> np.ndarray:
     return frame[y:y + side, x:x + side]
 
 
+class _RemoteDetector:
+    """detector-shaped adapter over a PoseClient: the demo loop runs
+    unchanged while inference happens on a remote PoseServer (a laptop
+    webcam loop pointed at a TPU host).  Ragged wire results re-enter the
+    padded pipeline via BatchResults.from_ragged, so smoothing/tracking
+    compose exactly as with a local FaceDetector."""
+
+    def __init__(self, url: str):
+        from .client import PoseClient
+
+        self.client = PoseClient(url)
+
+    def detect(self, frame):
+        from .results import BatchResults
+
+        return BatchResults.from_ragged([self.client.detect(frame)])
+
+
 def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
              max_frames: int | None = None, display: bool = True,
              precision: str = "highest", tracking: bool = True,
-             head_eval: str = "auto") -> int:
+             head_eval: str = "auto", server: str | None = None) -> int:
     """Run the live loop.  Returns the number of frames processed.
     model_path: H5 file, native model dir, a pretrained registry name
     (e.g. 'unified-best' — see pretrained.load_pretrained), or None for the
@@ -56,19 +74,31 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
     head_eval: 'auto' (default — survivors exactly when a head declares
     spatial context, e.g. 'unified-best'), 'map' (grafted-graph semantics),
     or 'survivors' (heads on the detected faces' gathered feature vectors;
-    see FaceDetector)."""
+    see FaceDetector).
+    server: a PoseServer URL — inference runs remotely; the model and
+    serving config live server-side, so model_path/precision/head_eval must
+    stay at their defaults here."""
     import cv2
 
-    model_path = resolve_model_path(model_path)
-    kw = dict(precision=precision, head_eval=head_eval)
-    if model_path is None:
-        from ..pretrained import flagship_detector
-
-        detector = flagship_detector(**kw)
-    elif os.path.isdir(model_path):
-        detector = FaceDetector.from_native(model_path, **kw)
+    if server is not None:
+        if (model_path is not None or precision != "highest"
+                or head_eval != "auto"):
+            raise ValueError(
+                "--server runs inference remotely: the model and serving "
+                "config live on the server — drop --model/--precision/"
+                "--head_eval (configure them where the server starts)")
+        detector = _RemoteDetector(server)
     else:
-        detector = FaceDetector.from_h5(model_path, **kw)
+        model_path = resolve_model_path(model_path)
+        kw = dict(precision=precision, head_eval=head_eval)
+        if model_path is None:
+            from ..pretrained import flagship_detector
+
+            detector = flagship_detector(**kw)
+        elif os.path.isdir(model_path):
+            detector = FaceDetector.from_native(model_path, **kw)
+        else:
+            detector = FaceDetector.from_h5(model_path, **kw)
     smoother = (IoUTrackSmoother(alpha) if tracking else TrackSmoother(alpha))
     fps = FpsCounter()
 
@@ -127,6 +157,10 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default=None, help="H5, native model dir, or pretrained name (e.g. unified-best); default: shipped flagship")
+    p.add_argument("--server", default=None,
+                   help="PoseServer URL (e.g. http://tpu-host:8000) — run "
+                        "inference remotely; excludes --model/--precision/"
+                        "--head_eval (they live server-side)")
     p.add_argument("--camera", type=int, default=0)
     p.add_argument("--video", default=None, help="video file instead of camera")
     p.add_argument("--record", action="store_true")
@@ -151,7 +185,7 @@ def main(argv=None) -> None:
                  record=args.record, use_ema=not args.no_ema,
                  max_frames=args.frames, display=not args.headless,
                  precision=args.precision, tracking=not args.no_tracking,
-                 head_eval=args.head_eval)
+                 head_eval=args.head_eval, server=args.server)
     print(f"processed {n} frames")
 
 

@@ -54,6 +54,34 @@ class BatchResults:
     def counts(self) -> jax.Array:
         return self.valid.sum(axis=-1)
 
+    @classmethod
+    def from_ragged(cls, results: list, max_faces: int = 100
+                    ) -> "BatchResults":
+        """Inverse of trim(): ragged per-image Results -> padded slabs.
+
+        Lets anything that produced host-side ragged results (a remote
+        PoseClient, a deserialized log) re-enter the padded-pytree pipeline
+        (smoothing, tracking, tree ops).  max_faces defaults to the
+        reference's MAX_FACE_NUM (blazeFaceDetectorH5.py:9); images with
+        more detections than max_faces keep their top rows (detections are
+        score-descending by construction).
+        """
+        B, F = len(results), int(max_faces)
+        boxes = np.zeros((B, F, 4), np.float32)
+        keypoints = np.zeros((B, F, 6, 2), np.float32)
+        scores = np.zeros((B, F), np.float32)
+        poses = np.zeros((B, F, 3), np.float32)
+        valid = np.zeros((B, F), bool)
+        for b, r in enumerate(results):
+            n = min(len(r), F)
+            boxes[b, :n] = r.boxes[:n]
+            keypoints[b, :n] = r.keypoints[:n]
+            scores[b, :n] = r.scores[:n]
+            poses[b, :n] = r.poses[:n]
+            valid[b, :n] = True
+        return cls(boxes=boxes, keypoints=keypoints, scores=scores,
+                   poses=poses, valid=valid)
+
     def trim(self) -> list[Results]:
         """Host-side conversion to the reference's ragged per-image contract."""
         # ONE combined D2H transfer: five separate np.asarray fetches would

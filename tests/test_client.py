@@ -124,6 +124,48 @@ class TestPoseClient:
             assert client._pool is not pool
         assert client._pool is None  # close() shut it down
 
+    def test_from_ragged_roundtrip(self, server, production_detector,
+                                   frames):
+        """BatchResults.from_ragged is trim()'s exact inverse — remote
+        ragged results re-enter the padded pipeline losslessly."""
+        from headpose_tpu.runtime.results import BatchResults
+
+        want = production_detector.detect(np.stack(frames[:4])).trim()
+        again = BatchResults.from_ragged(want, max_faces=32).trim()
+        for w, a in zip(want, again):
+            assert len(w) == len(a)
+            np.testing.assert_array_equal(w.boxes, a.boxes)
+            np.testing.assert_array_equal(w.poses, a.poses)
+            np.testing.assert_array_equal(w.scores, a.scores)
+            np.testing.assert_array_equal(w.keypoints, a.keypoints)
+        # overflow keeps the top (score-descending) rows
+        capped = BatchResults.from_ragged(want, max_faces=1).trim()
+        for w, c in zip(want, capped):
+            if len(w):
+                assert len(c) == 1
+                np.testing.assert_array_equal(c.boxes[0], w.boxes[0])
+
+    def test_demo_over_server(self, server, tmp_path, monkeypatch):
+        """The reference's one application surface (the camera loop) runs
+        against a remote endpoint: demo --server does detection over HTTP
+        while smoothing/tracking/drawing stay local."""
+        cv2 = pytest.importorskip("cv2")
+        from headpose_tpu.runtime.demo import run_demo
+
+        video = str(tmp_path / "in.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                            (128, 128))
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            w.write(rng.integers(0, 256, (128, 128, 3)).astype(np.uint8))
+        w.release()
+        monkeypatch.chdir(tmp_path)
+        assert run_demo(server=server.url, source=video, display=False,
+                        max_frames=2) == 2
+        with pytest.raises(ValueError, match="server"):
+            run_demo(server=server.url, source=video, display=False,
+                     precision="turbo")
+
     def test_stale_connection_retry(self, server, frames):
         """A connection the server side has dropped (here: forced stale by
         closing the client's socket out from under it) is rebuilt and the
