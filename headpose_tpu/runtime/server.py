@@ -108,8 +108,13 @@ class DynamicBatcher:
         if self._closed.is_set():
             raise RuntimeError("DynamicBatcher is closed")
         frame = np.asarray(frame)
-        if frame.ndim != 3 or frame.shape[-1] != 3:
-            raise ValueError(f"submit takes one (H, W, 3) frame, "
+        if (frame.ndim != 3 or frame.shape[-1] != 3
+                or min(frame.shape[:2]) < 1):
+            # the zero-dim check matters: an empty (0, 0, 3) frame would
+            # pass the structural check, PIN the batcher's shape, and then
+            # fail every dispatch (resize from nothing) — found by the wire
+            # fuzz test, tests/test_http.py
+            raise ValueError(f"submit takes one non-empty (H, W, 3) frame, "
                              f"got shape {frame.shape}")
         # lock the check-then-set: two first submissions racing with
         # different shapes would otherwise both pass and poison the batch

@@ -220,6 +220,36 @@ class TestPoseServer:
                 name, value = line.rsplit(" ", 1)
                 float(value)
 
+    def test_fuzz_bodies_never_kill_the_server(self, server, frames):
+        """50 adversarial bodies — random bytes, truncated npy/JPEG/PNG
+        magic, wrong dtypes/shapes/ndim — every one gets a clean JSON error
+        (4xx, never 5xx) and the server keeps serving real work after."""
+        rng = np.random.default_rng(0)
+        bodies = [rng.bytes(rng.integers(1, 4096)) for _ in range(20)]
+        for magic in (b"\x93NUMPY", b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n"):
+            bodies += [magic, magic + rng.bytes(64),
+                       magic + b"\x00" * 100]
+        for arr in (np.zeros((4,), np.float32),          # wrong ndim
+                    np.zeros((2, 2), np.uint8),          # wrong ndim
+                    np.zeros((8, 8, 4), np.uint8),       # wrong channels
+                    np.zeros((0, 0, 3), np.uint8),       # empty dims
+                    np.zeros((2, 3, 4, 3), np.uint8)):   # a batch
+            buf = io.BytesIO()
+            np.save(buf, arr)
+            bodies.append(buf.getvalue())
+        codes = []
+        for body in bodies:
+            req = urllib.request.Request(f"{server.url}/v1/detect",
+                                         data=body, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            codes.append(e.value.code)
+        assert all(400 <= c < 500 for c in codes), codes
+        # still alive and correct
+        assert _post_frame(server.url, frames[0])["count"] >= 0
+        status, stats = _get(server.url, "/v1/stats")
+        assert stats["errors"] == len(bodies)
+
     def test_oversized_body_rejected(self, server, frames, monkeypatch):
         monkeypatch.setattr(http_mod, "MAX_BODY_BYTES", 1024)
         buf = io.BytesIO()
