@@ -380,6 +380,15 @@ class FaceDetector:
         return jnp.where(is_front[..., None] & z, pf,
                          jnp.where(z, pb, 0.0))
 
+    @property
+    def batch_granularity(self) -> int:
+        """Every detect() batch must be a multiple of this (1 without a
+        mesh; the data-axis size with one — dp serving shards the batch
+        evenly).  Batching front ends (runtime.server.DynamicBatcher) build
+        their pad ladder on it so every dispatch width is servable."""
+        return (int(self.mesh.shape[self.data_axis])
+                if self.mesh is not None else 1)
+
     def detect(self, images) -> BatchResults:
         """images: (B, H, W, 3) or (H, W, 3), uint8/float 0-255, BGR by default."""
         images = jnp.asarray(images)

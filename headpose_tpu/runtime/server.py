@@ -70,9 +70,15 @@ class DynamicBatcher:
         self.detector = detector
         self.max_batch = max_batch
         self.max_delay = max_delay
-        # pad ladder: powers of two up to max_batch (plus max_batch itself)
+        # pad ladder: powers of two up to max_batch (plus max_batch itself),
+        # scaled by the detector's batch granularity — a mesh-sharded
+        # FaceDetector only serves batches divisible by its data-axis size,
+        # so the ladder starts there (e.g. granularity 8: 8, 16, 32, ...)
+        # and max_batch rounds UP to the next servable width
+        g = max(1, int(getattr(detector, "batch_granularity", 1)))
+        self.max_batch = max_batch = -(-max_batch // g) * g
         widths = []
-        w = 1
+        w = g
         while w < max_batch:
             widths.append(w)
             w *= 2

@@ -71,6 +71,32 @@ class TestDynamicBatcher:
             np.testing.assert_allclose(got.poses, want.poses,
                                        rtol=1e-5, atol=1e-5)
 
+    def test_mesh_detector_granularity(self, unified_native, frames):
+        """A dp mesh-sharded detector only serves batches divisible by the
+        data-axis size; the batcher builds its pad ladder on
+        detector.batch_granularity so every dispatch width is servable —
+        even a lone request pads up to one shard row per device."""
+        from headpose_tpu.parallel import create_mesh
+        from headpose_tpu.runtime import FaceDetector
+
+        model, params = unified_native
+        mesh = create_mesh(8)
+        det = FaceDetector(model, params, score_threshold=0.05, mesh=mesh)
+        assert det.batch_granularity == 8
+        plain = FaceDetector(model, params, score_threshold=0.05)
+
+        with DynamicBatcher(det, max_batch=12, max_delay=0.05) as b:
+            assert b.widths == (8, 16)  # granularity-scaled, cap rounded up
+            want = plain.detect(np.stack(frames[:3])).trim()
+            futs = [b.submit(f) for f in frames[:3]]
+            for fut, w in zip(futs, want):
+                got = fut.result(timeout=120)
+                np.testing.assert_allclose(got.poses, w.poses,
+                                           rtol=1e-4, atol=1e-4)
+                np.testing.assert_allclose(got.boxes, w.boxes,
+                                           rtol=1e-5, atol=1e-5)
+            assert b.frames_served == 3
+
     def test_contract_errors(self, production_detector, frames):
         srv = DynamicBatcher(production_detector, max_batch=4,
                              max_delay=0.01)
