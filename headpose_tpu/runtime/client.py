@@ -160,6 +160,17 @@ class PoseClient:
         return _results_from_json(
             self._request("POST", "/v1/detect", buf.getvalue()))
 
+    def detect_batch(self, frames) -> list[Results]:
+        """One round trip for a whole (B, H, W, 3) batch — the efficient
+        remote path for offline work (B frames, one request, one response).
+        detect_many trades more round trips for lower per-frame latency;
+        this trades latency for wire efficiency."""
+        batch = np.ascontiguousarray(frames)
+        buf = io.BytesIO()
+        np.save(buf, batch)
+        body = self._request("POST", "/v1/detect_batch", buf.getvalue())
+        return [_results_from_json(r) for r in body["results"]]
+
     def detect_many(self, frames, *, concurrency: int = 16) -> list[Results]:
         """Concurrent fan-out: results in input order.
 

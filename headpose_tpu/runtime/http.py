@@ -24,6 +24,14 @@ client side is enough):
                       "keypoints": [[x,y] * 6]}]} — boxes/keypoints
                       normalized to [0,1], pose in degrees (the ragged
                       `Results` contract of runtime/results.py).
+  POST /v1/detect_batch
+                      body = one np.save'd (B, H, W, 3) uint8 array.
+                      Response: 200 JSON {"count": B, "results":
+                      [<faces-object per frame, same schema as /v1/detect>]}.
+                      One round trip for B frames — the efficient remote
+                      path for offline jobs (the rows enter the batcher as
+                      B submissions, so they share device dispatches with
+                      every other client's frames).
   GET  /v1/health     200 {"status": "ok"} once the server accepts work.
   GET  /v1/stats      200 serving counters: frames served, device dispatches,
                       frames/dispatch (the coalescing ratio — the number that
@@ -76,6 +84,21 @@ class _UnsupportedMedia(Exception):
     problem, not the request)."""
 
 
+def _faces_json(res) -> dict:
+    """One ragged Results -> the wire's faces object (shared by /v1/detect
+    and each row of /v1/detect_batch)."""
+    return {
+        "count": len(res),
+        "faces": [{
+            "box": [float(v) for v in res.boxes[i]],
+            "score": float(res.scores[i]),
+            "pose": [float(v) for v in res.poses[i]],
+            "keypoints": [[float(x), float(y)]
+                          for x, y in res.keypoints[i]],
+        } for i in range(len(res))],
+    }
+
+
 def _quantile(sorted_vals: list, q: float) -> float:
     """Nearest-rank quantile of an ascending list (one definition shared by
     /v1/stats and /metrics, so the two surfaces can never drift)."""
@@ -118,14 +141,31 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _read_frame(self) -> np.ndarray:
+    def _read_body(self) -> bytes:
         length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
             raise ValueError("missing request body (np.save'd frame or "
                              "JPEG/PNG image)")
         if length > MAX_BODY_BYTES:
             raise OverflowError(f"body {length} B exceeds {MAX_BODY_BYTES} B")
-        raw = self.rfile.read(length)
+        return self.rfile.read(length)
+
+    def _read_batch(self) -> np.ndarray:
+        raw = self._read_body()
+        if raw[:6] != b"\x93NUMPY":
+            raise ValueError("detect_batch takes one np.save'd "
+                             "(B, H, W, 3) array (images don't batch)")
+        try:
+            batch = np.load(io.BytesIO(raw), allow_pickle=False)
+        except Exception as e:
+            raise ValueError(f"body is not a .npy array: {e}") from None
+        if batch.ndim != 4 or batch.shape[-1] != 3 or batch.shape[0] < 1:
+            raise ValueError(f"detect_batch takes a non-empty (B, H, W, 3) "
+                             f"array, got shape {batch.shape}")
+        return batch
+
+    def _read_frame(self) -> np.ndarray:
+        raw = self._read_body()
         if raw[:6] == b"\x93NUMPY":
             try:
                 frame = np.load(io.BytesIO(raw), allow_pickle=False)
@@ -225,17 +265,28 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:
         srv = self.server
-        if self.path != "/v1/detect":
+        if self.path not in ("/v1/detect", "/v1/detect_batch"):
             # _fail (not _reply): the unread request body must not be parsed
             # as the next request on a kept-alive connection
             self._fail(404, f"unknown route {self.path!r}")
             return
+        batch_route = self.path.endswith("_batch")
         with srv.lock:
             srv.requests += 1
         t0 = time.monotonic()
         try:
-            frame = self._read_frame()
-            res = srv.batcher.detect(frame, timeout=srv.request_timeout)
+            if batch_route:
+                frames = self._read_batch()
+                # submit every row before waiting on any: the in-flight set
+                # is what coalesces (a submit-wait loop would dispatch each
+                # row alone)
+                futs = [srv.batcher.submit(f) for f in frames]
+                deadline = time.monotonic() + srv.request_timeout
+                ragged = [f.result(max(0.0, deadline - time.monotonic()))
+                          for f in futs]
+            else:
+                frame = self._read_frame()
+                res = srv.batcher.detect(frame, timeout=srv.request_timeout)
         except OverflowError as e:
             self._fail(413, str(e))
             return
@@ -258,16 +309,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         with srv.lock:
             srv.latencies.append(time.monotonic() - t0)
-        self._reply(200, {
-            "count": len(res),
-            "faces": [{
-                "box": [float(v) for v in res.boxes[i]],
-                "score": float(res.scores[i]),
-                "pose": [float(v) for v in res.poses[i]],
-                "keypoints": [[float(x), float(y)]
-                              for x, y in res.keypoints[i]],
-            } for i in range(len(res))],
-        })
+        if batch_route:
+            self._reply(200, {"count": len(ragged),
+                              "results": [_faces_json(r) for r in ragged]})
+        else:
+            self._reply(200, _faces_json(res))
 
     def _fail(self, code: int, msg: str) -> None:
         with self.server.lock:

@@ -124,6 +124,23 @@ class TestPoseClient:
             assert client._pool is not pool
         assert client._pool is None  # close() shut it down
 
+    def test_detect_batch_one_round_trip(self, server, production_detector,
+                                         frames):
+        """B frames in one request come back per-frame identical to the
+        detector, and the whole batch cost at most a couple of dispatches."""
+        want = production_detector.detect(np.stack(frames[:6])).trim()
+        with PoseClient(server.url) as client:
+            got = client.detect_batch(np.stack(frames[:6]))
+            assert len(got) == 6
+            for g, w in zip(got, want):
+                _assert_matches(g, w)
+            stats = client.stats()
+            assert stats["requests"] == 1          # ONE round trip
+            assert stats["frames_served"] == 6
+            assert stats["dispatches"] <= 2
+            with pytest.raises(ValueError, match=r"\(B, H, W, 3\)"):
+                client.detect_batch(frames[0])     # a frame, not a batch
+
     def test_from_ragged_roundtrip(self, server, production_detector,
                                    frames):
         """BatchResults.from_ragged is trim()'s exact inverse — remote
