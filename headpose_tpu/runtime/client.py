@@ -160,16 +160,33 @@ class PoseClient:
         return _results_from_json(
             self._request("POST", "/v1/detect", buf.getvalue()))
 
+    # Per-request ceilings mirroring the server's (runtime/http.py:
+    # MAX_BODY_BYTES 64 MB, MAX_BATCH_ROWS 1024), with headroom so a
+    # default client never trips a default server's limits: ~48 MB of
+    # frame bytes (the npy header adds ~100 B) and 512 rows per request.
+    _CHUNK_BYTES = 48 * 1024 * 1024
+    _CHUNK_ROWS = 512
+
     def detect_batch(self, frames) -> list[Results]:
-        """One round trip for a whole (B, H, W, 3) batch — the efficient
-        remote path for offline work (B frames, one request, one response).
-        detect_many trades more round trips for lower per-frame latency;
-        this trades latency for wire efficiency."""
+        """A whole (B, H, W, 3) batch in as few round trips as the server's
+        body limits allow — the efficient remote path for offline work
+        (ordinary batches fit one request; bigger ones are split into
+        ≤48 MB / ≤512-row chunks transparently).  detect_many trades more
+        round trips for lower per-frame latency; this trades latency for
+        wire efficiency."""
         batch = np.ascontiguousarray(frames)
-        buf = io.BytesIO()
-        np.save(buf, batch)
-        body = self._request("POST", "/v1/detect_batch", buf.getvalue())
-        return [_results_from_json(r) for r in body["results"]]
+        if batch.ndim != 4:
+            raise ValueError(f"detect_batch takes a (B, H, W, 3) array, "
+                             f"got shape {batch.shape}")
+        per_row = max(1, batch[0].nbytes)
+        rows = max(1, min(self._CHUNK_ROWS, self._CHUNK_BYTES // per_row))
+        out: list[Results] = []
+        for start in range(0, batch.shape[0], rows):
+            buf = io.BytesIO()
+            np.save(buf, batch[start:start + rows])
+            body = self._request("POST", "/v1/detect_batch", buf.getvalue())
+            out.extend(_results_from_json(r) for r in body["results"])
+        return out
 
     def detect_many(self, frames, *, concurrency: int = 16) -> list[Results]:
         """Concurrent fan-out: results in input order.

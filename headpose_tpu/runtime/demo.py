@@ -57,6 +57,9 @@ class _RemoteDetector:
 
         return BatchResults.from_ragged([self.client.detect(frame)])
 
+    def close(self) -> None:
+        self.client.close()
+
 
 def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
@@ -151,6 +154,8 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
             writer.release()
         if display:
             cv2.destroyAllWindows()
+        if server is not None:
+            detector.close()  # reclaim the PoseClient's kept-alive socket
     return frames
 
 

@@ -31,7 +31,10 @@ client side is enough):
                       One round trip for B frames — the efficient remote
                       path for offline jobs (the rows enter the batcher as
                       B submissions, so they share device dispatches with
-                      every other client's frames).
+                      every other client's frames).  Per request: at most
+                      MAX_BATCH_ROWS rows and MAX_BODY_BYTES bytes —
+                      PoseClient.detect_batch chunks larger batches
+                      transparently.
   GET  /v1/health     200 {"status": "ok"} once the server accepts work.
   GET  /v1/stats      200 serving counters: frames served, device dispatches,
                       frames/dispatch (the coalescing ratio — the number that
@@ -75,8 +78,15 @@ from .server import DynamicBatcher
 __all__ = ["PoseServer"]
 
 # One uncompressed 1080p BGR frame is ~6 MB; 64 MB rejects runaway bodies
-# without ever touching a legitimate frame.
+# without ever touching a legitimate frame.  PoseClient.detect_batch chunks
+# its requests to stay under this (client.py keeps its chunk budget below
+# this value — change them together).
 MAX_BODY_BYTES = 64 * 1024 * 1024
+# Rows one /v1/detect_batch request may carry.  Bounds what a single small
+# body can enqueue (a (10M, 1, 2, 3) array passes every byte/shape check but
+# would flood the batcher with millions of futures); generous vs any real
+# dispatch ladder (max_batch caps at 128-ish) while still O(seconds) of work.
+MAX_BATCH_ROWS = 1024
 
 
 class _UnsupportedMedia(Exception):
@@ -150,27 +160,35 @@ class _Handler(BaseHTTPRequestHandler):
             raise OverflowError(f"body {length} B exceeds {MAX_BODY_BYTES} B")
         return self.rfile.read(length)
 
+    @staticmethod
+    def _load_npy(raw: bytes) -> np.ndarray:
+        """Decode an np.save'd body (shared by both POST routes so any
+        future hardening of the npy path covers them together)."""
+        try:
+            return np.load(io.BytesIO(raw), allow_pickle=False)
+        except Exception as e:
+            raise ValueError(f"body is not a .npy array: {e}") from None
+
     def _read_batch(self) -> np.ndarray:
         raw = self._read_body()
         if raw[:6] != b"\x93NUMPY":
             raise ValueError("detect_batch takes one np.save'd "
                              "(B, H, W, 3) array (images don't batch)")
-        try:
-            batch = np.load(io.BytesIO(raw), allow_pickle=False)
-        except Exception as e:
-            raise ValueError(f"body is not a .npy array: {e}") from None
+        batch = self._load_npy(raw)
         if batch.ndim != 4 or batch.shape[-1] != 3 or batch.shape[0] < 1:
             raise ValueError(f"detect_batch takes a non-empty (B, H, W, 3) "
                              f"array, got shape {batch.shape}")
+        if batch.shape[0] > MAX_BATCH_ROWS:
+            raise ValueError(
+                f"detect_batch accepts at most {MAX_BATCH_ROWS} rows per "
+                f"request, got {batch.shape[0]} — split the batch "
+                f"(PoseClient.detect_batch chunks automatically)")
         return batch
 
     def _read_frame(self) -> np.ndarray:
         raw = self._read_body()
         if raw[:6] == b"\x93NUMPY":
-            try:
-                frame = np.load(io.BytesIO(raw), allow_pickle=False)
-            except Exception as e:
-                raise ValueError(f"body is not a .npy array: {e}") from None
+            frame = self._load_npy(raw)
         elif raw[:3] == b"\xff\xd8\xff" or raw[:8] == b"\x89PNG\r\n\x1a\n":
             # an encoded image: decode server-side to the same BGR (H, W, 3)
             # contract cv2 frames carry — `curl --data-binary @face.jpg`
@@ -281,9 +299,18 @@ class _Handler(BaseHTTPRequestHandler):
                 # is what coalesces (a submit-wait loop would dispatch each
                 # row alone)
                 futs = [srv.batcher.submit(f) for f in frames]
-                deadline = time.monotonic() + srv.request_timeout
-                ragged = [f.result(max(0.0, deadline - time.monotonic()))
-                          for f in futs]
+                try:
+                    deadline = time.monotonic() + srv.request_timeout
+                    ragged = [f.result(max(0.0, deadline - time.monotonic()))
+                              for f in futs]
+                except BaseException:
+                    # nobody will read the remaining rows' results — shed
+                    # the not-yet-dispatched ones (the dispatcher honors
+                    # cancellation via set_running_or_notify_cancel) instead
+                    # of burning device time on abandoned work
+                    for f in futs:
+                        f.cancel()
+                    raise
             else:
                 frame = self._read_frame()
                 res = srv.batcher.detect(frame, timeout=srv.request_timeout)

@@ -13,8 +13,10 @@ sweep — so a 1-frame dispatch wastes ~99% of a dispatch's capacity).
   * requests queue up; a dispatcher thread drains them into one batch of at
     most `max_batch`, waiting at most `max_delay` seconds past the OLDEST
     queued request before flushing (bounded added latency);
-  * the batch is padded up to a fixed LADDER of widths (powers of two up to
-    `max_batch`) so the number of distinct compiled programs stays small —
+  * the batch is padded up to a fixed LADDER of widths (doublings of the
+    detector's batch granularity up to `max_batch`, itself rounded up to a
+    granularity multiple — see `__init__`) so the number of distinct
+    compiled programs stays small —
     static shapes are the XLA contract, and an exact-size batch per request
     count would compile once per distinct count;
   * results come back per request as host-side ragged `Results` via the

@@ -141,6 +141,28 @@ class TestPoseClient:
             with pytest.raises(ValueError, match=r"\(B, H, W, 3\)"):
                 client.detect_batch(frames[0])     # a frame, not a batch
 
+    def test_detect_batch_chunks_transparently(self, server,
+                                               production_detector, frames):
+        """A batch bigger than the per-request chunk budget splits into
+        several requests (the server caps rows and bytes per request,
+        runtime/http.py) but still returns ONE ordered result list."""
+        want = production_detector.detect(np.stack(frames[:6])).trim()
+        with PoseClient(server.url) as client:
+            client._CHUNK_ROWS = 2            # instance override: 3 chunks
+            got = client.detect_batch(np.stack(frames[:6]))
+            assert len(got) == 6
+            for g, w in zip(got, want):
+                _assert_matches(g, w)
+            assert client.stats()["requests"] == 3   # ceil(6/2) round trips
+
+            # the byte budget chunks too: a budget of ~2 frames -> 2-row
+            # chunks even with the row cap wide open
+            client._CHUNK_ROWS = 512
+            client._CHUNK_BYTES = frames[0].nbytes * 2 + 1
+            got = client.detect_batch(np.stack(frames[:4]))
+            assert len(got) == 4
+            assert client.stats()["requests"] == 3 + 2
+
     def test_from_ragged_roundtrip(self, server, production_detector,
                                    frames):
         """BatchResults.from_ragged is trim()'s exact inverse — remote

@@ -250,6 +250,22 @@ class TestPoseServer:
         status, stats = _get(server.url, "/v1/stats")
         assert stats["errors"] == len(bodies)
 
+    def test_batch_row_cap(self, server):
+        """One small body cannot flood the batcher: more rows than
+        MAX_BATCH_ROWS (a degenerate (B, 1, 2, 3) array passes every
+        byte/shape check) is 400 BEFORE any row is submitted — so the bad
+        request cannot pin the server's frame shape either."""
+        big = np.zeros((http_mod.MAX_BATCH_ROWS + 1, 1, 2, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, big)
+        req = urllib.request.Request(f"{server.url}/v1/detect_batch",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+        assert "at most" in json.load(exc.value)["error"]
+        assert _get(server.url, "/v1/stats")[1]["frame_shape"] is None
+
     def test_oversized_body_rejected(self, server, frames, monkeypatch):
         monkeypatch.setattr(http_mod, "MAX_BODY_BYTES", 1024)
         buf = io.BytesIO()
