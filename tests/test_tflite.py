@@ -1,0 +1,119 @@
+"""TFLite export tests (tools/tflite.py).
+
+The reference's detector descends from MediaPipe BlazeFace, whose canonical
+deployment format is .tflite; these tests prove the loop closes from this
+framework's side — native heads, native unified models, and reference-format
+H5 artifacts all convert to flatbuffers whose serving_default signature
+reproduces the JAX forward (validation gate inside every export, the
+reference's own InputShapeConvertor.py:129-218 idiom).
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+pytest.importorskip("tensorflow")
+pytest.importorskip("tf_keras")
+
+from headpose_tpu.models import heads as H
+from headpose_tpu.tools.tflite import (UNIFIED_OUTPUT_NAMES, TFLiteModel,
+                                       export_h5_tflite, export_head_tflite,
+                                       export_unified_tflite)
+
+from conftest import REFERENCE_ROOT, has_reference
+
+HRCHR = os.path.join(
+    REFERENCE_ROOT,
+    "Model-96/Trained-Models-96-ReshapedInput-NoFlatten/hrchr82r.h5")
+
+
+class TestHeadExport:
+    def test_mlp_head_round_trips(self, tmp_path):
+        """The production-style MLP chain converts and the signature runner
+        reproduces spec.apply on fresh inputs (not just the validation
+        draw)."""
+        spec = H.MLPHead(96, ((32, "tanh"), (16, "tanh"), (3, "linear")))
+        params = spec.init(jax.random.PRNGKey(0))
+        out = str(tmp_path / "head.tflite")
+        report = export_head_tflite(spec, params, out)
+        assert report["maxerr"] <= 1e-5 and report["bytes"] > 0
+        tm = TFLiteModel(out)
+        assert tm.input_names == ["features"]
+        assert tm.output_names == ["pose"]
+        x = np.random.default_rng(3).normal(size=(1, 1, 1, 96)).astype(
+            np.float32)
+        got = tm(features=x)["pose"]
+        np.testing.assert_allclose(got, np.asarray(spec.apply(params, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_se_transformer_converts(self, tmp_path):
+        """The attention family (MHA + LayerNorm + SE gating — the graph
+        most likely to trip a converter) exports at a map input shape."""
+        spec = H.SETransformerHead(88)
+        params = spec.init(jax.random.PRNGKey(1))
+        report = export_head_tflite(spec, params,
+                                    str(tmp_path / "set.tflite"),
+                                    input_shape=(1, 4, 4, 88))
+        assert report["maxerr"] <= 1e-5
+        assert report["input_shape"] == (1, 4, 4, 88)
+
+    def test_validation_gate_fails_loud(self, tmp_path, monkeypatch):
+        """A converted artifact that diverges from the JAX forward must not
+        be written: sabotage the comparison tolerance to prove the gate is
+        live."""
+        spec = H.MLPHead(8, ((3, "linear"),))
+        params = spec.init(jax.random.PRNGKey(0))
+        out = str(tmp_path / "bad.tflite")
+        with pytest.raises(ValueError, match="diverges"):
+            export_head_tflite(spec, params, out, atol=-1.0)
+        assert not os.path.exists(out)
+
+
+class TestUnifiedExport:
+    def test_flagship_six_output_contract(self, tmp_path, unified_native):
+        """The flagship exports with the reference's 6 named outputs
+        (JoinModels.py:152-158) and every output tracks the native forward
+        within the importer's own golden budget (2e-4)."""
+        model, params = unified_native
+        out = str(tmp_path / "flagship.tflite")
+        report = export_unified_tflite(model, params, out)
+        assert set(report["maxerr"]) == set(UNIFIED_OUTPUT_NAMES)
+        assert max(report["maxerr"].values()) <= 2e-4
+        tm = TFLiteModel(out)
+        assert tm.input_names == ["image"]
+        assert sorted(tm.output_names) == sorted(UNIFIED_OUTPUT_NAMES)
+        x = np.random.default_rng(5).uniform(
+            -1, 1, (1, 128, 128, 3)).astype(np.float32)
+        got = tm(image=x)
+        with jax.default_matmul_precision("highest"):
+            want = dict(zip(UNIFIED_OUTPUT_NAMES,
+                            model.reference_outputs(params, x)))
+        for name in UNIFIED_OUTPUT_NAMES:
+            np.testing.assert_allclose(got[name], np.asarray(want[name]),
+                                       rtol=1e-4, atol=2e-4)
+
+
+class TestH5Export:
+    def test_reference_zoo_artifact(self, tmp_path):
+        """A shipped reference artifact (the production 96-d head) converts
+        directly from its H5, validated against our graph compiler."""
+        if not has_reference():
+            pytest.skip("reference artifacts not mounted")
+        report = export_h5_tflite(HRCHR, str(tmp_path / "z.tflite"))
+        assert max(report["maxerr"].values()) <= 2e-4
+        assert report["input_shape"] == (1, 1, 1, 96)
+
+    def test_cli_head_h5(self, tmp_path):
+        """CLI smoke: --model <h5> --out <tflite> writes a loadable
+        artifact."""
+        if not has_reference():
+            pytest.skip("reference artifacts not mounted")
+        from headpose_tpu.tools.tflite import main
+
+        out = str(tmp_path / "cli.tflite")
+        main(["--model", HRCHR, "--out", out])
+        tm = TFLiteModel(out)
+        x = np.zeros((1, 1, 1, 96), np.float32)
+        assert next(iter(tm(**{tm.input_names[0]: x}).values())).shape \
+            == (1, 1, 1, 3)
