@@ -28,7 +28,12 @@ or `Interpreter.resize_tensor_input` at load time.
     export_unified_tflite(model, params, "flagship.tflite")
     out = TFLiteModel("flagship.tflite")(image=x)   # dict of 6 named outputs
 
-CLI:  python -m headpose_tpu.tools.tflite --model unified-best --out m.tflite
+CLI:  python -m headpose_tpu.tools.tflite \
+          --model unified-stoqa9pt-hrchr82r --out m.tflite
+
+(`unified-best` carries SE-gated ensemble heads, whose map-grafted pose maps
+diverge from the calibrated per-vector function — export_unified_tflite
+refuses them by default and the error spells out the per-face alternative.)
 """
 from __future__ import annotations
 
@@ -97,7 +102,15 @@ class TFLiteModel:
     """
 
     def __init__(self, src: str | bytes):
-        tf, _ = _require_tf()
+        # running an artifact back needs only the interpreter — not
+        # tf_keras, not the converter (the "serving host only needs the
+        # .tflite runtime" claim above)
+        try:
+            import tensorflow as tf
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("TFLiteModel needs a TFLite interpreter "
+                              "(tensorflow, or the tflite-runtime wheel "
+                              "with this class's two calls)") from e
         if isinstance(src, bytes):
             self._interp = tf.lite.Interpreter(model_content=src)
         else:
@@ -138,16 +151,19 @@ def _validate(blob: bytes, inputs: dict, want: dict, atol: float) -> dict:
     return report
 
 
-def export_head_tflite(spec, params, path: str, *,
+def export_head_tflite(spec, params, path: str, *, batch: int = 1,
                        input_shape: tuple[int, ...] | None = None,
-                       validate: bool = True, atol: float = 1e-5) -> dict:
+                       validate: bool = True, atol: float = 5e-5) -> dict:
     """Export a native pose head (any family save_head_h5 supports) to a
     float32 .tflite with signature `features -> pose`.
 
-    `input_shape` defaults to the per-face vector shape (1, 1, 1, C) — the
-    dataset/training semantics (train_96.py:134-140); pass (B, H, W, C) to
-    bake a map-shaped variant instead.  Returns a report dict with the
-    artifact size and, when `validate`, the max |tflite - jax| per output.
+    `input_shape` defaults to the per-face vector shape (batch, 1, 1, C) —
+    the dataset/training semantics (train_96.py:134-140); pass (B, H, W, C)
+    to bake a map-shaped variant instead (an explicit shape wins over
+    `batch`).  Returns a report dict with the artifact size and, when
+    `validate`, the max |tflite - jax| per output.  The default atol is
+    f32 accumulation-order noise (wide softsign chains reach ~2e-5),
+    four orders below the 0.1° pose parity budget.
     """
     _, tf_keras = _require_tf()
     from .h5export import save_head_h5
@@ -157,7 +173,7 @@ def export_head_tflite(spec, params, path: str, *,
         if c is None:
             raise ValueError(f"{type(spec).__name__} declares no "
                              "in_features; pass input_shape explicitly")
-        input_shape = (1, 1, 1, int(c))
+        input_shape = (batch, 1, 1, int(c))
     with tempfile.TemporaryDirectory() as d:
         h5 = os.path.join(d, "head.h5")
         save_head_h5(spec, params, h5)
@@ -168,8 +184,11 @@ def export_head_tflite(spec, params, path: str, *,
         x = np.random.default_rng(0).normal(size=input_shape).astype(
             np.float32)
         import jax
+        # jit: eager per-op dispatch through a remote-device tunnel is
+        # ~100x slower than one compiled program (CLAUDE.md)
         with jax.default_matmul_precision("highest"):
-            want = np.asarray(spec.apply(params, x))
+            want = np.asarray(jax.jit(
+                lambda p, a: spec.apply(p, a))(params, x))
         report["maxerr"] = _validate(blob, {"features": x},
                                      {"pose": want}, atol)["pose"]
     with open(path, "wb") as f:
@@ -178,7 +197,8 @@ def export_head_tflite(spec, params, path: str, *,
 
 
 def export_unified_tflite(model, params, path: str, *, batch: int = 1,
-                          validate: bool = True, atol: float = 2e-4) -> dict:
+                          validate: bool = True, atol: float = 2e-4,
+                          allow_spatial_heads: bool = False) -> dict:
     """Export a native UnifiedPoseModel to .tflite with the reference's
     6-output contract as named signature outputs (`image` in, cls/loc/pose
     front+back out — JoinModels.py:152-158).
@@ -186,10 +206,32 @@ def export_unified_tflite(model, params, path: str, *, batch: int = 1,
     Input is the preprocessed [-1, 1] image, like the source H5; the default
     atol matches the importer's own golden budget (test_models.py, ≤2e-4 vs
     the executing reference).
+
+    Heads with spatial context (SE gating, attention — anything declaring
+    ``spatial_context``) are REFUSED by default: the 6-output contract bakes
+    map-grafted pose maps, which for such heads diverge p50 3.9° / max 26.5°
+    from the calibrated per-vector function they were scored on
+    (docs/headeval_divergence.json; the serving stack runs them
+    ``head_eval='survivors'`` for the same reason).  Per-cell heads (the
+    flagship's) are unaffected — map and vector semantics are identical.
     """
     _, tf_keras = _require_tf()
     from .h5export import save_unified_h5
 
+    spatial = [n for n, h in (("head88", model.head88),
+                              ("head96", model.head96))
+               if h is not None and getattr(h, "spatial_context", False)]
+    if spatial and not allow_spatial_heads:
+        raise ValueError(
+            f"{', '.join(spatial)} declare spatial context: the unified "
+            "TFLite graph would bake MAP-grafted pose maps, which diverge "
+            "p50 3.9° / max 26.5° from the per-vector function "
+            "these heads were calibrated on (docs/headeval_divergence."
+            "json).  Export a per-cell unified model (e.g. the flagship "
+            "'unified-stoqa9pt-hrchr82r') — or ship the head separately "
+            "via export_head_tflite (input (1, 1, 1, C) IS the per-vector "
+            "function) and gather survivor feature vectors host-side.  "
+            "Pass allow_spatial_heads=True to bake map semantics anyway.")
     size = int(model.backbone.input_size)
     with tempfile.TemporaryDirectory() as d:
         h5 = os.path.join(d, "unified.h5")
@@ -205,9 +247,10 @@ def export_unified_tflite(model, params, path: str, *, batch: int = 1,
         x = np.random.default_rng(0).uniform(
             -1, 1, (batch, size, size, 3)).astype(np.float32)
         import jax
+        # jit for the same tunnel-dispatch reason as export_head_tflite
         with jax.default_matmul_precision("highest"):
             want = dict(zip(UNIFIED_OUTPUT_NAMES,
-                            model.reference_outputs(params, x)))
+                            jax.jit(model.reference_outputs)(params, x)))
         report["maxerr"] = _validate(blob, {"image": x}, want, atol)
     with open(path, "wb") as f:
         f.write(blob)
@@ -278,7 +321,9 @@ def main(argv=None) -> None:
     if path is not None and os.path.isdir(path):
         from .export import load_model
         spec, params = load_model(path)
-    elif path is not None and path.endswith((".h5", ".hdf5", ".keras")):
+    elif path is not None and path.endswith((".h5", ".hdf5")):
+        # (.keras archives are Keras 3's zip format — neither tf-keras nor
+        # the validation reader consumes them; re-save as H5 first)
         report = export_h5_tflite(path, args.out, batch=args.batch,
                                   validate=validate)
         print(f"wrote {args.out}: {report}")
@@ -291,7 +336,7 @@ def main(argv=None) -> None:
                                        batch=args.batch, validate=validate)
     else:
         report = export_head_tflite(spec, params, args.out,
-                                    validate=validate)
+                                    batch=args.batch, validate=validate)
     print(f"wrote {args.out}: {report}")
 
 

@@ -58,7 +58,7 @@ class TestHeadExport:
         assert report["maxerr"] <= 1e-5
         assert report["input_shape"] == (1, 4, 4, 88)
 
-    def test_validation_gate_fails_loud(self, tmp_path, monkeypatch):
+    def test_validation_gate_fails_loud(self, tmp_path):
         """A converted artifact that diverges from the JAX forward must not
         be written: sabotage the comparison tolerance to prove the gate is
         live."""
@@ -92,6 +92,21 @@ class TestUnifiedExport:
         for name in UNIFIED_OUTPUT_NAMES:
             np.testing.assert_allclose(got[name], np.asarray(want[name]),
                                        rtol=1e-4, atol=2e-4)
+
+    def test_spatial_heads_refused(self, unified_native):
+        """SE-gated/attention heads are refused: the 6-output contract can
+        only bake MAP-grafted pose maps, which diverge p50 3.9°/max 26.5°
+        from the per-vector function such heads are calibrated on
+        (docs/headeval_divergence.json — the same reason best_detector()
+        serves head_eval='survivors')."""
+        import dataclasses
+
+        model, params = unified_native
+        se = H.SEMLPHead(88)
+        bad = dataclasses.replace(model, head88=se)
+        bad_params = dict(params, head88=se.init(jax.random.PRNGKey(0)))
+        with pytest.raises(ValueError, match="survivors|per-vector"):
+            export_unified_tflite(bad, bad_params, "/dev/null/never.tflite")
 
 
 class TestH5Export:
