@@ -109,6 +109,48 @@ class TestUnifiedExport:
             export_unified_tflite(bad, bad_params, "/dev/null/never.tflite")
 
 
+class TestEdgeCertificate:
+    """Gates on docs/tflite_certification.json (scripts/certify_tflite.py):
+    the exported flagship run image-by-image (batch 1, the edge shape) over
+    the full parity corpus, raw outputs through the framework postprocess
+    at production settings, matched against the reference-pipeline
+    goldens."""
+
+    def test_certificate_fresh_and_detection_identical(self):
+        import hashlib
+        import json
+
+        cert_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                                 "tflite_certification.json")
+        corpus = os.path.join(os.path.dirname(__file__), "golden",
+                              "parity_corpus.npz")
+        with open(cert_path) as f:
+            cert = json.load(f)
+        sha = hashlib.sha256(open(corpus, "rb").read()).hexdigest()
+        assert cert["corpus_sha256"] == sha, \
+            "stale certificate: re-run scripts/certify_tflite.py"
+        assert cert["images"] == 112
+        assert cert["set_agreement"] == 1.0          # detection-identical
+        assert cert["pose_deg"]["n"] == 451          # every golden matched
+        assert cert["pose_deg"]["max"] <= 1e-3       # 100x under the budget
+
+
+@pytest.mark.slow
+def test_zoo_stratified_tflite_sweep(tmp_path):
+    """Every 10th head of the 139-head stratified zoo sample (the same
+    fixture test_h5_graph value-tests) exports to TFLite; the numeric gate
+    inside export_h5_tflite (vs our graph compiler) is the assertion."""
+    if not has_reference():
+        pytest.skip("reference artifacts not mounted")
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "zoo_heads.npz"), allow_pickle=True)
+    names = list(g["names"])[::10]
+    for n in names:
+        path = str(g[f"path_{n}"])
+        report = export_h5_tflite(path, str(tmp_path / f"{n}.tflite"))
+        assert max(report["maxerr"].values()) <= 2e-4, (n, report)
+
+
 class TestH5Export:
     def test_reference_zoo_artifact(self, tmp_path):
         """A shipped reference artifact (the production 96-d head) converts
