@@ -1,0 +1,219 @@
+"""Edge pipeline: TFLite artifact + native C++ postprocess, no JAX in the loop.
+
+tools/tflite.py ships the model half of an edge deployment; this module
+ships the other half — the same role the reference's host-side numpy/tf
+postprocess plays next to its Keras model (blazeFaceDetectorH5.py:284-357):
+
+  * `NativePostprocess` — ctypes bindings for native/postprocess.cpp
+    (score filter + anchor decode + greedy NMS + pose lookup), semantics
+    matching ops/detection.py::postprocess exactly (fuzz- and corpus-tested,
+    tests/test_edge.py).
+  * `EdgeDetector` — the combined pipeline: preprocess (numpy, the exact
+    reference arithmetic) → TFLite invoke → native postprocess → `Results`.
+    `import headpose_tpu.runtime.edge` pulls in neither jax nor tensorflow
+    until a detector is built, and the detection loop itself runs entirely
+    in the TFLite interpreter + the C++ library.
+
+    from headpose_tpu.runtime.edge import EdgeDetector
+    det = EdgeDetector("flagship.tflite")       # tools/tflite.py artifact
+    results = det.detect_single(frame)          # (S, S, 3) uint8 BGR
+
+The C++ library builds on first use (g++ -O3, no dependencies), following
+the data/native.py pattern.  Frames must already be input_size² — edge
+capture pipelines own their resize; the certified parity path
+(docs/tflite_certification.json) runs at the model's native 128.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .results import Results
+
+__all__ = ["NativePostprocess", "EdgeDetector", "native_available"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SRC = os.path.join(_NATIVE_DIR, "postprocess.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libpostprocess.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+_F32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    try:
+        # -ffp-contract=off: FMA contraction would change the decode's f32
+        # roundings vs the JAX GEMM — the parity contract is bit-exactness
+        subprocess.run(["g++", "-O3", "-ffp-contract=off", "-shared",
+                        "-fPIC", "-o", _LIB, _SRC],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            # a prebuilt .so can be ABI-incompatible with this host —
+            # rebuild once, then give up cleanly (same recovery as
+            # data/native.py)
+            if not _build() :
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                _build_failed = True
+                return None
+        lib.hp_postprocess_batch.restype = ctypes.c_int
+        lib.hp_postprocess_batch.argtypes = [
+            _F32, _F32, _F32, _F32, _F32,                    # model outputs
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,        # B, A, A_front
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # grids
+            ctypes.c_float, ctypes.c_float,                  # thresholds
+            ctypes.c_int, ctypes.c_int,                      # size, max_faces
+            _F32, _F32, _F32, _F32, _I32]                    # outputs
+        _lib = lib
+        return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativePostprocess:
+    """Batched detection postprocess via the C++ library.
+
+    `anchors` is the (A, 4) normalized table (models.anchors layout); the
+    front-grid anchor count is derived from the pose maps at call time
+    (2/cell on the front grid, 6/cell on the back —
+    blazeFaceDetectorH5.py:342-353; both shipped topologies use 16x16/8x8
+    grids).  Call with raw model outputs, get per-image ragged `Results`
+    (the reference contract) back.
+    """
+
+    def __init__(self, anchors: np.ndarray, *,
+                 input_size: int = 128, score_threshold: float = 0.4,
+                 iou_threshold: float = 0.3, max_faces: int = 100):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native postprocess unavailable: g++ could not build "
+                f"{_SRC} on this host")
+        self._lib = lib
+        self.anchors = np.ascontiguousarray(anchors, np.float32)
+        self.input_size = int(input_size)
+        self.score_threshold = float(score_threshold)
+        self.iou_threshold = float(iou_threshold)
+        self.max_faces = int(max_faces)
+
+    def __call__(self, logits: np.ndarray, loc: np.ndarray,
+                 pose_front: np.ndarray, pose_back: np.ndarray
+                 ) -> list[Results]:
+        logits = np.ascontiguousarray(logits, np.float32)
+        loc = np.ascontiguousarray(loc, np.float32)
+        pose_front = np.ascontiguousarray(pose_front, np.float32)
+        pose_back = np.ascontiguousarray(pose_back, np.float32)
+        if logits.ndim != 2 or loc.shape != (*logits.shape, 16):
+            raise ValueError(f"want logits (B, A) and loc (B, A, 16), got "
+                             f"{logits.shape} / {loc.shape}")
+        b, a = logits.shape
+        hf, wf = pose_front.shape[1:3]
+        hb, wb = pose_back.shape[1:3]
+        num_front = 2 * hf * wf
+        f = self.max_faces
+        boxes = np.empty((b, f, 4), np.float32)
+        keypoints = np.empty((b, f, 6, 2), np.float32)
+        scores = np.empty((b, f), np.float32)
+        poses = np.empty((b, f, 3), np.float32)
+        counts = np.empty((b,), np.int32)
+        rc = self._lib.hp_postprocess_batch(
+            logits, loc, pose_front, pose_back, self.anchors, b, a,
+            num_front, hf, wf, hb, wb,
+            ctypes.c_float(self.score_threshold),
+            ctypes.c_float(self.iou_threshold), self.input_size, f,
+            boxes, keypoints, scores, poses, counts)
+        if rc != 0:
+            raise ValueError(
+                f"native postprocess rejected the layout: A={a}, "
+                f"num_front={num_front}, grids {hf}x{wf}/{hb}x{wb} "
+                "(front must be 2/cell, back 6/cell)")
+        return [Results(boxes=boxes[i, :c], keypoints=keypoints[i, :c],
+                        scores=scores[i, :c], poses=poses[i, :c])
+                for i, c in enumerate(counts)]
+
+
+class EdgeDetector:
+    """TFLite artifact + native postprocess: the full detection pipeline on
+    a host with no JAX.  Mirrors `FaceDetector.detect_single`'s contract
+    (ragged `Results`; certified detection-identical to the reference on
+    the parity corpus — docs/tflite_certification.json measures the same
+    artifact + postprocess arithmetic)."""
+
+    def __init__(self, tflite_path: str, *, score_threshold: float = 0.4,
+                 iou_threshold: float = 0.3, max_faces: int = 100,
+                 input_size: int = 128, channel_order: str = "bgr"):
+        from ..models.anchors import (BACK_CONFIG, FRONT_CONFIG,
+                                      generate_anchors)
+        from ..tools.tflite import TFLiteModel
+
+        if channel_order not in ("bgr", "rgb"):
+            raise ValueError(f"channel_order must be 'bgr' or 'rgb', "
+                             f"got {channel_order!r}")
+        self.model = TFLiteModel(tflite_path)
+        if self.model.input_names != ["image"]:
+            raise ValueError(
+                f"{tflite_path} is not a unified-model artifact "
+                f"(inputs {self.model.input_names}; export with "
+                "tools.tflite.export_unified_tflite)")
+        cfg = FRONT_CONFIG if input_size == 128 else BACK_CONFIG
+        anchors = np.asarray(generate_anchors(cfg), np.float32)
+        self.input_size = input_size
+        self.channel_order = channel_order
+        self.postprocess = NativePostprocess(
+            anchors, input_size=input_size,
+            score_threshold=score_threshold, iou_threshold=iou_threshold,
+            max_faces=max_faces)
+
+    def _preprocess(self, frame: np.ndarray) -> np.ndarray:
+        s = self.input_size
+        if frame.shape != (s, s, 3):
+            raise ValueError(
+                f"EdgeDetector takes ({s}, {s}, 3) frames (the artifact's "
+                f"baked size), got {frame.shape} — resize upstream")
+        x = frame.astype(np.float32)
+        if self.channel_order == "bgr":
+            x = x[..., ::-1]
+        # the exact reference arithmetic (ops/image.py preprocess; resize
+        # is identity at the native size)
+        x = x / np.float32(255.0)
+        x = (x - np.float32(0.5)) / np.float32(0.5)
+        return np.ascontiguousarray(x[None])
+
+    def detect_single(self, frame: np.ndarray) -> Results:
+        out = self.model(image=self._preprocess(frame))
+        logits = np.concatenate([out["cls_front"][:, :, 0],
+                                 out["cls_back"][:, :, 0]], axis=1)
+        loc = np.concatenate([out["loc_front"], out["loc_back"]], axis=1)
+        return self.postprocess(logits, loc, out["pose_front"],
+                                out["pose_back"])[0]

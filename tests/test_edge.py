@@ -1,0 +1,167 @@
+"""Native edge postprocess (native/postprocess.cpp via runtime/edge.py).
+
+The C++ library is the host half of the edge deployment (TFLite artifact +
+native postprocess, no JAX in the loop); its contract is exact parity with
+ops/detection.py::postprocess — which is itself golden-verified against the
+reference pipeline.  Fuzzed on adversarial inputs, then driven end-to-end
+as EdgeDetector against the JAX FaceDetector on parity-corpus images.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from headpose_tpu.models.anchors import FRONT_CONFIG, generate_anchors
+from headpose_tpu.ops.detection import postprocess
+from headpose_tpu.runtime.edge import NativePostprocess, native_available
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="g++ unavailable on this host")
+
+ANCHORS = np.asarray(generate_anchors(FRONT_CONFIG), np.float32)
+
+
+def _jax_post(logits, loc, pf, pb, **kw):
+    fn = jax.jit(jax.vmap(lambda s, l, a, b: postprocess(
+        s, l, a, b, jnp.asarray(ANCHORS), **kw)))
+    return jax.tree.map(np.asarray, fn(jnp.asarray(logits), jnp.asarray(loc),
+                                       jnp.asarray(pf), jnp.asarray(pb)))
+
+
+def _assert_matches_jax(native_results, jax_out):
+    for i, res in enumerate(native_results):
+        count = int(jax_out["valid"][i].sum())
+        assert len(res) == count, f"image {i}: count {len(res)} != {count}"
+        c = count
+        np.testing.assert_array_equal(res.boxes, jax_out["boxes"][i, :c])
+        np.testing.assert_array_equal(res.keypoints,
+                                      jax_out["keypoints"][i, :c])
+        np.testing.assert_array_equal(res.poses, jax_out["poses"][i, :c])
+        np.testing.assert_allclose(res.scores, jax_out["scores"][i, :c],
+                                   rtol=0, atol=2e-7)  # sigmoid ulp
+
+
+class TestNativePostprocessParity:
+    def test_fuzz_random_inputs(self):
+        """200 random images (varying detection density) decode, NMS, and
+        pose-gather bit-identically to the JAX postprocess."""
+        rng = np.random.default_rng(0)
+        B = 200
+        logits = rng.normal(-3.0, 2.5, (B, 896)).astype(np.float32)
+        loc = rng.normal(0.0, 20.0, (B, 896, 16)).astype(np.float32)
+        pf = rng.normal(0, 30, (B, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 30, (B, 8, 8, 3)).astype(np.float32)
+        native = NativePostprocess(ANCHORS)
+        got = native(logits, loc, pf, pb)
+        want = _jax_post(logits, loc, pf, pb)
+        assert sum(len(r) for r in got) > 100  # the fuzz actually detects
+        _assert_matches_jax(got, want)
+
+    def test_nonfinite_and_ties(self):
+        """nan/inf logits, non-finite loc, and exactly-tied scores follow
+        the JAX sanitization + first-index tie-break."""
+        rng = np.random.default_rng(1)
+        B = 8
+        logits = rng.normal(0.0, 1.0, (B, 896)).astype(np.float32)
+        logits[0, :10] = np.nan
+        logits[1, 5] = np.inf
+        logits[2, :] = -np.inf
+        logits[3, 100] = logits[3, 200] = 4.0   # tie: lower index wins
+        loc = rng.normal(0.0, 10.0, (B, 896, 16)).astype(np.float32)
+        loc[1, 5, :4] = [np.nan, np.inf, -np.inf, np.nan]
+        pf = rng.normal(0, 5, (B, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 5, (B, 8, 8, 3)).astype(np.float32)
+        native = NativePostprocess(ANCHORS)
+        _assert_matches_jax(native(logits, loc, pf, pb),
+                            _jax_post(logits, loc, pf, pb))
+
+    def test_threshold_endpoints_and_empty(self):
+        """score_threshold <= 0 reproduces the reference's strict prob > 0
+        filter; a high threshold yields clean empties."""
+        rng = np.random.default_rng(2)
+        logits = rng.normal(-1.0, 1.0, (4, 896)).astype(np.float32)
+        logits[0, 7] = -200.0                  # sigmoid underflows to 0.0
+        loc = rng.normal(0.0, 10.0, (4, 896, 16)).astype(np.float32)
+        pf = np.zeros((4, 16, 16, 3), np.float32)
+        pb = np.zeros((4, 8, 8, 3), np.float32)
+        for t in (0.0, 0.999999):
+            native = NativePostprocess(ANCHORS, score_threshold=t)
+            _assert_matches_jax(native(logits, loc, pf, pb),
+                                _jax_post(logits, loc, pf, pb,
+                                          score_threshold=t))
+
+    def test_max_faces_cap(self):
+        """Crowded frames stop at max_faces, same selection order."""
+        rng = np.random.default_rng(3)
+        logits = rng.normal(3.0, 0.5, (2, 896)).astype(np.float32)
+        loc = rng.normal(0.0, 40.0, (2, 896, 16)).astype(np.float32)
+        pf = rng.normal(0, 5, (2, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 5, (2, 8, 8, 3)).astype(np.float32)
+        native = NativePostprocess(ANCHORS, max_faces=7)
+        got = native(logits, loc, pf, pb)
+        want = _jax_post(logits, loc, pf, pb, max_faces=7)
+        assert all(len(r) == 7 for r in got)
+        _assert_matches_jax(got, want)
+
+    def test_layout_rejected(self):
+        native = NativePostprocess(ANCHORS)
+        with pytest.raises(ValueError, match="layout|\\(B, A"):
+            native(np.zeros((1, 896), np.float32),
+                   np.zeros((1, 896, 16), np.float32),
+                   np.zeros((1, 4, 4, 3), np.float32),   # wrong grid
+                   np.zeros((1, 8, 8, 3), np.float32))
+
+    def test_corpus_model_outputs(self, unified_native):
+        """Real flagship outputs on parity-corpus images postprocess
+        bit-identically to the JAX path at production settings."""
+        from headpose_tpu.ops.image import preprocess
+
+        model, params = unified_native
+        data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+        imgs = data["imgs"][:16]
+        with jax.default_matmul_precision("highest"):
+            outs = jax.jit(model.reference_outputs)(
+                params, jax.jit(preprocess)(imgs))
+        cls_f, cls_b, loc_f, loc_b, pf, pb = [np.asarray(o) for o in outs]
+        logits = np.concatenate([cls_f[:, :, 0], cls_b[:, :, 0]], axis=1)
+        loc = np.concatenate([loc_f, loc_b], axis=1)
+        native = NativePostprocess(ANCHORS)
+        got = native(logits, loc, pf, pb)
+        want = _jax_post(logits, loc, pf, pb)
+        assert sum(len(r) for r in got) >= 16
+        _assert_matches_jax(got, want)
+
+
+class TestEdgeDetector:
+    def test_end_to_end_matches_facedetector(self, tmp_path, unified_native,
+                                             production_detector):
+        """The full no-JAX pipeline (TFLite invoke + native postprocess)
+        reproduces FaceDetector.detect on corpus images — counts identical,
+        numerics within the TFLite forward's certified error."""
+        pytest.importorskip("tensorflow")
+        pytest.importorskip("tf_keras")
+        from headpose_tpu.runtime.edge import EdgeDetector
+        from headpose_tpu.tools.tflite import export_unified_tflite
+
+        model, params = unified_native
+        path = str(tmp_path / "flagship.tflite")
+        export_unified_tflite(model, params, path)
+        # production_detector serves at threshold 0.05 (the golden-capture
+        # setting) — match it
+        edge = EdgeDetector(path, score_threshold=0.05)
+        data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+        imgs = data["imgs"][:6]
+        want = production_detector.detect(imgs).trim()
+        for i in range(len(imgs)):
+            got = edge.detect_single(imgs[i])
+            assert len(got) == len(want[i])
+            np.testing.assert_allclose(got.boxes, want[i].boxes,
+                                       rtol=0, atol=1e-4)
+            np.testing.assert_allclose(got.poses, want[i].poses,
+                                       rtol=0, atol=5e-4)
+            np.testing.assert_allclose(got.scores, want[i].scores,
+                                       rtol=0, atol=1e-4)
