@@ -9,77 +9,41 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
+
+from ..utils.nativelib import NativeLibrary
 
 __all__ = ["native_available", "load_npz_native", "load_many"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-_SRC = os.path.join(_NATIVE_DIR, "npz_loader.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libnpzloader.so")
-_lock = threading.Lock()
-_lib: ctypes.CDLL | None = None
-_build_failed = False
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lz"],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.npz_open.restype = ctypes.c_void_p
+    lib.npz_open.argtypes = [ctypes.c_char_p]
+    lib.npz_num_entries.argtypes = [ctypes.c_void_p]
+    lib.npz_entry_name.restype = ctypes.c_char_p
+    lib.npz_entry_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.npz_entry_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
+    lib.npz_entry_bytes.restype = ctypes.c_long
+    lib.npz_entry_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.npz_entry_fortran.restype = ctypes.c_int
+    lib.npz_entry_fortran.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.npz_read.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.npz_close.argtypes = [ctypes.c_void_p]
 
 
-def _load() -> ctypes.CDLL | None:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_failed:
-            return None
-        if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
-            # a prebuilt .so can be ABI-incompatible with this host (arch/
-            # glibc/libz); rebuild from source once, then fall back to the
-            # numpy path instead of crashing every dataset load
-            if not _build():
-                _build_failed = True
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB)
-            except OSError:
-                _build_failed = True
-                return None
-        lib.npz_open.restype = ctypes.c_void_p
-        lib.npz_open.argtypes = [ctypes.c_char_p]
-        lib.npz_num_entries.argtypes = [ctypes.c_void_p]
-        lib.npz_entry_name.restype = ctypes.c_char_p
-        lib.npz_entry_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.npz_entry_info.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
-        lib.npz_entry_bytes.restype = ctypes.c_long
-        lib.npz_entry_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.npz_entry_fortran.restype = ctypes.c_int
-        lib.npz_entry_fortran.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.npz_read.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
-        lib.npz_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+_library = NativeLibrary(os.path.join(_NATIVE_DIR, "npz_loader.cpp"),
+                         os.path.join(_NATIVE_DIR, "libnpzloader.so"),
+                         flags=("-lz",), configure=_configure)
+_load = _library.load
 
 
 def native_available() -> bool:
-    return _load() is not None
+    return _library.available()
 
 
 def load_npz_native(path: str) -> dict[str, np.ndarray]:

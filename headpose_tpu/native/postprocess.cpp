@@ -43,14 +43,17 @@ inline float sanitize_logit(float v) {
 
 inline float sanitize_loc(float v) { return std::isfinite(v) ? v : 0.0f; }
 
-inline float logit_threshold(float score_threshold) {
-  if (score_threshold <= 0.0f)
+// score_threshold arrives as DOUBLE: the f32 logit cutoff must round from
+// the unrounded threshold exactly as score_threshold_to_logit's
+// double-precision log does (narrowing t to float first shifts the cutoff
+// by one ulp for most thresholds, which can flip a detection).
+inline float logit_threshold(double score_threshold) {
+  if (score_threshold <= 0.0)
     return -std::log(std::numeric_limits<float>::max());
-  if (score_threshold >= 1.0f)
+  if (score_threshold >= 1.0)
     return std::numeric_limits<float>::infinity();
   return static_cast<float>(
-      std::log(static_cast<double>(score_threshold) /
-               (1.0 - static_cast<double>(score_threshold))));
+      std::log(score_threshold / (1.0 - score_threshold)));
 }
 
 }  // namespace
@@ -71,7 +74,7 @@ extern "C" {
 int hp_postprocess(const float* logits, const float* loc,
                    const float* pose_front, const float* pose_back,
                    const float* anchors, int num_anchors, int num_front,
-                   int hf, int wf, int hb, int wb, float score_threshold,
+                   int hf, int wf, int hb, int wb, double score_threshold,
                    float iou_threshold, int input_size, int max_faces,
                    float* boxes, float* keypoints, float* scores,
                    float* poses) {
@@ -118,7 +121,6 @@ int hp_postprocess(const float* logits, const float* loc,
   std::memset(scores, 0, sizeof(float) * max_faces);
   std::memset(poses, 0, sizeof(float) * max_faces * 3);
 
-  const int n_front_cells = hf * wf;
   int count = 0;
   while (count < max_faces) {
     // first-index argmax, exactly jnp.argmax's tie-break
@@ -140,15 +142,10 @@ int hp_postprocess(const float* logits, const float* loc,
       ok[2 * k + 1] = sanitize_loc(l[5 + 2 * k]) * s + ay;
     }
     scores[count] = 1.0f / (1.0f + std::exp(-sanitize_logit(logits[best])));
-    const float* src;
-    if (best < num_front) {
-      const int cell = best / 2;
-      src = pose_front + (cell / wf * wf + cell % wf) * 3;
-    } else {
-      const int cell = (best - num_front) / 6;
-      (void)n_front_cells;
-      src = pose_back + (cell / wb * wb + cell % wb) * 3;
-    }
+    // anchor -> flat grid cell: 2/cell front, 6/cell back (anchor_cells)
+    const float* src = best < num_front
+                           ? pose_front + (best / 2) * 3
+                           : pose_back + ((best - num_front) / 6) * 3;
     std::memcpy(poses + count * 3, src, sizeof(float) * 3);
 
     // suppress: self + IoU > threshold
@@ -178,7 +175,7 @@ int hp_postprocess_batch(const float* logits, const float* loc,
                          const float* pose_front, const float* pose_back,
                          const float* anchors, int batch, int num_anchors,
                          int num_front, int hf, int wf, int hb, int wb,
-                         float score_threshold, float iou_threshold,
+                         double score_threshold, float iou_threshold,
                          int input_size, int max_faces, float* boxes,
                          float* keypoints, float* scores, float* poses,
                          int32_t* counts) {

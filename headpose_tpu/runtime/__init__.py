@@ -18,6 +18,7 @@ _EXPORTS = {
     "tracks_init": ".tracking", "tracks_update": ".tracking",
     "detect_stream": ".streaming",
     "draw_detections": ".viz",
+    "EdgeDetector": ".edge", "NativePostprocess": ".edge",
 }
 
 __all__ = sorted(_EXPORTS)

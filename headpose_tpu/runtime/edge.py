@@ -27,78 +27,46 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
 
+from ..utils.nativelib import NativeLibrary
 from .results import Results
 
 __all__ = ["NativePostprocess", "EdgeDetector", "native_available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-_SRC = os.path.join(_NATIVE_DIR, "postprocess.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libpostprocess.so")
-_lock = threading.Lock()
-_lib: ctypes.CDLL | None = None
-_build_failed = False
 
 _F32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
-def _build() -> bool:
-    try:
-        # -ffp-contract=off: FMA contraction would change the decode's f32
-        # roundings vs the JAX GEMM — the parity contract is bit-exactness
-        subprocess.run(["g++", "-O3", "-ffp-contract=off", "-shared",
-                        "-fPIC", "-o", _LIB, _SRC],
-                       check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.hp_postprocess_batch.restype = ctypes.c_int
+    lib.hp_postprocess_batch.argtypes = [
+        _F32, _F32, _F32, _F32, _F32,                    # model outputs
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,        # B, A, A_front
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # grids
+        # score threshold travels as DOUBLE: the logit cutoff must be
+        # computed from the unrounded value exactly like
+        # score_threshold_to_logit (a c_float-narrowed t shifts the f32
+        # cutoff by one ulp for ~61% of thresholds — measured); the iou
+        # threshold is compared against f32 IoUs with f32 semantics in
+        # both backends, so c_float is the parity-correct width there
+        ctypes.c_double, ctypes.c_float,                 # thresholds
+        ctypes.c_int, ctypes.c_int,                      # size, max_faces
+        _F32, _F32, _F32, _F32, _I32]                    # outputs
 
 
-def _load() -> ctypes.CDLL | None:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_failed:
-            return None
-        if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
-            # a prebuilt .so can be ABI-incompatible with this host —
-            # rebuild once, then give up cleanly (same recovery as
-            # data/native.py)
-            if not _build() :
-                _build_failed = True
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB)
-            except OSError:
-                _build_failed = True
-                return None
-        lib.hp_postprocess_batch.restype = ctypes.c_int
-        lib.hp_postprocess_batch.argtypes = [
-            _F32, _F32, _F32, _F32, _F32,                    # model outputs
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,        # B, A, A_front
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # grids
-            ctypes.c_float, ctypes.c_float,                  # thresholds
-            ctypes.c_int, ctypes.c_int,                      # size, max_faces
-            _F32, _F32, _F32, _F32, _I32]                    # outputs
-        _lib = lib
-        return lib
+# -ffp-contract=off: FMA contraction would change the decode's f32
+# roundings vs the JAX GEMM — the parity contract is bit-exactness
+_library = NativeLibrary(os.path.join(_NATIVE_DIR, "postprocess.cpp"),
+                         os.path.join(_NATIVE_DIR, "libpostprocess.so"),
+                         flags=("-ffp-contract=off",), configure=_configure)
 
 
 def native_available() -> bool:
-    return _load() is not None
+    return _library.available()
 
 
 class NativePostprocess:
@@ -115,12 +83,15 @@ class NativePostprocess:
     def __init__(self, anchors: np.ndarray, *,
                  input_size: int = 128, score_threshold: float = 0.4,
                  iou_threshold: float = 0.3, max_faces: int = 100):
-        lib = _load()
+        lib = _library.load()
         if lib is None:
             raise RuntimeError(
                 "native postprocess unavailable: g++ could not build "
-                f"{_SRC} on this host")
+                "native/postprocess.cpp on this host")
         self._lib = lib
+        anchors = np.asarray(anchors)
+        if anchors.ndim != 2 or anchors.shape[1] != 4:
+            raise ValueError(f"anchors must be (A, 4), got {anchors.shape}")
         self.anchors = np.ascontiguousarray(anchors, np.float32)
         self.input_size = int(input_size)
         self.score_threshold = float(score_threshold)
@@ -138,6 +109,15 @@ class NativePostprocess:
             raise ValueError(f"want logits (B, A) and loc (B, A, 16), got "
                              f"{logits.shape} / {loc.shape}")
         b, a = logits.shape
+        # every dimension crossing the ctypes boundary is validated here —
+        # the C++ side trusts them (a stale count would be an OOB read)
+        if a != self.anchors.shape[0]:
+            raise ValueError(f"logits carry {a} anchors but the table has "
+                             f"{self.anchors.shape[0]}")
+        for name, m in (("pose_front", pose_front), ("pose_back", pose_back)):
+            if m.ndim != 4 or m.shape[0] != b or m.shape[3] != 3:
+                raise ValueError(f"{name} must be ({b}, H, W, 3), "
+                                 f"got {m.shape}")
         hf, wf = pose_front.shape[1:3]
         hb, wb = pose_back.shape[1:3]
         num_front = 2 * hf * wf
@@ -150,7 +130,7 @@ class NativePostprocess:
         rc = self._lib.hp_postprocess_batch(
             logits, loc, pose_front, pose_back, self.anchors, b, a,
             num_front, hf, wf, hb, wb,
-            ctypes.c_float(self.score_threshold),
+            ctypes.c_double(self.score_threshold),
             ctypes.c_float(self.iou_threshold), self.input_size, f,
             boxes, keypoints, scores, poses, counts)
         if rc != 0:
@@ -180,6 +160,10 @@ class EdgeDetector:
         if channel_order not in ("bgr", "rgb"):
             raise ValueError(f"channel_order must be 'bgr' or 'rgb', "
                              f"got {channel_order!r}")
+        if input_size not in (128, 256):
+            raise ValueError(
+                f"input_size must be 128 (front) or 256 (back) — the two "
+                f"anchor-table topologies — got {input_size}")
         self.model = TFLiteModel(tflite_path)
         if self.model.input_names != ["image"]:
             raise ValueError(

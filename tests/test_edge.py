@@ -85,10 +85,16 @@ class TestNativePostprocessParity:
         rng = np.random.default_rng(2)
         logits = rng.normal(-1.0, 1.0, (4, 896)).astype(np.float32)
         logits[0, 7] = -200.0                  # sigmoid underflows to 0.0
+        # plant logits AT the f32 cutoffs for t=0.0135 — the threshold the
+        # c_float-narrowing bug flipped by one ulp (score_threshold must
+        # cross the ctypes boundary as double)
+        cut = np.float32(np.log(0.0135 / (1 - 0.0135)))
+        logits[1, 50] = cut                       # == cutoff: dropped
+        logits[1, 51] = np.nextafter(cut, np.float32(np.inf))  # kept
         loc = rng.normal(0.0, 10.0, (4, 896, 16)).astype(np.float32)
         pf = np.zeros((4, 16, 16, 3), np.float32)
         pb = np.zeros((4, 8, 8, 3), np.float32)
-        for t in (0.0, 0.999999):
+        for t in (0.0, 0.0135, 0.999999):
             native = NativePostprocess(ANCHORS, score_threshold=t)
             _assert_matches_jax(native(logits, loc, pf, pb),
                                 _jax_post(logits, loc, pf, pb,
