@@ -143,6 +143,31 @@ class TestNativePostprocessParity:
 
 
 class TestEdgeDetector:
+    def test_back_camera_edge_pipeline(self, tmp_path):
+        """The 256-input back topology (INPUT_BACK — the resolution the
+        reference reserves but never ships) exports to TFLite and the edge
+        pipeline matches the JAX detector on it, exercising the BACK anchor
+        table and 1/256 decode scale."""
+        pytest.importorskip("tensorflow")
+        pytest.importorskip("tf_keras")
+        from headpose_tpu.pretrained import load_pretrained
+        from headpose_tpu.runtime.detector import FaceDetector
+        from headpose_tpu.runtime.edge import EdgeDetector
+        from headpose_tpu.tools.tflite import export_unified_tflite
+
+        model, params = load_pretrained("unified-back-distilled")
+        path = str(tmp_path / "back.tflite")
+        export_unified_tflite(model, params, path)
+        frame = np.random.default_rng(0).integers(
+            0, 255, (256, 256, 3), np.uint8)
+        want = FaceDetector(model, params,
+                            score_threshold=0.05).detect(frame[None]).trim()[0]
+        got = EdgeDetector(path, input_size=256,
+                           score_threshold=0.05).detect_single(frame)
+        assert len(got) == len(want) and len(got) > 0
+        np.testing.assert_allclose(got.boxes, want.boxes, rtol=0, atol=1e-4)
+        np.testing.assert_allclose(got.poses, want.poses, rtol=0, atol=5e-4)
+
     def test_end_to_end_matches_facedetector(self, tmp_path, unified_native,
                                              production_detector):
         """The full no-JAX pipeline (TFLite invoke + native postprocess)
