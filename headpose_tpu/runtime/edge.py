@@ -194,6 +194,12 @@ class EdgeDetector:
         x = (x - np.float32(0.5)) / np.float32(0.5)
         return np.ascontiguousarray(x[None])
 
+    @property
+    def frame_shape(self) -> tuple[int, int, int]:
+        """The artifact's baked frame shape — PoseServer reads this to pin
+        its accepted shape up front, like AOT artifacts."""
+        return (self.input_size, self.input_size, 3)
+
     def detect_single(self, frame: np.ndarray) -> Results:
         out = self.model(image=self._preprocess(frame))
         logits = np.concatenate([out["cls_front"][:, :, 0],
@@ -201,3 +207,23 @@ class EdgeDetector:
         loc = np.concatenate([out["loc_front"], out["loc_back"]], axis=1)
         return self.postprocess(logits, loc, out["pose_front"],
                                 out["pose_back"])[0]
+
+    def detect(self, frames: np.ndarray):
+        """Batched detect contract (`(B, S, S, 3) -> BatchResults`), so the
+        whole serving stack composes on a CPU-only host:
+        `PoseServer(EdgeDetector("pose.tflite"))` is a detection service
+        from a 468 KB artifact, stdlib HTTP, and the C++ postprocess.
+
+        Rows run as sequential batch-1 invokes: TFLite graphs are
+        static-shape and the unified graph's baked SSD reshapes refuse
+        `resize_tensor_input` on the batch axis (probed — XNNPack fails to
+        re-prepare the reshape nodes), so one artifact serves one width.
+        """
+        from .results import BatchResults
+
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        return BatchResults.from_ragged(
+            [self.detect_single(f) for f in frames],
+            max_faces=self.postprocess.max_faces)

@@ -168,6 +168,33 @@ class TestEdgeDetector:
         np.testing.assert_allclose(got.boxes, want.boxes, rtol=0, atol=1e-4)
         np.testing.assert_allclose(got.poses, want.poses, rtol=0, atol=5e-4)
 
+    def test_serves_through_pose_server(self, tmp_path, unified_native,
+                                        production_detector):
+        """The whole serving stack composes over the edge pipeline: a
+        PoseServer fronting an EdgeDetector is a CPU-only detection service
+        (no JAX past construction), answering PoseClient round trips with
+        the detector's own results — and the artifact's baked frame shape
+        pins the server automatically."""
+        pytest.importorskip("tensorflow")
+        pytest.importorskip("tf_keras")
+        from headpose_tpu.runtime import EdgeDetector, PoseClient, PoseServer
+        from headpose_tpu.tools.tflite import export_unified_tflite
+
+        model, params = unified_native
+        path = str(tmp_path / "flagship.tflite")
+        export_unified_tflite(model, params, path)
+        edge = EdgeDetector(path, score_threshold=0.05)
+        data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+        want = production_detector.detect(data["imgs"][:2]).trim()
+        with PoseServer(edge, port=0, max_batch=4) as srv:
+            assert srv.batcher.frame_shape == (128, 128, 3)  # baked pin
+            with PoseClient(srv.url) as client:
+                for i in range(2):
+                    got = client.detect(data["imgs"][i])
+                    assert len(got) == len(want[i])
+                    np.testing.assert_allclose(got.poses, want[i].poses,
+                                               rtol=0, atol=5e-4)
+
     def test_end_to_end_matches_facedetector(self, tmp_path, unified_native,
                                              production_detector):
         """The full no-JAX pipeline (TFLite invoke + native postprocess)
