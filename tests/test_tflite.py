@@ -58,6 +58,19 @@ class TestHeadExport:
         assert report["maxerr"] <= 1e-5
         assert report["input_shape"] == (1, 4, 4, 88)
 
+    def test_stacked_ensemble_exports_per_face(self, tmp_path):
+        """The spatial-head refusal in export_unified_tflite points users at
+        exactly this: the SE-gated stacked ensemble exports as a per-face
+        artifact — input (1, 1, 1, C) IS the per-vector function the stack
+        was calibrated on — so the suggested alternative must keep working."""
+        from headpose_tpu.pretrained import load_pretrained
+
+        spec, params = load_pretrained("ensemble96-stacked")
+        report = export_head_tflite(spec, params,
+                                    str(tmp_path / "ens.tflite"))
+        assert report["maxerr"] <= 5e-5
+        assert report["input_shape"] == (1, 1, 1, 96)
+
     def test_validation_gate_fails_loud(self, tmp_path):
         """A converted artifact that diverges from the JAX forward must not
         be written: sabotage the comparison tolerance to prove the gate is
