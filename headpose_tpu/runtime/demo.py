@@ -11,9 +11,11 @@ Also supports --video for offline files and --frames N headless runs.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import time
 
+import jax
 import numpy as np
 
 from .detector import FaceDetector
@@ -31,6 +33,24 @@ __all__ = ["run_demo"]
 def jax_tree_first(signals):
     """Drop the leading batch-of-1 axis from every leaf (demo is single-stream)."""
     return {k: v[0] for k, v in signals.items()}
+
+
+def _host_compute():
+    """Context pinning eager jnp math to the host CPU backend.
+
+    The live loop's per-frame smoothing/tracking is a handful of tiny ops on
+    ≤100 rows — run eagerly on an accelerator backend each op pays a
+    dispatch round trip (through a remote-TPU tunnel that is catastrophic:
+    minutes per frame, measured), so the demo fetches detections once and
+    smooths host-side.  Batched pipelines (offline/streaming) compose the
+    same smoothers inside jit instead — that is where the device path pays.
+    """
+    import jax
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # no CPU backend registered — leave the default
+        return contextlib.nullcontext()
 
 
 def _center_square(frame: np.ndarray) -> np.ndarray:
@@ -61,11 +81,34 @@ class _RemoteDetector:
         self.client.close()
 
 
+class _EdgeAdapter:
+    """detector-shaped adapter over EdgeDetector: demo frames are
+    center-square at camera resolution while an edge artifact bakes its
+    input size, so resize here (bicubic — the role the reference capture
+    path's tf resize plays) and detect at the native size.  Results are
+    normalized coordinates, so overlays draw on the full-resolution frame
+    unchanged."""
+
+    def __init__(self, tflite_path: str):
+        from .edge import EdgeDetector
+
+        self.detector = EdgeDetector(tflite_path)
+
+    def detect(self, frame):
+        import cv2
+
+        s = self.detector.input_size
+        if frame.shape[:2] != (s, s):
+            frame = cv2.resize(frame, (s, s), interpolation=cv2.INTER_CUBIC)
+        return self.detector.detect(frame)
+
+
 def run_demo(model_path: str | None = None, source: int | str = 0,
              record: bool = False, use_ema: bool = True, alpha: float = 0.15,
              max_frames: int | None = None, display: bool = True,
              precision: str = "highest", tracking: bool = True,
-             head_eval: str = "auto", server: str | None = None) -> int:
+             head_eval: str = "auto", server: str | None = None,
+             tflite: str | None = None) -> int:
     """Run the live loop.  Returns the number of frames processed.
     model_path: H5 file, native model dir, a pretrained registry name
     (e.g. 'unified-best' — see pretrained.load_pretrained), or None for the
@@ -80,17 +123,25 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
     see FaceDetector).
     server: a PoseServer URL — inference runs remotely; the model and
     serving config live server-side, so model_path/precision/head_eval must
-    stay at their defaults here."""
+    stay at their defaults here.
+    tflite: a tools.tflite unified artifact — the loop runs the edge
+    pipeline (TFLite interpreter + native C++ postprocess, no JAX);
+    model/precision/head_eval are baked at export and must stay default."""
     import cv2
 
-    if server is not None:
+    if server is not None or tflite is not None:
         if (model_path is not None or precision != "highest"
                 or head_eval != "auto"):
+            where = ("on the server" if server is not None
+                     else "baked into the artifact at export")
             raise ValueError(
-                "--server runs inference remotely: the model and serving "
-                "config live on the server — drop --model/--precision/"
-                "--head_eval (configure them where the server starts)")
-        detector = _RemoteDetector(server)
+                "the model and serving config live " + where + " — drop "
+                "--model/--precision/--head_eval (configure them there)")
+        if server is not None and tflite is not None:
+            raise ValueError("--server and --tflite are exclusive: pick "
+                             "remote inference or the local edge pipeline")
+        detector = (_RemoteDetector(server) if server is not None
+                    else _EdgeAdapter(tflite))
     else:
         model_path = resolve_model_path(model_path)
         kw = dict(precision=precision, head_eval=head_eval)
@@ -119,15 +170,19 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
             frame = _center_square(frame)
 
             batch = detector.detect(frame)
+            # one combined D2H fetch; smoothing/tracking/drawing are
+            # host-side from here (see _host_compute)
+            batch = jax.device_get(batch)
             if use_ema:
                 signals = {"poses": batch.poses, "boxes": batch.boxes,
                            "keypoints": batch.keypoints}
-                if tracking:
-                    smoothed = smoother(batch.boxes[0], batch.valid[0],
-                                        jax_tree_first(signals))
-                    smoothed = {k: v[None] for k, v in smoothed.items()}
-                else:
-                    smoothed = smoother(signals, valid=batch.valid)
+                with _host_compute():
+                    if tracking:
+                        smoothed = smoother(batch.boxes[0], batch.valid[0],
+                                            jax_tree_first(signals))
+                        smoothed = {k: v[None] for k, v in smoothed.items()}
+                    else:
+                        smoothed = smoother(signals, valid=batch.valid)
                 batch = type(batch)(boxes=smoothed["boxes"],
                                     keypoints=smoothed["keypoints"],
                                     scores=batch.scores,
@@ -166,6 +221,10 @@ def main(argv=None) -> None:
                    help="PoseServer URL (e.g. http://tpu-host:8000) — run "
                         "inference remotely; excludes --model/--precision/"
                         "--head_eval (they live server-side)")
+    p.add_argument("--tflite", default=None,
+                   help="unified .tflite artifact (tools.tflite) — run the "
+                        "edge pipeline (TFLite + C++ postprocess, no JAX); "
+                        "excludes --server/--model/--precision/--head_eval")
     p.add_argument("--camera", type=int, default=0)
     p.add_argument("--video", default=None, help="video file instead of camera")
     p.add_argument("--record", action="store_true")
@@ -190,7 +249,8 @@ def main(argv=None) -> None:
                  record=args.record, use_ema=not args.no_ema,
                  max_frames=args.frames, display=not args.headless,
                  precision=args.precision, tracking=not args.no_tracking,
-                 head_eval=args.head_eval, server=args.server)
+                 head_eval=args.head_eval, server=args.server,
+                 tflite=args.tflite)
     print(f"processed {n} frames")
 
 

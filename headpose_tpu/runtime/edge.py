@@ -152,7 +152,7 @@ class EdgeDetector:
 
     def __init__(self, tflite_path: str, *, score_threshold: float = 0.4,
                  iou_threshold: float = 0.3, max_faces: int = 100,
-                 input_size: int = 128, channel_order: str = "bgr"):
+                 input_size: int | None = None, channel_order: str = "bgr"):
         from ..models.anchors import (BACK_CONFIG, FRONT_CONFIG,
                                       generate_anchors)
         from ..tools.tflite import TFLiteModel
@@ -160,16 +160,22 @@ class EdgeDetector:
         if channel_order not in ("bgr", "rgb"):
             raise ValueError(f"channel_order must be 'bgr' or 'rgb', "
                              f"got {channel_order!r}")
-        if input_size not in (128, 256):
-            raise ValueError(
-                f"input_size must be 128 (front) or 256 (back) — the two "
-                f"anchor-table topologies — got {input_size}")
         self.model = TFLiteModel(tflite_path)
         if self.model.input_names != ["image"]:
             raise ValueError(
                 f"{tflite_path} is not a unified-model artifact "
                 f"(inputs {self.model.input_names}; export with "
                 "tools.tflite.export_unified_tflite)")
+        baked = self.model.input_shape("image")[1]
+        if input_size is None:
+            input_size = baked  # the artifact knows its own topology
+        elif input_size != baked:
+            raise ValueError(f"input_size {input_size} does not match the "
+                             f"artifact's baked size {baked}")
+        if input_size not in (128, 256):
+            raise ValueError(
+                f"input_size must be 128 (front) or 256 (back) — the two "
+                f"anchor-table topologies — got {input_size}")
         cfg = FRONT_CONFIG if input_size == 128 else BACK_CONFIG
         anchors = np.asarray(generate_anchors(cfg), np.float32)
         self.input_size = input_size

@@ -125,6 +125,14 @@ class TFLiteModel:
     def output_names(self) -> list[str]:
         return sorted(self._runner.get_output_details())
 
+    def input_shape(self, name: str) -> tuple[int, ...]:
+        """The artifact's baked shape for input `name` (TFLite graphs are
+        static-shape, so this is the one shape the artifact serves)."""
+        details = self._runner.get_input_details()
+        if name not in details:
+            raise KeyError(f"no input {name!r} (has {sorted(details)})")
+        return tuple(int(d) for d in details[name]["shape"])
+
     def __call__(self, **inputs) -> dict[str, np.ndarray]:
         arrs = {k: np.ascontiguousarray(v, dtype=np.float32)
                 for k, v in inputs.items()}

@@ -162,8 +162,11 @@ class TestEdgeDetector:
             0, 255, (256, 256, 3), np.uint8)
         want = FaceDetector(model, params,
                             score_threshold=0.05).detect(frame[None]).trim()[0]
-        got = EdgeDetector(path, input_size=256,
-                           score_threshold=0.05).detect_single(frame)
+        edge = EdgeDetector(path, score_threshold=0.05)
+        assert edge.input_size == 256  # auto-detected from the artifact
+        with pytest.raises(ValueError, match="baked"):
+            EdgeDetector(path, input_size=128)
+        got = edge.detect_single(frame)
         assert len(got) == len(want) and len(got) > 0
         np.testing.assert_allclose(got.boxes, want.boxes, rtol=0, atol=1e-4)
         np.testing.assert_allclose(got.poses, want.poses, rtol=0, atol=5e-4)
@@ -194,6 +197,39 @@ class TestEdgeDetector:
                     assert len(got) == len(want[i])
                     np.testing.assert_allclose(got.poses, want[i].poses,
                                                rtol=0, atol=5e-4)
+
+    def test_demo_over_tflite(self, tmp_path, unified_native, monkeypatch):
+        """The reference's application surface (the camera loop,
+        blazeFaceDetectorH5.py:366-449) runs over the edge pipeline: demo
+        --tflite detects in the TFLite interpreter + C++ postprocess (the
+        demo resizes camera frames to the artifact's baked size) while
+        smoothing/tracking/drawing stay the same code."""
+        cv2 = pytest.importorskip("cv2")
+        pytest.importorskip("tensorflow")
+        pytest.importorskip("tf_keras")
+        from headpose_tpu.runtime.demo import run_demo
+        from headpose_tpu.tools.tflite import export_unified_tflite
+
+        model, params = unified_native
+        path = str(tmp_path / "flagship.tflite")
+        export_unified_tflite(model, params, path)
+        video = str(tmp_path / "in.mp4")
+        # 160x160 frames: the demo's bicubic resize to the baked 128 runs
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                            (160, 160))
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            w.write(rng.integers(0, 256, (160, 160, 3)).astype(np.uint8))
+        w.release()
+        monkeypatch.chdir(tmp_path)
+        assert run_demo(tflite=path, source=video, display=False,
+                        max_frames=2) == 2
+        with pytest.raises(ValueError, match="artifact"):
+            run_demo(tflite=path, source=video, display=False,
+                     precision="turbo")
+        with pytest.raises(ValueError, match="exclusive"):
+            run_demo(tflite=path, server="http://nope", source=video,
+                     display=False)
 
     def test_end_to_end_matches_facedetector(self, tmp_path, unified_native,
                                              production_detector):
