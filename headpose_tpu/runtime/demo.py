@@ -15,17 +15,16 @@ import contextlib
 import os
 import time
 
-import jax
 import numpy as np
 
-from .detector import FaceDetector
-from .smoothing import TrackSmoother
-from .tracking import IoUTrackSmoother
 from .viz import draw_detections
 from .results import Results
 from ..utils.profiling import FpsCounter
 
-from ..pretrained import resolve_model_path
+try:                     # the --server/--tflite paths detect without JAX;
+    import jax           # smoothing/tracking math still wants it (any CPU
+except ImportError:      # install) — see run_demo's use_ema handling
+    jax = None
 
 __all__ = ["run_demo"]
 
@@ -143,6 +142,9 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
         detector = (_RemoteDetector(server) if server is not None
                     else _EdgeAdapter(tflite))
     else:
+        from .detector import FaceDetector
+        from ..pretrained import resolve_model_path
+
         model_path = resolve_model_path(model_path)
         kw = dict(precision=precision, head_eval=head_eval)
         if model_path is None:
@@ -153,7 +155,18 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
             detector = FaceDetector.from_native(model_path, **kw)
         else:
             detector = FaceDetector.from_h5(model_path, **kw)
-    smoother = (IoUTrackSmoother(alpha) if tracking else TrackSmoother(alpha))
+    if use_ema:
+        if jax is None:
+            raise RuntimeError(
+                "EMA smoothing/tracking math runs on JAX (any CPU install "
+                "works) and no jax is importable on this host — pass "
+                "use_ema=False / --no_ema to run the raw detection loop "
+                "(the --tflite/--server detection path itself is JAX-free)")
+        from .smoothing import TrackSmoother
+        from .tracking import IoUTrackSmoother
+
+        smoother = (IoUTrackSmoother(alpha) if tracking
+                    else TrackSmoother(alpha))
     fps = FpsCounter()
 
     cap = cv2.VideoCapture(source)
@@ -171,8 +184,10 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
 
             batch = detector.detect(frame)
             # one combined D2H fetch; smoothing/tracking/drawing are
-            # host-side from here (see _host_compute)
-            batch = jax.device_get(batch)
+            # host-side from here (see _host_compute).  The edge/server
+            # paths return host numpy already (and may run without jax).
+            if jax is not None:
+                batch = jax.device_get(batch)
             if use_ema:
                 signals = {"poses": batch.poses, "boxes": batch.boxes,
                            "keypoints": batch.keypoints}

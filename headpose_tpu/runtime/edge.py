@@ -10,9 +10,12 @@ postprocess plays next to its Keras model (blazeFaceDetectorH5.py:284-357):
     tests/test_edge.py).
   * `EdgeDetector` — the combined pipeline: preprocess (numpy, the exact
     reference arithmetic) → TFLite invoke → native postprocess → `Results`.
-    `import headpose_tpu.runtime.edge` pulls in neither jax nor tensorflow
-    until a detector is built, and the detection loop itself runs entirely
-    in the TFLite interpreter + the C++ library.
+    The whole chain — including `PoseServer(EdgeDetector(...))` serving —
+    runs on a host with NO jax installed at all (tensorflow only for its
+    TFLite interpreter, loaded when a detector is built); the detection
+    loop itself runs entirely in the interpreter + the C++ library.
+    Regression-tested in a jax-blocked subprocess
+    (tests/test_edge.py::test_edge_serving_without_jax).
 
     from headpose_tpu.runtime.edge import EdgeDetector
     det = EdgeDetector("flagship.tflite")       # tools/tflite.py artifact

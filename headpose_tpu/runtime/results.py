@@ -10,8 +10,12 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import numpy as np
+
+try:
+    import jax
+except ImportError:      # a JAX-free edge/serving host (runtime.edge): both
+    jax = None           # containers still work as plain numpy dataclasses
 
 __all__ = ["Results", "BatchResults"]
 
@@ -86,10 +90,11 @@ class BatchResults:
         """Host-side conversion to the reference's ragged per-image contract."""
         # ONE combined D2H transfer: five separate np.asarray fetches would
         # each pay a synchronous tunnel round trip (CLAUDE.md, ~30 ms each)
-        boxes, keypoints, scores, poses, valid = (
-            np.asarray(a) for a in jax.device_get(
-                (self.boxes, self.keypoints, self.scores,
-                 self.poses, self.valid)))
+        arrs = (self.boxes, self.keypoints, self.scores,
+                self.poses, self.valid)
+        if jax is not None:
+            arrs = jax.device_get(arrs)
+        boxes, keypoints, scores, poses, valid = (np.asarray(a) for a in arrs)
         out = []
         for b in range(valid.shape[0]):
             m = valid[b]
@@ -98,7 +103,8 @@ class BatchResults:
         return out
 
 
-jax.tree_util.register_dataclass(
-    BatchResults,
-    data_fields=["boxes", "keypoints", "scores", "poses", "valid"],
-    meta_fields=[])
+if jax is not None:
+    jax.tree_util.register_dataclass(
+        BatchResults,
+        data_fields=["boxes", "keypoints", "scores", "poses", "valid"],
+        meta_fields=[])

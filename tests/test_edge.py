@@ -142,6 +142,93 @@ class TestNativePostprocessParity:
         _assert_matches_jax(got, want)
 
 
+_NO_JAX_SCRIPT = """\
+import os, sys
+
+sys.path.insert(0, {repo!r})
+assert "jax" not in sys.modules, "jax leaked in before the blocker"
+
+
+class _BlockJax:
+    # simulated jax-free host: any jax/jaxlib import fails loudly
+    def find_spec(self, name, path=None, target=None):
+        if name.split(".")[0] in ("jax", "jaxlib"):
+            raise ImportError(f"{{name}} blocked: simulated jax-free host")
+        return None
+
+
+sys.meta_path.insert(0, _BlockJax())
+
+import numpy as np
+
+from headpose_tpu.runtime.edge import EdgeDetector
+from headpose_tpu.runtime.http import PoseServer
+from headpose_tpu.runtime.client import PoseClient
+
+io = np.load({io_path!r})
+edge = EdgeDetector({artifact!r}, score_threshold=0.05)
+
+# single-frame contract, bit-exact vs the jax-ful parent's edge pipeline
+got = edge.detect_single(io["imgs"][0])
+np.testing.assert_array_equal(got.boxes, io["boxes"])
+np.testing.assert_array_equal(got.poses, io["poses"])
+np.testing.assert_array_equal(got.scores, io["scores"])
+
+# batched contract: numpy BatchResults round-trips through trim()
+batch = edge.detect(io["imgs"])
+trimmed = batch.trim()
+assert len(trimmed) == 2 and len(trimmed[0]) == len(got)
+np.testing.assert_array_equal(trimmed[0].poses, got.poses)
+
+# the serving stack composes: PoseServer + PoseClient round trip
+want1 = edge.detect_single(io["imgs"][1])
+with PoseServer(edge, port=0, max_batch=4) as srv:
+    with PoseClient(srv.url) as client:
+        res = client.detect(io["imgs"][1])
+        np.testing.assert_array_equal(res.poses, want1.poses)
+
+assert "jax" not in sys.modules, "something imported jax behind the blocker"
+print("OK")
+"""
+
+
+def test_edge_serving_without_jax(tmp_path, unified_native):
+    """DEPLOY.md's no-JAX claim, literally: a subprocess with jax
+    import-BLOCKED (raising finder ahead of sys.meta_path) builds
+    EdgeDetector from the artifact, detects bit-identically to the jax-ful
+    parent's edge pipeline, and answers a PoseClient round trip through
+    PoseServer."""
+    import subprocess
+    import sys
+
+    pytest.importorskip("tensorflow")
+    pytest.importorskip("tf_keras")
+    from headpose_tpu.runtime.edge import EdgeDetector
+    from headpose_tpu.tools.tflite import export_unified_tflite
+
+    model, params = unified_native
+    artifact = str(tmp_path / "flagship.tflite")
+    export_unified_tflite(model, params, artifact)
+    data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+    imgs = data["imgs"][:2]
+    want = EdgeDetector(artifact, score_threshold=0.05).detect_single(imgs[0])
+    assert len(want) > 0
+    io_path = str(tmp_path / "io.npz")
+    np.savez(io_path, imgs=imgs, boxes=want.boxes, poses=want.poses,
+             scores=want.scores)
+    script = tmp_path / "no_jax_host.py"
+    script.write_text(_NO_JAX_SCRIPT.format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        io_path=io_path, artifact=artifact))
+    env = dict(os.environ)
+    # without this, the axon sitecustomize imports jax at interpreter start
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run([sys.executable, str(script)], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    assert "OK" in proc.stdout
+
+
 class TestEdgeDetector:
     def test_back_camera_edge_pipeline(self, tmp_path):
         """The 256-input back topology (INPUT_BACK — the resolution the
