@@ -13,7 +13,7 @@ import os
 
 __all__ = ["PRETRAINED_DIR", "FLAGSHIP", "BEST", "flagship_path",
            "load_flagship", "flagship_detector", "best_detector",
-           "load_pretrained", "resolve_model_path"]
+           "load_pretrained", "resolve_model_path", "pretrained_quality"]
 
 PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained_models")
 FLAGSHIP = "unified-stoqa9pt-hrchr82r"
@@ -94,7 +94,31 @@ def load_pretrained(name: str):
     path = os.path.join(PRETRAINED_DIR, name)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"pretrained model missing: {path}")
+    if pretrained_quality(name) == "synthetic-bringup":
+        import warnings
+
+        warnings.warn(
+            f"'{name}' is a synthetic-imagery bring-up artifact (its "
+            "metadata documents the provenance) — NOT parity-certified "
+            "against the reference and NOT validated on real-world data; "
+            "treat outputs accordingly", UserWarning, stacklevel=2)
     return load_model(path)
+
+
+def pretrained_quality(name: str) -> str:
+    """Provenance tier of a shipped artifact, from its spec.json metadata:
+    'parity-certified' (imported reference production weights, corpus-
+    certified), 'trained-here' (weights trained in this repo on shipped
+    data; supervision details in the artifact metadata), or
+    'synthetic-bringup' (topology bring-up on synthetic imagery — e.g.
+    'unified-back-distilled' — load_pretrained warns on these)."""
+    import json
+
+    path = os.path.join(PRETRAINED_DIR, name, "spec.json")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"pretrained model missing: {path}")
+    with open(path) as f:
+        return json.load(f).get("metadata", {}).get("quality", "unlabeled")
 
 
 def resolve_model_path(model_path: str | None) -> str | None:

@@ -19,6 +19,7 @@ import numpy as np
 
 from .viz import draw_detections
 from .results import Results
+from ..pretrained import resolve_model_path
 from ..utils.profiling import FpsCounter
 
 try:                     # the --server/--tflite paths detect without JAX;
@@ -142,8 +143,12 @@ def run_demo(model_path: str | None = None, source: int | str = 0,
         detector = (_RemoteDetector(server) if server is not None
                     else _EdgeAdapter(tflite))
     else:
+        if jax is None:
+            raise RuntimeError(
+                "the local detector path needs jax (any CPU install works); "
+                "on a jax-free host run against a remote server (--server "
+                "HOST:PORT) or an exported edge artifact (--tflite DIR)")
         from .detector import FaceDetector
-        from ..pretrained import resolve_model_path
 
         model_path = resolve_model_path(model_path)
         kw = dict(precision=precision, head_eval=head_eval)

@@ -223,6 +223,12 @@ def test_edge_serving_without_jax(tmp_path, unified_native):
     env = dict(os.environ)
     # without this, the axon sitecustomize imports jax at interpreter start
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # belt-and-braces for hosts whose sitecustomize imports jax
+    # unconditionally: drop any axon site dir from the CHILD's search path
+    # (the parent's PYTHONPATH is untouched)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
     proc = subprocess.run([sys.executable, str(script)], env=env,
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr

@@ -660,3 +660,29 @@ def test_model_path_resolves_pretrained_registry_names():
     assert "resolve_model_path" in inspect.getsource(offline.main)
     assert "resolve_model_path" in inspect.getsource(
         compat.blazeFaceDetector.__init__)
+
+
+def test_pretrained_quality_provenance_surfaced_at_load():
+    """Every shipped artifact carries a `quality` provenance tier in its
+    spec.json metadata, `pretrained_quality` reads it, and loading a
+    synthetic-bringup artifact (weights never validated on real imagery —
+    'unified-back-distilled') warns the user at load time.  Certified and
+    trained-here artifacts load silently."""
+    import warnings
+
+    from headpose_tpu.pretrained import (PRETRAINED_DIR, load_pretrained,
+                                         pretrained_quality)
+
+    tiers = {name: pretrained_quality(name)
+             for name in sorted(os.listdir(PRETRAINED_DIR))}
+    allowed = {"parity-certified", "trained-here", "synthetic-bringup"}
+    assert set(tiers.values()) <= allowed, tiers
+    assert tiers["unified-stoqa9pt-hrchr82r"] == "parity-certified"
+    assert tiers["unified-back-distilled"] == "synthetic-bringup"
+    assert tiers["sweep88-best"] == "trained-here"
+
+    with pytest.warns(UserWarning, match="synthetic-imagery bring-up"):
+        load_pretrained("unified-back-distilled")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # certified loads must NOT warn
+        load_pretrained("stoqa9pt-88")
