@@ -15,44 +15,13 @@ does NOT match: it antialiases when downsampling.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from .bicubic import bicubic_matrix  # numpy-only kernel, shared with the
+                                     # no-JAX edge path (runtime/edge.py)
 
 __all__ = ["bicubic_matrix", "resize_bicubic", "preprocess"]
-
-
-def _keys_cubic(t: np.ndarray, a: float = -0.5) -> np.ndarray:
-    t = np.abs(t)
-    return np.where(
-        t <= 1.0, (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
-        np.where(t < 2.0, a * (t**3 - 5.0 * t**2 + 8.0 * t - 4.0), 0.0))
-
-
-@functools.lru_cache(maxsize=64)
-def bicubic_matrix(src: int, dst: int) -> np.ndarray:
-    """(dst, src) interpolation matrix for one axis (float32).
-
-    TF's ResizeBicubic does not evaluate the kernel at the continuous
-    phase: it indexes a 1024-bin coefficient table with
-    lrintf(delta * 1024) (resize_bicubic_op.cc), so exact parity requires
-    quantizing the fractional phase to the same 1/1024 grid.  Power-of-two
-    shrinks (the production 128 path) land on the grid and are unaffected;
-    arbitrary sizes would otherwise diverge by up to ~1e-3/pixel."""
-    scale = src / dst
-    x = (np.arange(dst) + 0.5) * scale - 0.5
-    i0 = np.floor(x).astype(np.int64)
-    xq = i0 + np.rint((x - i0) * 1024.0) / 1024.0   # TF's table phase
-    m = np.zeros((dst, src), np.float64)
-    rows = np.arange(dst)
-    for k in range(-1, 3):
-        idx = i0 + k
-        w = _keys_cubic(xq - idx) * ((idx >= 0) & (idx < src))
-        np.add.at(m, (rows, np.clip(idx, 0, src - 1)), w)
-    m /= m.sum(axis=1, keepdims=True)
-    return m.astype(np.float32)
 
 
 def resize_bicubic(images: jax.Array, out_hw: tuple[int, int]) -> jax.Array:

@@ -82,12 +82,12 @@ class _RemoteDetector:
 
 
 class _EdgeAdapter:
-    """detector-shaped adapter over EdgeDetector: demo frames are
-    center-square at camera resolution while an edge artifact bakes its
-    input size, so resize here (bicubic — the role the reference capture
-    path's tf resize plays) and detect at the native size.  Results are
-    normalized coordinates, so overlays draw on the full-resolution frame
-    unchanged."""
+    """detector-shaped adapter over EdgeDetector.  Camera-resolution frames
+    pass straight through: EdgeDetector owns the resize with the TF-exact
+    bicubic kernel (ops/bicubic.py — the same interpolation matrices as the
+    JAX path, certified from camera-sized frames in
+    docs/tflite_certification.json).  Results are normalized coordinates,
+    so overlays draw on the full-resolution frame unchanged."""
 
     def __init__(self, tflite_path: str):
         from .edge import EdgeDetector
@@ -95,11 +95,6 @@ class _EdgeAdapter:
         self.detector = EdgeDetector(tflite_path)
 
     def detect(self, frame):
-        import cv2
-
-        s = self.detector.input_size
-        if frame.shape[:2] != (s, s):
-            frame = cv2.resize(frame, (s, s), interpolation=cv2.INTER_CUBIC)
         return self.detector.detect(frame)
 
 

@@ -22,9 +22,13 @@ postprocess plays next to its Keras model (blazeFaceDetectorH5.py:284-357):
     results = det.detect_single(frame)          # (S, S, 3) uint8 BGR
 
 The C++ library builds on first use (g++ -O3, no dependencies), following
-the data/native.py pattern.  Frames must already be input_size² — edge
-capture pipelines own their resize; the certified parity path
-(docs/tflite_certification.json) runs at the model's native 128.
+the data/native.py pattern.  Camera-sized frames are accepted directly:
+preprocessing applies the TF-exact bicubic resize (ops/bicubic.py — the
+same interpolation matrices as the JAX path, as numpy/BLAS matmuls), so
+the edge pipeline owns the reference's whole detectFaces contract
+(blazeFaceDetectorH5.py:247-269) including the resize, not just the
+native-size slice.  Certified at native 128 AND from camera-sized frames
+(docs/tflite_certification.json).
 """
 from __future__ import annotations
 
@@ -33,6 +37,7 @@ import os
 
 import numpy as np
 
+from ..ops.bicubic import resize_bicubic_np
 from ..utils.nativelib import NativeLibrary
 from .results import Results
 
@@ -189,17 +194,21 @@ class EdgeDetector:
             max_faces=max_faces)
 
     def _preprocess(self, frame: np.ndarray) -> np.ndarray:
-        s = self.input_size
-        if frame.shape != (s, s, 3):
+        if frame.ndim != 3 or frame.shape[2] != 3:
             raise ValueError(
-                f"EdgeDetector takes ({s}, {s}, 3) frames (the artifact's "
-                f"baked size), got {frame.shape} — resize upstream")
+                f"EdgeDetector takes (H, W, 3) frames, got {frame.shape}")
+        s = self.input_size
         x = frame.astype(np.float32)
         if self.channel_order == "bgr":
             x = x[..., ::-1]
-        # the exact reference arithmetic (ops/image.py preprocess; resize
-        # is identity at the native size)
+        # the exact reference preprocess arithmetic and ORDER
+        # (blazeFaceDetectorH5.py:247-269, same as ops/image.py preprocess):
+        # scale to [0,1], TF-exact bicubic resize (numpy twin of the JAX
+        # GEMM path — identity at the native size), then map to [-1,1].
+        # Camera-sized frames are a first-class input here, like the JAX
+        # detector's: no upstream cv2 resize with a different kernel.
         x = x / np.float32(255.0)
+        x = resize_bicubic_np(x, (s, s))
         x = (x - np.float32(0.5)) / np.float32(0.5)
         return np.ascontiguousarray(x[None])
 

@@ -128,6 +128,14 @@ def export_detector(det, path: str, batch_sizes: Sequence[int] = (1, 128),
 
     meta = {
         "format_version": _FORMAT_VERSION,
+        # deployment-artifact contract: record the producing toolchain so a
+        # serving host with an incompatible jax fails LOUDLY with both
+        # versions in the message instead of a raw deserializer error
+        "versions": {
+            "jax": jax.__version__,
+            "export_calling_convention": int(
+                exported.calling_convention_version),
+        },
         "platforms": list(platforms),
         "image_shape": [int(h), int(w)],
         "dtype": "uint8",
@@ -164,6 +172,19 @@ class ExportedDetector:
                 f"AOT artifact {path} has format_version "
                 f"{self.meta.get('format_version')}; this reader supports "
                 f"{_FORMAT_VERSION}")
+        ver = self.meta.get("versions", {})
+        conv = ver.get("export_calling_convention")
+        if conv is not None:
+            lo = jax.export.minimum_supported_calling_convention_version
+            hi = jax.export.maximum_supported_calling_convention_version
+            if not (lo <= int(conv) <= hi):
+                raise ValueError(
+                    f"AOT artifact {path} was exported by jax "
+                    f"{ver.get('jax', '?')} with export calling-convention "
+                    f"version {conv}, but this host's jax "
+                    f"{jax.__version__} supports versions {lo}..{hi} — "
+                    "re-export the artifact with tools.aot.export_detector "
+                    "on a compatible jax (or match the producing version)")
         self.path = path
         self.batch_sizes = list(self.meta["batch_sizes"])
         self.platforms = tuple(self.meta["platforms"])
@@ -181,7 +202,18 @@ class ExportedDetector:
         if batch not in self._loaded:
             fname = self.meta["programs"][str(batch)]["file"]
             with open(os.path.join(self.path, fname), "rb") as f:
-                exported = jax.export.deserialize(bytearray(f.read()))
+                payload = bytearray(f.read())
+            try:
+                exported = jax.export.deserialize(payload)
+            except Exception as e:
+                ver = self.meta.get("versions", {})
+                raise RuntimeError(
+                    f"AOT program {fname} failed to deserialize on jax "
+                    f"{jax.__version__} (artifact exported by jax "
+                    f"{ver.get('jax', '?')}, calling-convention "
+                    f"{ver.get('export_calling_convention', '?')}): {e} — "
+                    "if the versions differ, re-export with "
+                    "tools.aot.export_detector on this host's jax") from e
             # jit the replay wrapper: Exported.call re-traces on every
             # invocation otherwise (measured ~100x dispatch overhead on the
             # TPU tunnel, scripts/probe_aot_tpu.py)

@@ -1,0 +1,258 @@
+"""Build the BOUNDARY-stress parity corpus (tests/golden/stress_corpus.npz).
+
+The primary parity corpus (make_parity_corpus.py) certifies the serving modes
+on detection-rich but *comfortable* inputs: score caps in [0.50, 0.998], 1-5
+well-separated faces.  This corpus attacks the three contract boundaries
+where float-mode divergence would first flip a detection set
+(VERDICT r3 item 3):
+
+  * axis "threshold": per-target score caps pulled TO logit(0.4) +/- a small
+    band (uniform in score [0.36, 0.46]) — ascent uses a squared pull-to-cap
+    loss instead of the capped-max, so after uint8 rounding the final logits
+    genuinely straddle the production threshold 0.4
+    (blazeFaceDetectorH5.py:82, :319-327).
+  * axis "nms": 2-3-target clusters whose DECODED boxes are shaped (via an
+    IoU penalty through decode_boxes) to pairwise IoU in [0.25, 0.35] —
+    straddling the greedy-NMS suppression boundary iou > 0.3 (:329-335).
+  * axis "saturation": 20-48 targets per image across both SSD grids,
+    approaching the MAX_FACE_NUM=100 slab (:8-9) far beyond the primary
+    corpus's max of 5.
+
+Reference outputs are captured by driving the reference pipeline itself
+(detectFaces, tf-keras) on the SAME uint8 images at production settings.
+Images whose reference detection count is 0 are KEPT on the threshold axis —
+"we also detect nothing" is exactly the agreement being certified there.
+
+Run on the chip:  python scripts/make_stress_corpus.py     (3 ascent
+compiles ~2-4 min each, then tf-keras capture)
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, _HERE)
+OUT = os.path.join(REPO, "tests", "golden", "stress_corpus.npz")
+
+SIZE = 128
+SEED = 777
+N_THRESHOLD = 36
+N_NMS = 36
+N_SATURATION = 24
+ASCENT_STEPS = 700
+
+
+def _front_anchor(rng, r8, c8):
+    r16 = 2 * r8 + int(rng.integers(2))
+    c16 = 2 * c8 + int(rng.integers(2))
+    return (r16 * 16 + c16) * 2 + int(rng.integers(2))
+
+
+def _back_anchor(rng, r8, c8):
+    return 512 + (r8 * 8 + c8) * 6 + int(rng.integers(6))
+
+
+def _any_anchor(rng, cell):
+    r8, c8 = int(cell) // 8, int(cell) % 8
+    return (_front_anchor(rng, r8, c8) if rng.random() < 0.5
+            else _back_anchor(rng, r8, c8))
+
+
+def targets_threshold(rng):
+    """1-5 separated faces, every cap inside the threshold-straddling band."""
+    lo, hi = np.log(0.36 / 0.64), np.log(0.46 / 0.54)
+    k = int(rng.integers(1, 6))
+    cells = rng.choice(64, size=k, replace=False)
+    anchors = [_any_anchor(rng, c) for c in cells]
+    caps = rng.uniform(lo, hi, size=k)
+    return anchors, caps.tolist(), [], [], []
+
+
+def targets_nms(rng):
+    """1-2 clusters of 2-3 targets in ADJACENT macro-cells; cluster pairs get
+    an IoU target in [0.25, 0.35].  Scores comfortably above threshold."""
+    n_clusters = int(rng.integers(1, 3))
+    anchors, caps, pa, pb, piou = [], [], [], [], []
+    used = set()
+    for _ in range(n_clusters):
+        while True:
+            r8, c8 = int(rng.integers(7)), int(rng.integers(7))
+            if (r8, c8) not in used:
+                break
+        size = int(rng.integers(2, 4))
+        cells = [(r8, c8), (r8, c8 + 1), (r8 + 1, c8)][:size]
+        used.update(cells)
+        base = len(anchors)
+        for (r, c) in cells:
+            anchors.append(_front_anchor(rng, r, c) if rng.random() < 0.5
+                           else _back_anchor(rng, r, c))
+            caps.append(float(rng.uniform(1.0, 2.5)))   # scores ~0.73-0.92
+        for j in range(base + 1, len(anchors)):
+            pa.append(base)
+            pb.append(j)
+            piou.append(float(rng.uniform(0.25, 0.35)))
+    return anchors, caps, pa, pb, piou
+
+
+def targets_saturation(rng):
+    """20-48 targets spread over both grids (multiple anchors per macro-cell
+    allowed — the reference slab holds 100)."""
+    k = int(rng.integers(20, 49))
+    anchors, caps = [], []
+    cells = rng.choice(64, size=min(k, 64), replace=False)
+    for i in range(k):
+        c = int(cells[i % len(cells)])
+        r8, c8 = c // 8, c % 8
+        if i < len(cells):
+            anchors.append(_any_anchor(rng, c))
+        else:   # second pass over the same cells: use the OTHER grid
+            anchors.append(_back_anchor(rng, r8, c8))
+        caps.append(float(rng.uniform(0.5, 5.0)))       # scores ~0.62-0.99
+    return anchors, caps, [], [], []
+
+
+def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from headpose_tpu.models.anchors import generate_anchors
+    from headpose_tpu.ops.detection import decode_boxes
+    from headpose_tpu.ops.image import preprocess
+    from headpose_tpu.pretrained import load_flagship
+
+    model, params = load_flagship()
+    anchors_tbl = jnp.asarray(generate_anchors(), jnp.float32)
+    rng = np.random.default_rng(seed)
+    gen = {"threshold": targets_threshold, "nms": targets_nms,
+           "saturation": targets_saturation}[axis]
+    picks = [gen(rng) for _ in range(n_images)]
+    m = max(len(p[0]) for p in picks)
+    np_pairs = max(max((len(p[3]) for p in picks), default=0), 1)
+    idx = np.zeros((n_images, m), np.int32)
+    cap = np.zeros((n_images, m), np.float32)
+    w = np.zeros((n_images, m), np.float32)
+    pa = np.zeros((n_images, np_pairs), np.int32)
+    pb = np.zeros((n_images, np_pairs), np.int32)
+    piou = np.zeros((n_images, np_pairs), np.float32)
+    pw = np.zeros((n_images, np_pairs), np.float32)
+    for i, (a, c, qa, qb, qi) in enumerate(picks):
+        idx[i, :len(a)] = a
+        cap[i, :len(c)] = c
+        w[i, :len(a)] = 1.0
+        pa[i, :len(qa)] = qa
+        pb[i, :len(qb)] = qb
+        piou[i, :len(qi)] = qi
+        pw[i, :len(qi)] = 1.0
+
+    idx, cap, w = jnp.asarray(idx), jnp.asarray(cap), jnp.asarray(w)
+    pa, pb = jnp.asarray(pa), jnp.asarray(pb)
+    piou, pw = jnp.asarray(piou), jnp.asarray(pw)
+    pull = axis == "threshold"
+    opt = optax.adam(0.08)
+
+    def loss_fn(z):
+        imgs = jax.nn.sigmoid(z) * 255.0
+        with jax.default_matmul_precision("highest"):
+            x = preprocess(imgs, SIZE, "bgr")
+            out = model.apply(params, x, heads=False)
+        hit = jnp.take_along_axis(out["scores"], idx, axis=1)
+        if pull:
+            # squared pull TOWARD the cap: final logits sit AT the band,
+            # uint8 rounding then jitters them across the 0.4 threshold
+            score_loss = jnp.sum(w * (hit - cap) ** 2)
+        else:
+            score_loss = -jnp.sum(w * jnp.minimum(hit, cap + 0.8))
+        boxes = decode_boxes(out["loc"], anchors_tbl, SIZE)  # (N, 896, 4)
+        ba = jnp.take_along_axis(boxes, pa[:, :, None], axis=1)
+        bb = jnp.take_along_axis(boxes, pb[:, :, None], axis=1)
+        x1 = jnp.maximum(ba[..., 0], bb[..., 0])
+        y1 = jnp.maximum(ba[..., 1], bb[..., 1])
+        x2 = jnp.minimum(ba[..., 2], bb[..., 2])
+        y2 = jnp.minimum(ba[..., 3], bb[..., 3])
+        inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+        area = lambda b: jnp.maximum(b[..., 2] - b[..., 0], 0.0) * \
+            jnp.maximum(b[..., 3] - b[..., 1], 0.0)
+        union = area(ba) + area(bb) - inter
+        iou = inter / jnp.maximum(union, 1e-9)
+        iou_loss = jnp.sum(pw * (iou - piou) ** 2)
+        return score_loss + 50.0 * iou_loss
+
+    @jax.jit
+    def run(z):
+        state = opt.init(z)
+
+        def step(_, carry):
+            z, state = carry
+            g = jax.grad(loss_fn)(z)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(z, updates), state
+
+        z, _ = jax.lax.fori_loop(0, ASCENT_STEPS, step, (z, state))
+        return jax.nn.sigmoid(z) * 255.0
+
+    z0 = jnp.zeros((n_images, SIZE, SIZE, 3), jnp.float32)
+    imgs = np.asarray(run(z0))
+    return np.clip(np.rint(imgs), 0, 255).astype(np.uint8)
+
+
+def main():
+    from make_parity_corpus import capture_reference
+
+    all_imgs, all_axis = [], []
+    for axis, n, seed in (("threshold", N_THRESHOLD, SEED),
+                          ("nms", N_NMS, SEED + 1),
+                          ("saturation", N_SATURATION, SEED + 2)):
+        print(f"synthesizing {n} '{axis}' images "
+              f"({ASCENT_STEPS} ascent steps)...", flush=True)
+        all_imgs.append(synthesize(axis, n, seed))
+        all_axis += [axis] * n
+    imgs = np.concatenate(all_imgs)
+    axes = np.array(all_axis)
+
+    print("capturing reference outputs (tf-keras, threshold 0.4)...",
+          flush=True)
+    results, counts = capture_reference(imgs)
+
+    # keep zero-detection images ONLY on the threshold axis (agreement on
+    # "nothing crossed" is the point there); elsewhere the targets missed
+    keep = (counts > 0) | (axes == "threshold")
+    imgs, counts, axes = imgs[keep], counts[keep], axes[keep]
+    results = [r for r, k in zip(results, keep) if k]
+    n, maxd = len(imgs), max(int(counts.max()), 1)
+    for axis in ("threshold", "nms", "saturation"):
+        sel = axes == axis
+        print(f"  {axis}: {int(sel.sum())} images, "
+              f"{int(counts[sel].sum())} reference detections "
+              f"(max/image {int(counts[sel].max())})")
+    assert (counts[axes == "saturation"] >= 15).any(), \
+        "saturation axis never reached 15 detections — raise caps/steps"
+
+    boxes = np.zeros((n, maxd, 4), np.float32)
+    keypoints = np.zeros((n, maxd, 6, 2), np.float32)
+    scores = np.zeros((n, maxd), np.float32)
+    poses = np.zeros((n, maxd, 3), np.float32)
+    for i, r in enumerate(results):
+        c = counts[i]
+        if c:
+            boxes[i, :c] = np.asarray(r.boxes, np.float32)
+            keypoints[i, :c] = np.asarray(r.keypoints, np.float32)
+            scores[i, :c] = np.asarray(r.scores, np.float32)
+            poses[i, :c] = np.asarray(r.poses, np.float32)
+
+    np.savez_compressed(OUT, imgs=imgs, axis=axes, counts=counts,
+                        boxes=boxes, keypoints=keypoints, scores=scores,
+                        poses=poses)
+    sha = hashlib.sha256(open(OUT, "rb").read()).hexdigest()
+    print(f"wrote {OUT} ({os.path.getsize(OUT)/1e6:.1f} MB, "
+          f"sha256 {sha[:16]}...)")
+
+
+if __name__ == "__main__":
+    main()

@@ -294,3 +294,39 @@ class TestValidation:
         json.dump(meta, open(os.path.join(path, "aot.json"), "w"))
         with pytest.raises(ValueError, match="format_version"):
             ExportedDetector(path)
+
+    def test_records_and_pins_producer_versions(self, artifact, tmp_path,
+                                                monkeypatch):
+        """The manifest records the producing jax + export calling-convention
+        versions, and a load-side skew fails LOUDLY with both versions in
+        the message (VERDICT r3 item 8) instead of whatever the raw
+        deserializer would raise."""
+        import shutil
+
+        import jax
+
+        path, meta = artifact
+        ver = meta["versions"]
+        assert ver["jax"] == jax.__version__
+        lo = jax.export.minimum_supported_calling_convention_version
+        hi = jax.export.maximum_supported_calling_convention_version
+        assert lo <= ver["export_calling_convention"] <= hi
+        # artifact with a convention this host does not support
+        skew = str(tmp_path / "skew")
+        shutil.copytree(path, skew)
+        m = json.load(open(os.path.join(skew, "aot.json")))
+        m["versions"]["export_calling_convention"] = hi + 1
+        m["versions"]["jax"] = "99.0.0"
+        json.dump(m, open(os.path.join(skew, "aot.json"), "w"))
+        with pytest.raises(ValueError, match=r"99\.0\.0.*supports versions"):
+            ExportedDetector(skew)
+        # a convention INSIDE the window but an undeserializable payload
+        # still names the producing versions
+        bad = str(tmp_path / "bad")
+        shutil.copytree(path, bad)
+        fname = meta["programs"]["2"]["file"]
+        with open(os.path.join(bad, fname), "wb") as f:
+            f.write(b"not an exported program")
+        det = ExportedDetector(bad)
+        with pytest.raises(RuntimeError, match="exported by jax"):
+            det.detect(_frames(2))

@@ -46,6 +46,26 @@ class TestResize:
         got = np.asarray(resize_bicubic(jnp.asarray(img), (47, 33)))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_numpy_twin_matches_jax_and_goldens(self):
+        """resize_bicubic_np (the no-JAX edge path, ops/bicubic.py) applies
+        the SAME interpolation matrices as the JAX GEMM path — TF-golden
+        parity and near-bit agreement with the JAX path (both are f32
+        matmuls; only BLAS-vs-XLA summation order differs)."""
+        from headpose_tpu.ops.bicubic import resize_bicubic_np
+
+        g = np.load(os.path.join(GOLDEN, "resize_bicubic.npz"))
+        for i in range(3):
+            out = resize_bicubic_np(g[f"img{i}"], (128, 128))
+            np.testing.assert_allclose(out, g[f"resized{i}"], atol=1e-5)
+        img = np.random.default_rng(3).uniform(
+            size=(480, 480, 3)).astype(np.float32)
+        jx = np.asarray(resize_bicubic(jnp.asarray(img), (128, 128)))
+        np.testing.assert_allclose(resize_bicubic_np(img, (128, 128)), jx,
+                                   atol=2e-6)
+        # same-size fast path: f32 cast, like the JAX contract
+        u8 = (img[:4, :4] * 255).astype(np.uint8)
+        assert resize_bicubic_np(u8, (4, 4)).dtype == np.float32
+
     def test_same_size_noop_promotes_to_f32(self):
         """The no-resize fast path must keep the f32 output contract of the
         resize paths (round-3 fix: uint8 used to pass through unpromoted)."""

@@ -352,3 +352,43 @@ class TestEdgeDetector:
                                        rtol=0, atol=5e-4)
             np.testing.assert_allclose(got.scores, want[i].scores,
                                        rtol=0, atol=1e-4)
+
+    def test_camera_sized_frames_match_facedetector(self, tmp_path,
+                                                    unified_native,
+                                                    production_detector):
+        """Camera-sized frames are a first-class EdgeDetector input: the
+        numpy TF-exact bicubic (ops/bicubic.py — same interpolation
+        matrices as the JAX GEMM path) owns the resize, so the no-JAX
+        pipeline reproduces FaceDetector.detect from 480x480 and 333x333
+        (off-grid phase) frames, not just at the baked 128."""
+        pytest.importorskip("tensorflow")
+        pytest.importorskip("tf_keras")
+        from headpose_tpu.runtime.edge import EdgeDetector
+        from headpose_tpu.tools.tflite import export_unified_tflite
+
+        model, params = unified_native
+        path = str(tmp_path / "flagship.tflite")
+        export_unified_tflite(model, params, path)
+        edge = EdgeDetector(path, score_threshold=0.05)
+        data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+        for size in (480, 333):
+            # nearest-neighbour upscale synthesizes the camera frame; BOTH
+            # pipelines then own the downsize back to 128
+            up = np.repeat(np.repeat(data["imgs"][:3], 4, axis=1), 4, axis=2)
+            up = up[:, :size, :size]
+            want = production_detector.detect(up).trim()
+            assert sum(len(w) for w in want) > 0
+            for i in range(len(up)):
+                got = edge.detect_single(up[i])
+                assert len(got) == len(want[i])
+                np.testing.assert_allclose(got.boxes, want[i].boxes,
+                                           rtol=0, atol=1e-4)
+                np.testing.assert_allclose(got.poses, want[i].poses,
+                                           rtol=0, atol=5e-4)
+
+    def test_nonimage_frame_rejected(self):
+        from headpose_tpu.runtime.edge import EdgeDetector
+
+        with pytest.raises(ValueError, match="\\(H, W, 3\\)"):
+            EdgeDetector.__new__(EdgeDetector)._preprocess(
+                np.zeros((128, 128), np.uint8))
