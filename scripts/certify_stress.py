@@ -14,8 +14,8 @@ and reports set-agreement + error distributions PER AXIS for:
 Merges a "stress" section into docs/certification.json (sha-pinned to the
 stress corpus).  Run on the real chip:
 
-    python scripts/certify_stress.py                  (~6 compiles)
-    python scripts/certify_stress.py --skip-aot       (modes + tflite only)
+    python scripts/certify_stress.py                (modes+pallas+AOT, chip)
+    python scripts/certify_stress.py --only-tflite  (edge pipeline, CPU)
 """
 from __future__ import annotations
 
@@ -84,11 +84,31 @@ def summarize(tag: str, rep: dict) -> None:
     print(f"{tag:>22}: " + "; ".join(parts), flush=True)
 
 
+def merge(sha: str, base: dict, section: str, payload: dict) -> None:
+    """Incremental merge: each section lands as soon as it's computed, and a
+    corpus change invalidates previously merged sections."""
+    cert = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    stress = cert.get("stress", {})
+    if stress.get("corpus_sha256") != sha:
+        stress = dict(base)
+    stress[section] = payload
+    cert["stress"] = stress
+    with open(OUT, "w") as f:
+        json.dump(cert, f, indent=1)
+
+
 def main() -> None:
+    # default: precision modes + pallas postprocess + AOT (run on the chip).
+    # --only-tflite: the edge pipeline alone, on a FORCED-CPU jax (the
+    # export gate's reference forward must be f32-exact, not TPU bf16) —
+    # run it as a second invocation.
+    only_tflite = "--only-tflite" in sys.argv
+    skip_aot = "--skip-aot" in sys.argv
+
     import jax
 
-    skip_aot = "--skip-aot" in sys.argv
-    skip_tflite = "--skip-tflite" in sys.argv
+    if only_tflite:
+        jax.config.update("jax_platforms", "cpu")
 
     from headpose_tpu.pretrained import load_flagship
     from headpose_tpu.runtime.detector import FaceDetector
@@ -98,41 +118,16 @@ def main() -> None:
     imgs = data["imgs"]
     model, params = load_flagship()
 
-    stress = {
+    base = {
         "corpus": os.path.relpath(CORPUS, REPO),
         "corpus_sha256": sha,
         "images": int(len(imgs)),
         "reference_detections": int(data["counts"].sum()),
         "backend": jax.devices()[0].platform,
         "axes": {a: int((data["axis"] == a).sum()) for a in AXES},
-        "modes": {},
     }
 
-    for mode in MODES:
-        det = FaceDetector(model, params, score_threshold=0.4,
-                           iou_threshold=0.3, precision=mode)
-        per_img = det.detect(imgs).trim()
-        stress["modes"][mode] = per_axis_report(data, per_img)
-        summarize(mode, stress["modes"][mode])
-
-    # fused Pallas postprocess, parity modes only (bit-exact vs XLA by
-    # construction — this PROVES it on boundary-stressing sets)
-    stress["modes_pallas_postprocess"] = {}
-    for mode in ("highest", "fast"):
-        try:
-            det = FaceDetector(model, params, score_threshold=0.4,
-                               iou_threshold=0.3, precision=mode,
-                               postprocess="pallas")
-            per_img = det.detect(imgs).trim()
-            stress["modes_pallas_postprocess"][mode] = \
-                per_axis_report(data, per_img)
-            summarize(f"pallas/{mode}", stress["modes_pallas_postprocess"][mode])
-        except Exception as e:   # CPU hosts: Mosaic kernels are TPU-only
-            print(f"pallas postprocess skipped ({type(e).__name__}: {e})")
-            stress.pop("modes_pallas_postprocess", None)
-            break
-
-    if not skip_tflite:
+    if only_tflite:
         from headpose_tpu.runtime.edge import EdgeDetector
         from headpose_tpu.tools.tflite import export_unified_tflite
 
@@ -141,8 +136,36 @@ def main() -> None:
             export_unified_tflite(model, params, path)
             edge = EdgeDetector(path)   # production thresholds
             per_img = [edge.detect_single(im) for im in imgs]
-        stress["tflite_edge"] = per_axis_report(data, per_img)
-        summarize("tflite_edge", stress["tflite_edge"])
+        rep = per_axis_report(data, per_img)
+        merge(sha, base, "tflite_edge", rep)
+        summarize("tflite_edge", rep)
+        print("wrote", OUT)
+        return
+
+    modes = {}
+    for mode in MODES:
+        det = FaceDetector(model, params, score_threshold=0.4,
+                           iou_threshold=0.3, precision=mode)
+        per_img = det.detect(imgs).trim()
+        modes[mode] = per_axis_report(data, per_img)
+        merge(sha, base, "modes", modes)
+        summarize(mode, modes[mode])
+
+    # fused Pallas postprocess, parity modes only (bit-exact vs XLA by
+    # construction — this PROVES it on boundary-stressing sets)
+    pallas = {}
+    for mode in ("highest", "fast"):
+        try:
+            det = FaceDetector(model, params, score_threshold=0.4,
+                               iou_threshold=0.3, precision=mode,
+                               postprocess="pallas")
+            per_img = det.detect(imgs).trim()
+            pallas[mode] = per_axis_report(data, per_img)
+            merge(sha, base, "modes_pallas_postprocess", pallas)
+            summarize(f"pallas/{mode}", pallas[mode])
+        except Exception as e:   # CPU hosts: Mosaic kernels are TPU-only
+            print(f"pallas postprocess skipped ({type(e).__name__}: {e})")
+            break
 
     if not skip_aot:
         from headpose_tpu.tools.aot import export_detector, load_exported
@@ -154,13 +177,9 @@ def main() -> None:
             export_detector(det, path, batch_sizes=(len(imgs),),
                             image_shape=imgs.shape[1:3])
             per_img = load_exported(path).detect(imgs).trim()
-        stress["aot_fast"] = per_axis_report(data, per_img)
-        summarize("aot_fast", stress["aot_fast"])
-
-    cert = json.load(open(OUT)) if os.path.exists(OUT) else {}
-    cert["stress"] = stress
-    with open(OUT, "w") as f:
-        json.dump(cert, f, indent=1)
+        rep = per_axis_report(data, per_img)
+        merge(sha, base, "aot_fast", rep)
+        summarize("aot_fast", rep)
     print("wrote", OUT)
 
 

@@ -40,6 +40,7 @@ def cert():
         return json.load(f)
 
 
+@pytest.mark.smoke
 class TestCorpusIntegrity:
     def test_size_and_richness(self, corpus):
         assert len(corpus["imgs"]) >= 100
@@ -58,6 +59,7 @@ class TestCorpusIntegrity:
         assert cert["reference_detections"] == 451
 
 
+@pytest.mark.smoke
 class TestCertifiedDistributions:
     """Gates on the committed on-chip certification (VERDICT r2 item 1)."""
 
@@ -111,3 +113,82 @@ class TestCpuParityOnCorpus:
                                        corpus["boxes"][i, :c], atol=1e-4)
             np.testing.assert_allclose(np.asarray(per[i].poses),
                                        corpus["poses"][i, :c], atol=2e-3)
+
+
+STRESS_CORPUS = os.path.join(GOLDEN, "stress_corpus.npz")
+
+
+@pytest.fixture(scope="module")
+def stress(cert):
+    if "stress" not in cert:
+        pytest.skip("stress certification not yet captured "
+                    "(scripts/certify_stress.py)")
+    return cert["stress"]
+
+
+@pytest.mark.smoke
+class TestStressCertification:
+    """Boundary-stress gates (VERDICT r3 item 3): the contract's edges —
+    threshold-straddling scores, NMS-boundary IoU~0.3 clusters, >=20-target
+    saturation — certified per axis (scripts/make_stress_corpus.py +
+    certify_stress.py)."""
+
+    def test_corpus_shape_and_adversarial_axes(self):
+        d = dict(np.load(STRESS_CORPUS))
+        axes = d["axis"]
+        assert set(axes) == {"threshold", "nms", "saturation"}
+        # threshold axis: reference detections hug the production cutoff
+        sel = np.where(axes == "threshold")[0]
+        sc = np.concatenate([d["scores"][i, :d["counts"][i]] for i in sel])
+        assert np.percentile(sc, 50) < 0.55 and sc.min() < 0.43
+        # saturation axis reaches far beyond the primary corpus's 5 faces
+        assert d["counts"][axes == "saturation"].max() >= 20
+        # nms axis: surviving reference pairs reach right under the 0.3
+        # suppression boundary (pairs above it were suppressed — that edge
+        # is exactly what the axis exercises)
+        best = 0.0
+        for i in np.where(axes == "nms")[0]:
+            b = d["boxes"][i, :d["counts"][i]]
+            for p in range(len(b)):
+                for q in range(p + 1, len(b)):
+                    x1 = max(b[p, 0], b[q, 0]); y1 = max(b[p, 1], b[q, 1])
+                    x2 = min(b[p, 2], b[q, 2]); y2 = min(b[p, 3], b[q, 3])
+                    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                    ua = (b[p, 2] - b[p, 0]) * (b[p, 3] - b[p, 1])
+                    ub = (b[q, 2] - b[q, 0]) * (b[q, 3] - b[q, 1])
+                    best = max(best, inter / (ua + ub - inter))
+        assert 0.25 < best <= 0.3 + 1e-6
+
+    def test_certificate_is_for_this_corpus(self, stress):
+        import hashlib
+
+        sha = hashlib.sha256(open(STRESS_CORPUS, "rb").read()).hexdigest()
+        assert stress["corpus_sha256"] == sha, (
+            "stress section of docs/certification.json is stale — re-run "
+            "scripts/certify_stress.py after changing the corpus")
+        assert stress["backend"] != "cpu"
+
+    @pytest.mark.parametrize("mode", ["highest", "fast"])
+    def test_parity_modes_hold_at_the_boundaries(self, stress, mode):
+        for axis, r in stress["modes"][mode].items():
+            assert r["set_agreement"] == 1.0, (
+                f"{mode}/{axis}: detection sets diverged at the boundary")
+            assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG
+
+    def test_pallas_postprocess_matches_at_the_boundaries(self, stress):
+        if "modes_pallas_postprocess" not in stress:
+            pytest.skip("pallas postprocess not captured")
+        for mode, per_axis in stress["modes_pallas_postprocess"].items():
+            for axis, r in per_axis.items():
+                want = stress["modes"][mode][axis]
+                assert r["set_agreement"] == want["set_agreement"]
+                assert r["pose_deg"] == want["pose_deg"], (
+                    f"pallas {mode}/{axis} diverges from the XLA postprocess")
+
+    def test_deployment_artifacts_hold_at_the_boundaries(self, stress):
+        for section in ("tflite_edge", "aot_fast"):
+            if section not in stress:
+                pytest.skip(f"{section} stress section not yet captured")
+            for axis, r in stress[section].items():
+                assert r["set_agreement"] == 1.0, f"{section}/{axis}"
+                assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG

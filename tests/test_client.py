@@ -16,6 +16,8 @@ pytest.importorskip("jax")
 
 from headpose_tpu.runtime import PoseClient, PoseServer
 from headpose_tpu.runtime.results import Results
+pytestmark = pytest.mark.heavy  # socket servers: the heavy lane (CLAUDE.md test tiers)
+
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 

@@ -18,6 +18,7 @@ needs_reference = pytest.mark.skipif(
     not has_reference(), reason="reference artifacts not mounted")
 
 
+@pytest.mark.smoke
 class TestResize:
     def test_bicubic_matches_tf(self):
         """Pixel-exact vs tf.image.resize(method='bicubic') — the hard parity
@@ -86,6 +87,7 @@ class TestResize:
         assert x.min() >= -1.5 and x.max() <= 1.5
 
 
+@pytest.mark.smoke
 class TestPostprocess:
     def _run_case(self, g, case, score_threshold):
         anchors = jnp.asarray(generate_anchors(), jnp.float32)
@@ -129,6 +131,7 @@ class TestPostprocess:
 
 
 @needs_reference
+@pytest.mark.smoke
 class TestEndToEnd:
     @pytest.fixture()
     def detector(self, production_detector):

@@ -20,6 +20,8 @@ from headpose_tpu.ops.detection import decode_boxes, decode_keypoints
 from headpose_tpu.train.detector import (DetectorDistillConfig,
                                          distill_detector, distill_targets)
 
+pytestmark = pytest.mark.heavy  # detector-training convergence runs: the heavy lane (CLAUDE.md test tiers)
+
 # Tiny teacher/student pair with aligned tap grids (8x8 and 4x4), mirroring
 # the production front(128)/back(256) relationship at 16/32 input.
 TINY_TEACHER = BlazeFace(input_size=16, stem_features=4,

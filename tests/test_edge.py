@@ -19,8 +19,12 @@ from headpose_tpu.runtime.edge import NativePostprocess, native_available
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
-pytestmark = pytest.mark.skipif(not native_available(),
-                                reason="g++ unavailable on this host")
+pytestmark = [
+    pytest.mark.skipif(not native_available(),
+                       reason="g++ unavailable on this host"),
+    # TFLite/tf-keras round-trips + a subprocess run: the heavy lane
+    pytest.mark.heavy,
+]
 
 ANCHORS = np.asarray(generate_anchors(FRONT_CONFIG), np.float32)
 

@@ -19,7 +19,8 @@ import pytest
 from headpose_tpu.models import MLPHead
 from headpose_tpu.tools.h5export import save_head_h5, save_unified_h5
 
-pytestmark = []
+# tf-keras round-trips: the heavy lane (CLAUDE.md test tiers)
+pytestmark = [pytest.mark.heavy]
 
 
 @pytest.fixture(scope="module")

@@ -21,6 +21,8 @@ pytest.importorskip("jax")
 
 from headpose_tpu.runtime import PoseServer
 from headpose_tpu.runtime import http as http_mod
+pytestmark = pytest.mark.heavy  # socket servers: the heavy lane (CLAUDE.md test tiers)
+
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 

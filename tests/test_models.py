@@ -19,6 +19,7 @@ needs_reference = pytest.mark.skipif(
     not has_reference(), reason="reference artifacts not mounted")
 
 
+@pytest.mark.smoke
 class TestAnchors:
     def test_front_config_matches_reference(self):
         """Bit-exact vs the captured gen_anchors table (blazeFaceUtils.py:59-127)."""
@@ -89,6 +90,7 @@ class TestHeadZoo:
 
 
 @needs_reference
+@pytest.mark.smoke
 class TestNativeImport:
     def test_head_import_parity(self):
         g = np.load(os.path.join(GOLDEN, "heads.npz"))

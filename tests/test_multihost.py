@@ -19,6 +19,8 @@ import sys
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.heavy  # subprocess multi-host runs: the heavy lane (CLAUDE.md test tiers)
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "multihost_worker.py")

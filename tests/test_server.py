@@ -16,6 +16,8 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from headpose_tpu.runtime import DynamicBatcher
+pytestmark = pytest.mark.heavy  # socket servers: the heavy lane (CLAUDE.md test tiers)
+
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 

@@ -22,6 +22,8 @@ from headpose_tpu.tools.tflite import (UNIFIED_OUTPUT_NAMES, TFLiteModel,
                                        export_unified_tflite)
 
 from conftest import REFERENCE_ROOT, has_reference
+pytestmark = pytest.mark.heavy  # tf-keras/TFLite round-trips: the heavy lane (CLAUDE.md test tiers)
+
 
 HRCHR = os.path.join(
     REFERENCE_ROOT,

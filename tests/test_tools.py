@@ -635,6 +635,7 @@ def test_unified_best_pretrained_serves_best_heads():
         assert "calibration" in meta[key] and "holdout_summary" in meta[key]
 
 
+@pytest.mark.smoke
 def test_model_path_resolves_pretrained_registry_names():
     """Every user-facing model_path (demo --model, offline --model,
     compat.blazeFaceDetector) accepts a pretrained registry name through
@@ -662,6 +663,7 @@ def test_model_path_resolves_pretrained_registry_names():
         compat.blazeFaceDetector.__init__)
 
 
+@pytest.mark.smoke
 def test_pretrained_quality_provenance_surfaced_at_load():
     """Every shipped artifact carries a `quality` provenance tier in its
     spec.json metadata, `pretrained_quality` reads it, and loading a
