@@ -17,7 +17,11 @@ __all__ = ["PRETRAINED_DIR", "FLAGSHIP", "BEST", "flagship_path",
 
 PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained_models")
 FLAGSHIP = "unified-stoqa9pt-hrchr82r"
-BEST = "unified-best"
+# the served best model: the stacked-ensemble accuracy frontier distilled
+# into single compact heads (scripts/distill_stack.py + build_unified_best_
+# distilled.py) — ~flagship dispatch cost, plain-MLP map grafting, TFLite/
+# AOT/edge exportable.  The live-member stacks remain as 'unified-best'.
+BEST = "unified-best-distilled"
 
 
 def load_pretrained(name: str):
@@ -88,7 +92,20 @@ def load_pretrained(name: str):
       only the pose regressors differ.  Head provenance/holdouts are copied
       into the artifact metadata; serving cost is ~1.9x flagship dispatch
       time (paired on-chip A/B after the grouped-member rewrite — 3.0x
-      before it; docs/unified_best_cost.json)."""
+      before it; docs/unified_best_cost.json).
+    - 'stack88-distilled' / 'stack96-distilled' (scripts/distill_stack.py,
+      docs/distill_stack_result.json): the stacked frontiers compressed
+      into single 256-128 tanh MLPs by feature-space distillation (fresh
+      init, no labels consumed; the teachers' AFLW+BIWI-val calibration
+      supervision is inherited and disclosed).  AFLW 7.308 / 7.307 —
+      below their teachers' in-sample numbers — at single-head cost, with
+      plain-MLP map grafting (no survivors profile) and TFLite/AOT/edge
+      exportability.
+    - 'unified-best-distilled' (scripts/build_unified_best_distilled.py):
+      the flagship backbone + SSD heads joined with both stack-distilled
+      heads — the SERVED best model (`BEST`/`best_detector`): the
+      accuracy frontier at ~flagship dispatch cost
+      (docs/unified_best_cost.json)."""
     from .tools.export import load_model
 
     path = os.path.join(PRETRAINED_DIR, name)
@@ -153,22 +170,18 @@ def flagship_detector(**kwargs):
 
 
 def best_detector(**kwargs):
-    """A ready-to-use FaceDetector on 'unified-best' — the flagship
-    detections with the most accurate pose heads in either ecosystem (the
-    stacked-mixed ensembles; see load_pretrained).
+    """A ready-to-use FaceDetector on the served best model
+    ('unified-best-distilled'): flagship detections with the stacked
+    accuracy frontier distilled into single compact pose heads — AFLW
+    7.308/7.307, ~flagship dispatch cost, TFLite/AOT/edge exportable.
 
-    Serves with head_eval='survivors' (the detector's 'auto' default
-    resolves to it here): the stacked pools include SE-gated members whose
-    map-grafted evaluation pools over the WHOLE feature map — a different
-    function from the per-vector semantics every member was trained and
-    the stack calibrated/holdout-scored under (measured on-chip across the
-    451-detection parity corpus: divergence p50 3.9 / p99 18.5 / max 26.5
-    deg — docs/headeval_divergence.json; tests/test_detection.py::
-    TestSurvivorsHeadEval).  'survivors' evaluates each detected face's
-    gathered feature vector independently, so the artifact's advertised
-    holdout accuracy is the accuracy it actually serves — and the heads run
-    on ≤ max_faces rows instead of all 320 map cells.  Pass
-    head_eval='map' for the reference's grafted-graph semantics."""
+    The heads are plain per-vector MLPs, so the default map grafting is
+    EXACT (the survivors-vs-map divergence of docs/headeval_divergence.json
+    is a property of the SE-gated ensemble members, which the distilled
+    heads no longer have) and every head_eval profile serves the same
+    function.  For the live 99-member stacks themselves, load
+    'unified-best' — its SE-gated members make head_eval='survivors' (the
+    'auto' default there) mandatory for advertised-accuracy serving."""
     from .runtime.detector import FaceDetector
 
     model, params = load_pretrained(BEST)

@@ -54,8 +54,10 @@ STUDENT_LAYERS = ((256, "tanh"), (128, "tanh"), (3, "linear"))
 # NEVER queried during training, not even its inputs)
 POOL_FILES = {
     88: ["BIWI_Train_Enlarged_features_88_0.7_1.npz",
-         "BIWI_NoTrack_Enlarged_features_88_0.7_1.npz",
          "BIWI_Test_Enlarged_features_88_0.7_1.npz",
+         "BIWI_NoTrack_features_88.npz",
+         "BIWI_train_features_88.npz",
+         "BIWI_test_features_88.npz",
          "AFLW2000_features_88_0.7_1.npz"],
     96: ["BIWI_Train_Enlarged_features_96_0.7_1.npz",
          "BIWI_Test_Enlarged_features_96_0.7_1.npz",

@@ -622,8 +622,11 @@ def test_unified_best_pretrained_serves_best_heads():
         for a, b in zip(ours, theirs):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    from headpose_tpu.runtime.detector import FaceDetector
+
     g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
-    res = best_detector().detect_single(np.asarray(g["img"], np.uint8))
+    res = FaceDetector(spec, params).detect_single(
+        np.asarray(g["img"], np.uint8))
     assert len(res) == len(g["scores"]) > 0
     np.testing.assert_allclose(res.scores, g["scores"], atol=1e-4)
     np.testing.assert_allclose(res.boxes, g["boxes"], atol=1e-4)
@@ -633,6 +636,41 @@ def test_unified_best_pretrained_serves_best_heads():
         PRETRAINED_DIR, "unified-best", "spec.json")))["metadata"]
     for key in ("head88_provenance", "head96_provenance"):
         assert "calibration" in meta[key] and "holdout_summary" in meta[key]
+
+
+def test_best_detector_serves_the_distilled_frontier():
+    """`best_detector` serves 'unified-best-distilled': flagship-identical
+    detections, pose heads byte-identical to the shipped stack{88,96}-
+    distilled students (so docs/distill_stack_result.json's AFLW numbers
+    transfer verbatim), and plain-MLP heads — every head_eval profile
+    computes the same function, and the artifact is edge-exportable
+    (VERDICT r3 item 1)."""
+    from headpose_tpu.models import MLPHead
+    from headpose_tpu.pretrained import BEST, best_detector, load_pretrained
+
+    assert BEST == "unified-best-distilled"
+    spec, params = load_pretrained(BEST)
+    for field, src in (("head88", "stack88-distilled"),
+                       ("head96", "stack96-distilled")):
+        src_spec, src_params = load_pretrained(src)
+        assert isinstance(src_spec, MLPHead)
+        assert getattr(spec, field) == src_spec
+        ours, theirs = (jax.tree.leaves(params[field]),
+                        jax.tree.leaves(src_params))
+        for a, b in zip(ours, theirs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g = np.load(os.path.join(GOLDEN, "e2e_production.npz"))
+    det = best_detector()
+    res = det.detect_single(np.asarray(g["img"], np.uint8))
+    assert len(res) == len(g["scores"]) > 0
+    np.testing.assert_allclose(res.scores, g["scores"], atol=1e-4)
+    np.testing.assert_allclose(res.boxes, g["boxes"], atol=1e-4)
+    # plain per-vector heads: survivors == map (the SE-gated divergence is
+    # gone by construction)
+    res_s = best_detector(head_eval="survivors").detect_single(
+        np.asarray(g["img"], np.uint8))
+    np.testing.assert_allclose(res_s.poses, res.poses, rtol=0, atol=1e-4)
 
 
 @pytest.mark.smoke
