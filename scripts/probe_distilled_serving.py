@@ -1,0 +1,98 @@
+"""Paired on-chip A/B: serving profiles of `unified-best-distilled`.
+
+The distilled frontier costs a paired-median ~1.11x flagship dispatch in
+map profile (docs/unified_best_cost.json) — the residual being the two
+256-128 MLP heads evaluated over all 320 map cells.  Because the heads are
+plain per-vector MLPs, head_eval='survivors' computes the IDENTICAL
+function on <= max_faces gathered rows instead, so the head work shrinks
+20x at max_faces=16 while two one-hot gather GEMMs are added.  This probe
+measures whether that trade pays, with the same interleaved paired-ratio
+methodology as probe_unified_best_cost.py (chip drift up to ~40%/minutes).
+
+Usage:  python scripts/probe_distilled_serving.py [iters] [rounds]
+Writes docs/distilled_serving_cost.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "docs", "distilled_serving_cost.json")
+
+
+def main():
+    import jax
+
+    from headpose_tpu.pretrained import load_flagship, load_pretrained
+    from headpose_tpu.runtime.detector import FaceDetector
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    batch = 128
+
+    flag = load_flagship()
+    dist = load_pretrained("unified-best-distilled")
+    variants = {
+        "flagship-map": (flag, "map", 100),
+        "distilled-map": (dist, "map", 100),
+        "distilled-surv": (dist, "survivors", 100),
+        "distilled-surv16": (dist, "survivors", 16),
+    }
+
+    fns, compile_s = {}, {}
+    bufs = staged_uint8_frames(batch)
+    jax.block_until_ready(bufs)
+    for tag, ((m, p), head_eval, max_faces) in variants.items():
+        det = FaceDetector(m, p, precision="fast", postprocess="xla",
+                           head_eval=head_eval, max_faces=max_faces)
+        args = (det.params, det.score_threshold, det.iou_threshold,
+                det.max_faces, det.precision, det.postprocess,
+                det.turbo_island, det.head_eval)
+
+        def run(images, det=det, args=args):
+            return det._pipeline(args[0], images, *args[1:])
+
+        t0 = time.time()
+        jax.block_until_ready(jax.tree.leaves(run(bufs[0])))
+        compile_s[tag] = round(time.time() - t0, 1)
+        fns[tag] = run
+        print(f"{tag}: compiled in {compile_s[tag]} s", flush=True)
+
+    ms = {t: [] for t in fns}
+    for r in range(rounds):
+        for t, f in fns.items():
+            ms[t].append(sustained_seconds_per_dispatch(f, bufs, iters) * 1e3)
+        print(f"round {r}: " + "  ".join(f"{t}={ms[t][-1]:.3f}ms"
+                                         for t in ms), flush=True)
+
+    fm = ms["flagship-map"]
+    spread = (max(fm) - min(fm)) / statistics.median(fm)
+    report = {
+        "iters": iters, "rounds": rounds, "batch": batch,
+        "flagship_round_spread": round(spread, 3),
+        "stable_window": spread < 0.05,
+        "ms": {t: [round(x, 3) for x in v] for t, v in ms.items()},
+        "median_ratio_vs_flagship_map": {
+            t: round(statistics.median(
+                [b / a for a, b in zip(fm, ms[t])]), 3) for t in fns},
+        "median_fps": {t: round(batch / (statistics.median(v) / 1e3), 1)
+                       for t, v in ms.items()},
+        "compile_s": compile_s,
+    }
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["median_ratio_vs_flagship_map"]), flush=True)
+    print(f"flagship spread {spread:.1%} -> "
+          f"{'STABLE' if report['stable_window'] else 'UNSTABLE'} window; "
+          f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
