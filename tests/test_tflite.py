@@ -189,3 +189,29 @@ class TestH5Export:
         x = np.zeros((1, 1, 1, 96), np.float32)
         assert next(iter(tm(**{tm.input_names[0]: x}).values())).shape \
             == (1, 1, 1, 3)
+
+
+def test_best_model_exports_to_edge(tmp_path):
+    """The served best model ('unified-best-distilled') edge-exports — the
+    capability unified-best's SE-gated ensembles blocked (spatial-context
+    refusal above).  Distilled plain-MLP heads bake exactly, and the
+    EdgeDetector pipeline reproduces the JAX detector on a corpus image:
+    the accuracy frontier ships to edge hosts (VERDICT r3 item 1)."""
+    from headpose_tpu.pretrained import load_pretrained
+    from headpose_tpu.runtime.detector import FaceDetector
+    from headpose_tpu.runtime.edge import EdgeDetector, native_available
+
+    if not native_available():
+        pytest.skip("g++ unavailable")
+    model, params = load_pretrained("unified-best-distilled")
+    out = str(tmp_path / "best.tflite")
+    report = export_unified_tflite(model, params, out)
+    assert max(report["maxerr"].values()) <= 2e-4
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "parity_corpus.npz"))
+    img = data["imgs"][0]
+    want = FaceDetector(model, params, score_threshold=0.05).detect_single(img)
+    got = EdgeDetector(out, score_threshold=0.05).detect_single(img)
+    assert len(got) == len(want) > 0
+    np.testing.assert_allclose(got.boxes, want.boxes, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(got.poses, want.poses, rtol=0, atol=5e-4)
