@@ -396,3 +396,33 @@ class TestEdgeDetector:
         with pytest.raises(ValueError, match="\\(H, W, 3\\)"):
             EdgeDetector.__new__(EdgeDetector)._preprocess(
                 np.zeros((128, 128), np.uint8))
+
+    def test_nonsquare_frames_match_facedetector(self, tmp_path,
+                                                 unified_native,
+                                                 production_detector):
+        """Non-square frames are legal on both pipelines (the reference's
+        detectFaces resizes whatever it is given, distorting aspect —
+        blazeFaceDetectorH5.py:254-256): the edge pipeline must reproduce
+        the JAX detector on a 480x640 frame."""
+        pytest.importorskip("tensorflow")
+        pytest.importorskip("tf_keras")
+        from headpose_tpu.runtime.edge import EdgeDetector
+        from headpose_tpu.tools.tflite import export_unified_tflite
+
+        model, params = unified_native
+        path = str(tmp_path / "flagship.tflite")
+        export_unified_tflite(model, params, path)
+        edge = EdgeDetector(path, score_threshold=0.05)
+        data = np.load(os.path.join(GOLDEN, "parity_corpus.npz"))
+        up = np.repeat(np.repeat(data["imgs"][:2], 4, axis=1), 5, axis=2)
+        assert up.shape[1:] == (512, 640, 3)
+        frames = up[:, :480]
+        want = production_detector.detect(frames).trim()
+        assert sum(len(w) for w in want) > 0
+        for i in range(len(frames)):
+            got = edge.detect_single(frames[i])
+            assert len(got) == len(want[i])
+            np.testing.assert_allclose(got.boxes, want[i].boxes,
+                                       rtol=0, atol=1e-4)
+            np.testing.assert_allclose(got.poses, want[i].poses,
+                                       rtol=0, atol=5e-4)
