@@ -330,3 +330,29 @@ class TestValidation:
         det = ExportedDetector(bad)
         with pytest.raises(RuntimeError, match="exported by jax"):
             det.detect(_frames(2))
+
+
+def test_best_model_exports_and_serves_aot(tmp_path):
+    """The served best model ('unified-best-distilled') rides the AOT
+    deployment path: export → load on a model-code-free path → detect
+    matches the source detector exactly.  With the ensembles this needed
+    the survivors-profile export; the distilled heads make the plain path
+    sufficient (VERDICT r3 item 1: frontier accuracy in every deployment
+    format)."""
+    from headpose_tpu.pretrained import best_detector
+
+    det = best_detector(score_threshold=0.5)
+    path = str(tmp_path / "best")
+    meta = export_detector(det, path, batch_sizes=(2,), platforms=("cpu",))
+    assert meta["config"]["head_eval"] == "map"  # 'auto' resolved: plain
+    # per-vector MLP heads take the exact map-graft path
+    aot = load_exported(path)
+    frames = _frames(2)
+    want = det.detect(frames)
+    got = aot.detect(frames)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.poses),
+                                  np.asarray(want.poses))
+    np.testing.assert_array_equal(np.asarray(got.boxes),
+                                  np.asarray(want.boxes))
