@@ -174,9 +174,15 @@ class ExportedDetector:
                 f"{_FORMAT_VERSION}")
         ver = self.meta.get("versions", {})
         conv = ver.get("export_calling_convention")
-        if conv is not None:
-            lo = jax.export.minimum_supported_calling_convention_version
-            hi = jax.export.maximum_supported_calling_convention_version
+        # getattr-guarded: a serving-host jax old enough to lack these
+        # attributes is exactly the version-skew scenario this check exists
+        # for — fall through to the curated deserialize error path instead
+        # of raising AttributeError here
+        lo = getattr(jax.export,
+                     "minimum_supported_calling_convention_version", None)
+        hi = getattr(jax.export,
+                     "maximum_supported_calling_convention_version", None)
+        if conv is not None and lo is not None and hi is not None:
             if not (lo <= int(conv) <= hi):
                 raise ValueError(
                     f"AOT artifact {path} was exported by jax "
