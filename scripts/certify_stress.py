@@ -1,20 +1,38 @@
 """Certify the serving stack on the BOUNDARY-stress corpus, per axis.
 
 Runs over tests/golden/stress_corpus.npz (make_stress_corpus.py: threshold-
-straddling scores, NMS-boundary IoU~0.3 clusters, >=20-target saturation —
-the three axes where float-mode divergence would first flip a detection set)
+straddling scores, NMS-boundary IoU~0.3 clusters, >=20-target saturation,
+and >100-survivor MAX_FACE_NUM overflow — the axes where float-mode
+divergence or the fixed-slab contract would first flip a detection set)
 and reports set-agreement + error distributions PER AXIS for:
 
   * every precision mode of the flagship detector (highest/fast/turbo/max),
   * the fused Pallas postprocess variant of the parity modes,
   * the TFLite edge pipeline (EdgeDetector: numpy preprocess + TFLite
     invoke + C++ postprocess) — CPU,
-  * the AOT serving artifact (tools/aot.py export of the 'fast' detector).
+  * the AOT serving artifact (tools/aot.py export of the 'fast' detector),
+  * THE SERVED DEFAULT — best_detector() ('unified-best-distilled') under
+    its resolved profile, in default + 'fast' precision, AND through the
+    chunked >128-batch path (VERDICT r4 item 1: the gate must certify the
+    artifact users load, not only its ancestor).  Detection sets/boxes/
+    scores must be identical to the flagship rows; poses are the distilled
+    heads' INTENTIONAL improvement and are recorded, not parity-gated.
+
+Overflow-axis extras (VERDICT r4 item 2, MAX_FACE_NUM=100 truncation,
+blazeFaceDetectorH5.py:8-9,332):
+  * per-section "overflow order": survivor IDENTITY AND EMISSION ORDER at
+    the cap must match the reference's tf.image.non_max_suppression
+    truncation elementwise (both sides emit greedy score-descending).
+  * "overflow_uncapped": the same images served with max_faces=256 must
+    reproduce the reference's UNCAPPED survivor sets (captured with
+    MAX_FACE_NUM monkeypatched to 896) — proving cap agreement is not
+    vacuous: both sides agree on the >100-survivor set AND on where its
+    top-100 prefix is cut.
 
 Merges a "stress" section into docs/certification.json (sha-pinned to the
 stress corpus).  Run on the real chip:
 
-    python scripts/certify_stress.py                (modes+pallas+AOT, chip)
+    python scripts/certify_stress.py                (modes+pallas+AOT+best, chip)
     python scripts/certify_stress.py --only-tflite  (edge pipeline, CPU)
 """
 from __future__ import annotations
@@ -35,7 +53,15 @@ CORPUS = os.path.join(REPO, "tests", "golden", "stress_corpus.npz")
 OUT = os.path.join(REPO, "docs", "certification.json")
 
 MODES = ("highest", "fast", "turbo", "max")
-AXES = ("threshold", "nms", "saturation")
+AXES = ("threshold", "nms", "saturation", "overflow")
+
+
+def full_report(data, per_img, score_tol=1e-3) -> dict:
+    """Per-axis set-agreement/error report + the overflow truncation-order
+    check (one payload per certified section)."""
+    rep = per_axis_report(data, per_img)
+    rep["overflow_order"] = overflow_order_report(data, per_img, score_tol)
+    return rep
 
 
 def per_axis_report(data, per_img) -> dict:
@@ -45,6 +71,8 @@ def per_axis_report(data, per_img) -> dict:
     report = {}
     for axis in AXES:
         idxs = np.where(axes == axis)[0]
+        if len(idxs) == 0:
+            continue
         pose_errs, box_errs, score_errs, agree = [], [], [], 0
         for i in idxs:
             c = int(data["counts"][i])
@@ -74,13 +102,45 @@ def per_axis_report(data, per_img) -> dict:
     return report
 
 
+def order_check(ref_boxes, ref_scores, ours, c, score_tol=1e-3):
+    """Does `ours` reproduce the reference's first c detections at the SAME
+    POSITIONS (greedy-NMS emission order)?  Elementwise, not greedy-matched:
+    position i must agree on box (IoU > 0.5) and score (|delta| < tol)."""
+    from certify_modes import box_iou
+
+    ob = np.asarray(ours.boxes, np.float32)
+    os_ = np.asarray(ours.scores, np.float32)
+    if len(os_) < c:
+        return False
+    return all(box_iou(ref_boxes[i], ob[i]) > 0.5
+               and abs(float(ref_scores[i]) - float(os_[i])) < score_tol
+               for i in range(c))
+
+
+def overflow_order_report(data, per_img, score_tol=1e-3) -> dict:
+    """Per-image truncation-order agreement on the overflow axis: survivor
+    identity AND emission order at the MAX_FACE_NUM cap must match the
+    reference's tf NMS truncation elementwise."""
+    idxs = np.where(data["axis"] == "overflow")[0]
+    ok = sum(order_check(data["boxes"][i], data["scores"][i], per_img[i],
+                         int(data["counts"][i]), score_tol)
+             for i in idxs)
+    return {"images": int(len(idxs)), "order_exact": int(ok),
+            "capped_images": int((data["counts"][idxs] == 100).sum())}
+
+
 def summarize(tag: str, rep: dict) -> None:
     parts = []
     for axis in AXES:
+        if axis not in rep:
+            continue
         r = rep[axis]
         p = r["pose_deg"]
         parts.append(f"{axis} {r['agree_images']}/{r['images']} "
                      f"(pose max {p.get('max', 0):.2g})")
+    if "overflow_order" in rep:
+        o = rep["overflow_order"]
+        parts.append(f"order {o['order_exact']}/{o['images']}")
     print(f"{tag:>22}: " + "; ".join(parts), flush=True)
 
 
@@ -136,7 +196,7 @@ def main() -> None:
             export_unified_tflite(model, params, path)
             edge = EdgeDetector(path)   # production thresholds
             per_img = [edge.detect_single(im) for im in imgs]
-        rep = per_axis_report(data, per_img)
+        rep = full_report(data, per_img)
         merge(sha, base, "tflite_edge", rep)
         summarize("tflite_edge", rep)
         print("wrote", OUT)
@@ -147,7 +207,7 @@ def main() -> None:
         det = FaceDetector(model, params, score_threshold=0.4,
                            iou_threshold=0.3, precision=mode)
         per_img = det.detect(imgs).trim()
-        modes[mode] = per_axis_report(data, per_img)
+        modes[mode] = full_report(data, per_img)
         merge(sha, base, "modes", modes)
         summarize(mode, modes[mode])
 
@@ -160,12 +220,91 @@ def main() -> None:
                                iou_threshold=0.3, precision=mode,
                                postprocess="pallas")
             per_img = det.detect(imgs).trim()
-            pallas[mode] = per_axis_report(data, per_img)
+            pallas[mode] = full_report(data, per_img)
             merge(sha, base, "modes_pallas_postprocess", pallas)
             summarize(f"pallas/{mode}", pallas[mode])
         except Exception as e:   # CPU hosts: Mosaic kernels are TPU-only
             print(f"pallas postprocess skipped ({type(e).__name__}: {e})")
             break
+
+    # the reference's UNCAPPED survivor sets (MAX_FACE_NUM -> 896 capture):
+    # serving the overflow images with max_faces=256 must reproduce them —
+    # proving both sides agree on the FULL >100-survivor set, so agreement
+    # at the cap is a genuine truncation-order match, not a coincidence
+    if "ov_idx" in data:
+        unc = {}
+        ov_imgs = imgs[data["ov_idx"]]
+        ov_ref = {"axis": np.array(["overflow"] * len(ov_imgs)),
+                  "counts": data["ov_counts"], "boxes": data["ov_boxes"],
+                  "scores": data["ov_scores"], "poses": data["ov_poses"]}
+        for mode in ("highest", "fast"):
+            det = FaceDetector(model, params, score_threshold=0.4,
+                               iou_threshold=0.3, precision=mode,
+                               max_faces=256)
+            per_img = det.detect(ov_imgs).trim()
+            rep = per_axis_report(ov_ref, per_img)["overflow"]
+            rep["count_match"] = int(sum(
+                len(per_img[i]) == int(data["ov_counts"][i])
+                for i in range(len(ov_imgs))))
+            rep["order"] = overflow_order_report(ov_ref, per_img)
+            rep["max_uncapped_survivors"] = int(data["ov_counts"].max())
+            unc[mode] = rep
+            merge(sha, base, "overflow_uncapped", unc)
+            print(f"  uncapped/{mode}: sets {rep['agree_images']}/"
+                  f"{rep['images']}, counts {rep['count_match']}/"
+                  f"{rep['images']}, order "
+                  f"{rep['order']['order_exact']}/{rep['images']}",
+                  flush=True)
+
+    # THE SERVED DEFAULT: best_detector() — the artifact users load.
+    # Detections must be identical to the flagship rows (same imported
+    # backbone); poses are the distilled frontier's intentional improvement
+    # over the reference heads (recorded, gated only for sanity).
+    from headpose_tpu.pretrained import BEST, best_detector
+
+    bestsec = {}
+    for tag, kwargs in (
+            ("default", {}),                       # resolved serving profile
+            ("fast", {"precision": "fast"})):
+        det = best_detector(score_threshold=0.4, iou_threshold=0.3, **kwargs)
+        per_img = det.detect(imgs).trim()
+        rep = full_report(data, per_img)
+        rep["resolved_profile"] = {
+            "artifact": BEST, "precision": det.precision,
+            "head_eval": det.head_eval, "postprocess": det.postprocess,
+            "max_faces": det.max_faces}
+        bestsec[tag] = rep
+        merge(sha, base, "best_detector", bestsec)
+        summarize(f"best/{tag}", rep)
+
+    # the chunked >128-batch serving path (_pipeline splits into 128-lane
+    # branches inside one jit): serve the corpus duplicated past the chunk
+    # boundary; the first copy must equal the unchunked run ROW FOR ROW and
+    # certify identically
+    det = best_detector(score_threshold=0.4, iou_threshold=0.3,
+                        precision="fast")
+    n = len(imgs)
+    wide = np.concatenate([imgs, imgs])           # 2n > 128 images
+    batch = det.detect(wide)
+    per_img = batch.trim()
+    rep = full_report(data, per_img[:n])
+    mism = 0
+    for i in range(n):
+        a, b = per_img[i], per_img[n + i]
+        if (len(a) != len(b)
+                or not np.array_equal(np.asarray(a.scores),
+                                      np.asarray(b.scores))
+                or not np.array_equal(np.asarray(a.boxes),
+                                      np.asarray(b.boxes))
+                or not np.array_equal(np.asarray(a.poses),
+                                      np.asarray(b.poses))):
+            mism += 1
+    rep["batch"] = int(len(wide))
+    rep["duplicate_halves_bitwise_equal"] = mism == 0
+    bestsec["fast_chunked_gt128"] = rep
+    merge(sha, base, "best_detector", bestsec)
+    summarize("best/chunked", rep)
+    print(f"  chunked halves bitwise-equal: {mism == 0}", flush=True)
 
     if not skip_aot:
         from headpose_tpu.tools.aot import export_detector, load_exported
@@ -177,7 +316,7 @@ def main() -> None:
             export_detector(det, path, batch_sizes=(len(imgs),),
                             image_shape=imgs.shape[1:3])
             per_img = load_exported(path).detect(imgs).trim()
-        rep = per_axis_report(data, per_img)
+        rep = full_report(data, per_img)
         merge(sha, base, "aot_fast", rep)
         summarize("aot_fast", rep)
     print("wrote", OUT)

@@ -14,16 +14,26 @@ where float-mode divergence would first flip a detection set
   * axis "nms": 2-3-target clusters whose DECODED boxes are shaped (via an
     IoU penalty through decode_boxes) to pairwise IoU in [0.25, 0.35] —
     straddling the greedy-NMS suppression boundary iou > 0.3 (:329-335).
-  * axis "saturation": 20-48 targets per image across both SSD grids,
-    approaching the MAX_FACE_NUM=100 slab (:8-9) far beyond the primary
-    corpus's max of 5.
+  * axis "saturation": 20-48 targets per image packed into a RESTRICTED
+    24-macro-cell set (multiple anchors per cell, both SSD grids, same-cell
+    pairs IoU-shaped apart so they survive NMS) — approaching the
+    MAX_FACE_NUM=100 slab (:8-9) far beyond the primary corpus's max of 5.
+  * axis "overflow" (round 5): 150-200 targets with every same/adjacent-cell
+    pair IoU-shaped below the suppression boundary, so well OVER 100
+    mutually-surviving candidates reach the reference's
+    tf.image.non_max_suppression(max_output_size=MAX_FACE_NUM=100) (:332)
+    and its TRUNCATION behavior — survivor identity and emission order at
+    the cap — is finally exercised end to end.  The reference's UNCAPPED
+    survivor sets (max_output_size=896) are captured alongside (ov_* arrays)
+    so certification can prove the cap genuinely bit (uncapped count > 100)
+    and that the full survivor set agrees, not just the truncated prefix.
 
 Reference outputs are captured by driving the reference pipeline itself
 (detectFaces, tf-keras) on the SAME uint8 images at production settings.
 Images whose reference detection count is 0 are KEPT on the threshold axis —
 "we also detect nothing" is exactly the agreement being certified there.
 
-Run on the chip:  python scripts/make_stress_corpus.py     (3 ascent
+Run on the chip:  python scripts/make_stress_corpus.py     (4 ascent
 compiles ~2-4 min each, then tf-keras capture)
 """
 from __future__ import annotations
@@ -45,6 +55,7 @@ SEED = 777
 N_THRESHOLD = 36
 N_NMS = 36
 N_SATURATION = 24
+N_OVERFLOW = 12
 ASCENT_STEPS = 700
 
 
@@ -100,21 +111,73 @@ def targets_nms(rng):
     return anchors, caps, pa, pb, piou
 
 
+def _cell_anchor_ids(r8, c8):
+    """All 14 anchor slots of one 8x8 macro-cell: 8 front (the 2x2 16-grid
+    cells x 2 anchors each) + 6 back."""
+    ids = []
+    for dr in (0, 1):
+        for dc in (0, 1):
+            base = ((2 * r8 + dr) * 16 + (2 * c8 + dc)) * 2
+            ids += [base, base + 1]
+    base_b = 512 + (r8 * 8 + c8) * 6
+    return ids + [base_b + j for j in range(6)]
+
+
+def _anchor_macro_cell(a: int):
+    """Anchor id → its 8x8 macro-cell (r8, c8)."""
+    if a < 512:
+        r16, c16 = divmod(a // 2, 16)
+        return r16 // 2, c16 // 2
+    r8, c8 = divmod((a - 512) // 6, 8)
+    return r8, c8
+
+
+def _separation_pairs(anchors, rng, lo=0.03, hi=0.18, max_dist=1):
+    """IoU-shaping pairs for every same/adjacent-macro-cell target pair:
+    pull their decoded boxes to a LOW IoU so near-neighbours survive greedy
+    NMS instead of suppressing each other.  Returns position pairs (into
+    the anchors list) + per-pair IoU targets."""
+    cells = [_anchor_macro_cell(a) for a in anchors]
+    pa, pb, piou = [], [], []
+    for i in range(len(anchors)):
+        for j in range(i + 1, len(anchors)):
+            if (abs(cells[i][0] - cells[j][0]) <= max_dist
+                    and abs(cells[i][1] - cells[j][1]) <= max_dist):
+                pa.append(i)
+                pb.append(j)
+                piou.append(float(rng.uniform(lo, hi)))
+    return pa, pb, piou
+
+
 def targets_saturation(rng):
-    """20-48 targets spread over both grids (multiple anchors per macro-cell
-    allowed — the reference slab holds 100)."""
+    """20-48 targets packed into a RESTRICTED 24-macro-cell set, anchors
+    sampled WITHOUT replacement per cell so multiple anchors per macro-cell
+    (and both grids in one cell) genuinely occur — the r4 second-grid branch
+    was dead code and every cell held at most one target (ADVICE r4).
+    Same-cell pairs are IoU-shaped apart so they survive NMS."""
     k = int(rng.integers(20, 49))
-    anchors, caps = [], []
-    cells = rng.choice(64, size=min(k, 64), replace=False)
-    for i in range(k):
-        c = int(cells[i % len(cells)])
-        r8, c8 = c // 8, c % 8
-        if i < len(cells):
-            anchors.append(_any_anchor(rng, c))
-        else:   # second pass over the same cells: use the OTHER grid
-            anchors.append(_back_anchor(rng, r8, c8))
-        caps.append(float(rng.uniform(0.5, 5.0)))       # scores ~0.62-0.99
-    return anchors, caps, [], [], []
+    cells = rng.choice(64, size=24, replace=False)
+    pool = []
+    for c in cells:
+        pool += _cell_anchor_ids(int(c) // 8, int(c) % 8)
+    anchors = [int(a) for a in rng.choice(np.array(pool), size=k,
+                                          replace=False)]
+    caps = rng.uniform(0.5, 5.0, size=k).tolist()       # scores ~0.62-0.99
+    pa, pb, piou = _separation_pairs(anchors, rng, max_dist=0)
+    return anchors, caps, pa, pb, piou
+
+
+def targets_overflow(rng):
+    """150-200 distinct targets over the whole 896-anchor table, every
+    same/adjacent-macro-cell pair IoU-shaped below the 0.3 suppression
+    boundary: far more than MAX_FACE_NUM=100 mutually-surviving candidates
+    reach the reference NMS, exercising its max_output_size truncation
+    (blazeFaceDetectorH5.py:332)."""
+    k = int(rng.integers(150, 201))
+    anchors = [int(a) for a in rng.choice(896, size=k, replace=False)]
+    caps = rng.uniform(1.0, 5.0, size=k).tolist()       # scores ~0.73-0.99
+    pa, pb, piou = _separation_pairs(anchors, rng, max_dist=1)
+    return anchors, caps, pa, pb, piou
 
 
 def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
@@ -131,7 +194,8 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
     anchors_tbl = jnp.asarray(generate_anchors(), jnp.float32)
     rng = np.random.default_rng(seed)
     gen = {"threshold": targets_threshold, "nms": targets_nms,
-           "saturation": targets_saturation}[axis]
+           "saturation": targets_saturation,
+           "overflow": targets_overflow}[axis]
     picks = [gen(rng) for _ in range(n_images)]
     m = max(len(p[0]) for p in picks)
     np_pairs = max(max((len(p[3]) for p in picks), default=0), 1)
@@ -146,8 +210,13 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
         idx[i, :len(a)] = a
         cap[i, :len(c)] = c
         w[i, :len(a)] = 1.0
-        pa[i, :len(qa)] = qa
-        pb[i, :len(qb)] = qb
+        # pair entries are POSITIONS into the target list; the IoU penalty
+        # indexes the (N, 896, 4) decoded-box table, so convert to ANCHOR
+        # ids here (r4 stored positions raw — the shaping penalty paired
+        # boxes of anchors 0..k instead of the targets')
+        aa = np.asarray(a, np.int32)
+        pa[i, :len(qa)] = aa[qa]
+        pb[i, :len(qb)] = aa[qb]
         piou[i, :len(qi)] = qi
         pw[i, :len(qi)] = 1.0
 
@@ -202,13 +271,29 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
     return np.clip(np.rint(imgs), 0, 255).astype(np.uint8)
 
 
+def capture_uncapped(imgs: np.ndarray):
+    """Reference detectFaces with the NMS cap effectively REMOVED
+    (MAX_FACE_NUM monkeypatched to the full anchor count) — the uncapped
+    survivor sets that prove the production cap genuinely truncated."""
+    import blazeFaceDetectorH5 as bfd
+    from make_parity_corpus import capture_reference
+
+    saved = bfd.MAX_FACE_NUM
+    bfd.MAX_FACE_NUM = 896
+    try:
+        return capture_reference(imgs)
+    finally:
+        bfd.MAX_FACE_NUM = saved
+
+
 def main():
     from make_parity_corpus import capture_reference
 
     all_imgs, all_axis = [], []
     for axis, n, seed in (("threshold", N_THRESHOLD, SEED),
                           ("nms", N_NMS, SEED + 1),
-                          ("saturation", N_SATURATION, SEED + 2)):
+                          ("saturation", N_SATURATION, SEED + 2),
+                          ("overflow", N_OVERFLOW, SEED + 3)):
         print(f"synthesizing {n} '{axis}' images "
               f"({ASCENT_STEPS} ascent steps)...", flush=True)
         all_imgs.append(synthesize(axis, n, seed))
@@ -226,13 +311,17 @@ def main():
     imgs, counts, axes = imgs[keep], counts[keep], axes[keep]
     results = [r for r, k in zip(results, keep) if k]
     n, maxd = len(imgs), max(int(counts.max()), 1)
-    for axis in ("threshold", "nms", "saturation"):
+    for axis in ("threshold", "nms", "saturation", "overflow"):
         sel = axes == axis
         print(f"  {axis}: {int(sel.sum())} images, "
               f"{int(counts[sel].sum())} reference detections "
               f"(max/image {int(counts[sel].max())})")
     assert (counts[axes == "saturation"] >= 15).any(), \
         "saturation axis never reached 15 detections — raise caps/steps"
+    n_capped = int((counts[axes == "overflow"] == 100).sum())
+    assert n_capped >= max(1, (axes == "overflow").sum() // 2), (
+        f"only {n_capped} overflow images hit the MAX_FACE_NUM=100 cap — "
+        "raise targets/caps/steps")
 
     boxes = np.zeros((n, maxd, 4), np.float32)
     keypoints = np.zeros((n, maxd, 6, 2), np.float32)
@@ -246,9 +335,31 @@ def main():
             scores[i, :c] = np.asarray(r.scores, np.float32)
             poses[i, :c] = np.asarray(r.poses, np.float32)
 
+    # overflow axis: also capture the reference's UNCAPPED survivor sets
+    ov_idx = np.where(axes == "overflow")[0].astype(np.int32)
+    print(f"capturing UNCAPPED reference outputs on {len(ov_idx)} "
+          "overflow images (MAX_FACE_NUM -> 896)...", flush=True)
+    ov_results, ov_counts = capture_uncapped(imgs[ov_idx])
+    assert (ov_counts >= counts[ov_idx]).all()
+    assert (ov_counts > 100).sum() >= n_capped, \
+        "capped images must have >100 uncapped survivors"
+    ov_max = int(ov_counts.max())
+    ov_boxes = np.zeros((len(ov_idx), ov_max, 4), np.float32)
+    ov_scores = np.zeros((len(ov_idx), ov_max), np.float32)
+    ov_poses = np.zeros((len(ov_idx), ov_max, 3), np.float32)
+    for i, r in enumerate(ov_results):
+        c = ov_counts[i]
+        ov_boxes[i, :c] = np.asarray(r.boxes, np.float32)
+        ov_scores[i, :c] = np.asarray(r.scores, np.float32)
+        ov_poses[i, :c] = np.asarray(r.poses, np.float32)
+    print(f"  uncapped survivors/image: min {int(ov_counts.min())}, "
+          f"max {ov_max}; {n_capped} images truncated at the cap")
+
     np.savez_compressed(OUT, imgs=imgs, axis=axes, counts=counts,
                         boxes=boxes, keypoints=keypoints, scores=scores,
-                        poses=poses)
+                        poses=poses, ov_idx=ov_idx, ov_counts=ov_counts,
+                        ov_boxes=ov_boxes, ov_scores=ov_scores,
+                        ov_poses=ov_poses)
     sha = hashlib.sha256(open(OUT, "rb").read()).hexdigest()
     print(f"wrote {OUT} ({os.path.getsize(OUT)/1e6:.1f} MB, "
           f"sha256 {sha[:16]}...)")

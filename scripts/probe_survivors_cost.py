@@ -20,7 +20,17 @@ container — see probe_unified_best_cost.py):
                       serving profile; the Results slab shrinks to 16)
 
 Usage:  python scripts/probe_survivors_cost.py [iters] [rounds]
+        python scripts/probe_survivors_cost.py --aa [iters] [rounds]
 Writes docs/survivors_cost.json.
+
+--aa (VERDICT r4 item 3) validates the DIRECT-PAIRING estimator itself:
+the same compiled flagship program is dispatched as BOTH arms of each
+round (adjacent sustained loops ~1 s apart — exactly the cadence the
+direct pairing uses for its A and B programs), so the per-round B/A ratio
+distribution measures the estimator's bias/noise floor.  Unbiased =
+centered at 1.00; the spread bounds how small a real A/B effect the
+method can resolve.  Writes a `direct_pairing_aa` section (merged, never
+clobbering the main report).
 """
 from __future__ import annotations
 
@@ -33,6 +43,76 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "docs", "survivors_cost.json")
+
+
+def aa_main():
+    import jax
+
+    from headpose_tpu.pretrained import load_flagship
+    from headpose_tpu.runtime.detector import FaceDetector
+    from headpose_tpu.utils.profiling import (staged_uint8_frames,
+                                              sustained_seconds_per_dispatch)
+
+    argv = [a for a in sys.argv[1:] if a != "--aa"]
+    iters = int(argv[0]) if len(argv) > 0 else 200
+    rounds = int(argv[1]) if len(argv) > 1 else 9
+    batch = 128
+
+    m, p = load_flagship()
+    det = FaceDetector(m, p, precision="fast", postprocess="xla")
+    args = (det.params, det.score_threshold, det.iou_threshold,
+            det.max_faces, det.precision, det.postprocess,
+            det.turbo_island, det.head_eval)
+
+    def run(images):
+        return det._pipeline(args[0], images, *args[1:])
+
+    bufs = staged_uint8_frames(batch)
+    jax.block_until_ready(bufs)
+    t0 = time.time()
+    jax.block_until_ready(jax.tree.leaves(run(bufs[0])))
+    print(f"compiled in {time.time() - t0:.1f} s", flush=True)
+
+    a_ms, b_ms = [], []
+    for r in range(rounds):
+        a_ms.append(sustained_seconds_per_dispatch(run, bufs, iters) * 1e3)
+        b_ms.append(sustained_seconds_per_dispatch(run, bufs, iters) * 1e3)
+        print(f"round {r}: A={a_ms[-1]:.3f}ms  B={b_ms[-1]:.3f}ms  "
+              f"B/A={b_ms[-1] / a_ms[-1]:.4f}", flush=True)
+
+    ratios = [b / a for a, b in zip(a_ms, b_ms)]
+    med = statistics.median(ratios)
+    window = (max(a_ms) - min(a_ms)) / statistics.median(a_ms)
+    section = {
+        "what": "A/A control of the direct-pairing estimator: the SAME "
+                "compiled flagship program as both arms of every round "
+                "(adjacent sustained loops, the pairing cadence); an "
+                "unbiased estimator centers at 1.00",
+        "iters": iters, "rounds": rounds, "batch": batch,
+        "a_ms": [round(x, 3) for x in a_ms],
+        "b_ms": [round(x, 3) for x in b_ms],
+        "per_round_ratio": [round(x, 4) for x in ratios],
+        "median_ratio": round(med, 4),
+        "mean_ratio": round(statistics.fmean(ratios), 4),
+        "spread": round((max(ratios) - min(ratios)) / med, 4),
+        "window_drift_across_rounds": round(window, 3),
+        "unbiased_within_2pct": abs(med - 1.0) < 0.02,
+    }
+    report = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                report = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            pass
+    report["direct_pairing_aa"] = section
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"A/A median {med:.4f} (mean {section['mean_ratio']:.4f}), "
+          f"ratio spread {section['spread']:.1%}, window drift "
+          f"{window:.1%} -> "
+          f"{'UNBIASED' if section['unbiased_within_2pct'] else 'BIASED'}; "
+          f"wrote {OUT}", flush=True)
 
 
 def main():
@@ -126,10 +206,19 @@ def main():
         "compile_s": compile_s,
     }
     keep = True
-    if not stable and os.path.exists(OUT):
+    old = None
+    if os.path.exists(OUT):
         try:
             with open(OUT) as f:
                 old = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            old = None
+    if old and "direct_pairing_aa" in old:
+        # the A/A control section is maintained by --aa runs; a fresh A/B
+        # run must carry it forward, not clobber it
+        report["direct_pairing_aa"] = old["direct_pairing_aa"]
+    if not stable and old is not None:
+        try:
             # an unstable run never replaces a stable one; among unstable
             # runs, one that carries the direct same-round pairing beats
             # one that doesn't, then the tighter flagship window wins
@@ -150,4 +239,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--aa" in sys.argv:
+        aa_main()
+    else:
+        main()

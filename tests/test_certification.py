@@ -136,13 +136,27 @@ class TestStressCertification:
     def test_corpus_shape_and_adversarial_axes(self):
         d = dict(np.load(STRESS_CORPUS))
         axes = d["axis"]
-        assert set(axes) == {"threshold", "nms", "saturation"}
+        assert set(axes) == {"threshold", "nms", "saturation", "overflow"}
         # threshold axis: reference detections hug the production cutoff
         sel = np.where(axes == "threshold")[0]
         sc = np.concatenate([d["scores"][i, :d["counts"][i]] for i in sel])
         assert np.percentile(sc, 50) < 0.55 and sc.min() < 0.43
         # saturation axis reaches far beyond the primary corpus's 5 faces
         assert d["counts"][axes == "saturation"].max() >= 20
+        # the saturation packing is genuinely multi-anchor-per-macro-cell
+        # now (ADVICE r4: the old second-grid branch was dead code) — at
+        # least one image holds two reference detections whose box centers
+        # fall in the SAME 16px macro-cell
+        multi = False
+        for i in np.where(axes == "saturation")[0]:
+            b = d["boxes"][i, :d["counts"][i]]
+            cells = {(int(((b[j, 1] + b[j, 3]) / 2) * 8),
+                      int(((b[j, 0] + b[j, 2]) / 2) * 8)): 0
+                     for j in range(len(b))}
+            if len(cells) < len(b):
+                multi = True
+                break
+        assert multi, "no saturated image packs 2+ survivors per macro-cell"
         # nms axis: surviving reference pairs reach right under the 0.3
         # suppression boundary (pairs above it were suppressed — that edge
         # is exactly what the axis exercises)
@@ -190,5 +204,96 @@ class TestStressCertification:
             if section not in stress:
                 pytest.skip(f"{section} stress section not yet captured")
             for axis, r in stress[section].items():
+                if axis == "overflow_order":
+                    continue   # gated in test_overflow_truncation_order
                 assert r["set_agreement"] == 1.0, f"{section}/{axis}"
                 assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG
+
+
+@pytest.mark.smoke
+class TestOverflowCertification:
+    """MAX_FACE_NUM=100 overflow (VERDICT r4 item 2): >100 mutually-
+    surviving candidates must truncate EXACTLY like the reference's
+    tf.image.non_max_suppression(max_output_size=100,
+    blazeFaceDetectorH5.py:8-9,332) — survivor identity AND emission order
+    at the cap, plus agreement on the full uncapped survivor set."""
+
+    def test_corpus_exercises_the_cap(self):
+        d = dict(np.load(STRESS_CORPUS))
+        ov = d["counts"][d["axis"] == "overflow"]
+        assert len(ov) >= 8
+        assert (ov == 100).sum() >= len(ov) // 2, \
+            "most overflow images must hit the MAX_FACE_NUM=100 slab"
+        # the uncapped capture proves truncation was real: >100 survivors
+        assert (d["ov_counts"] > 100).sum() >= (ov == 100).sum()
+        assert int(d["ov_counts"].max()) > 110
+
+    def test_overflow_truncation_order(self, stress):
+        """Every parity path reproduces the reference's truncation order
+        elementwise — same survivors, same positions, at the cap."""
+        sections = [("modes.highest", stress["modes"]["highest"]),
+                    ("modes.fast", stress["modes"]["fast"])]
+        for mode, rep in stress.get("modes_pallas_postprocess", {}).items():
+            sections.append((f"pallas.{mode}", rep))
+        for name in ("aot_fast", "tflite_edge"):
+            if name in stress:
+                sections.append((name, stress[name]))
+        for name, rep in sections:
+            o = rep["overflow_order"]
+            assert o["order_exact"] == o["images"], (
+                f"{name}: truncation order diverged from the reference "
+                f"({o['order_exact']}/{o['images']})")
+            assert o["capped_images"] >= o["images"] // 2
+
+    def test_uncapped_survivor_sets_agree(self, stress):
+        if "overflow_uncapped" not in stress:
+            pytest.skip("uncapped overflow section not yet captured")
+        for mode, r in stress["overflow_uncapped"].items():
+            assert r["set_agreement"] == 1.0, f"uncapped/{mode}"
+            assert r["count_match"] == r["images"], f"uncapped/{mode}"
+            assert r["order"]["order_exact"] == r["images"]
+            assert r["max_uncapped_survivors"] > 110
+            assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG
+
+
+@pytest.mark.smoke
+class TestBestDetectorCertification:
+    """The SERVED DEFAULT (best_detector() -> 'unified-best-distilled') is
+    itself stress-certified (VERDICT r4 item 1): detection sets, boxes and
+    scores identical to the flagship rows on every boundary image — under
+    the resolved default profile, 'fast', and the chunked >128-batch path.
+    Poses are the distilled frontier's intentional improvement over the
+    reference heads: recorded in the certificate, not parity-gated."""
+
+    @pytest.fixture(scope="class")
+    def best(self, stress):
+        if "best_detector" not in stress:
+            pytest.skip("best_detector stress section not yet captured "
+                        "(scripts/certify_stress.py)")
+        return stress["best_detector"]
+
+    @pytest.mark.parametrize("profile", ["default", "fast",
+                                         "fast_chunked_gt128"])
+    def test_detection_sets_identical_at_the_boundaries(self, best, profile):
+        rep = best[profile]
+        for axis in ("threshold", "nms", "saturation", "overflow"):
+            r = rep[axis]
+            assert r["set_agreement"] == 1.0, f"best/{profile}/{axis}"
+            assert r["box_norm"]["max"] < 1e-2, f"best/{profile}/{axis}"
+            assert r["score"]["max"] < 1e-2, f"best/{profile}/{axis}"
+            # poses recorded (the distilled heads differ from the reference
+            # heads BY DESIGN — that delta is the accuracy win, not drift)
+            assert r["pose_deg"]["n"] > 0
+        o = rep["overflow_order"]
+        assert o["order_exact"] == o["images"], f"best/{profile}: order"
+
+    def test_served_profile_is_recorded(self, best):
+        p = best["default"]["resolved_profile"]
+        assert p["artifact"] == "unified-best-distilled"
+        assert p["head_eval"] in ("map", "auto")
+        assert p["max_faces"] == 100
+
+    def test_chunked_path_is_bitwise_consistent(self, best):
+        rep = best["fast_chunked_gt128"]
+        assert rep["batch"] > 128
+        assert rep["duplicate_halves_bitwise_equal"] is True
