@@ -21,8 +21,11 @@ Supervision provenance (copied into the shipped metadata): the TEACHER's
 ridge-stacking weights were calibrated on labeled AFLW rows + the BIWI val
 split (scripts/stack_ensemble.py docstring — disclosed everywhere, never a
 zero-shot claim).  Distillation itself consumes NO labels — only teacher
-forwards on shipped non-eval features + backbone-manifold rows + synthetic
-mixup queries; the eval set's inputs are never queried during training.
+forwards on shipped BIWI features + backbone-manifold rows + synthetic
+mixup queries; since round 5 the pool excludes AFLW2000 crop-variant
+files too (ADVICE r4: they share source images with the eval sets), so
+eval imagery is never seen during training at the IMAGE level, not just
+the file level.
 
 Run:  python scripts/distill_stack.py --family 96 [--seeds 0,1] [--ship]
 Writes docs/distill_stack_result.json (merged per family) and ships
@@ -49,19 +52,23 @@ RESULT = os.path.join(REPO, "docs", "distill_stack_result.json")
 POOL_AUGMENT = 400_000
 STUDENT_LAYERS = ((256, "tanh"), (128, "tanh"), (3, "linear"))
 
-# non-eval shipped feature files per family (the family's eval set —
-# AFLW2000_Enlarged_88 / AFLW2000_96, data/datasets.py SPLIT_FILES_* — is
-# NEVER queried during training, not even its inputs)
+# BIWI-only shipped feature files per family.  NO AFLW2000 file — at ANY
+# crop variant — enters the pool: the sibling AFLW2000 variant files are
+# crop-variants of the SAME source images as the eval sets (ADVICE r4: 629
+# of AFLW2000_Enlarged_96's 659 rows are crop-variants of eval images;
+# all 9 of AFLW2000_features_88's AFLW rows are eval images), so including
+# them would condition the students on eval imagery even though the eval
+# FILES themselves are never read.  The eval sets (AFLW2000_Enlarged_88 /
+# AFLW2000_96) are never queried during training — now true at the image
+# level, not just the file level.
 POOL_FILES = {
     88: ["BIWI_Train_Enlarged_features_88_0.7_1.npz",
          "BIWI_Test_Enlarged_features_88_0.7_1.npz",
          "BIWI_NoTrack_features_88.npz",
          "BIWI_train_features_88.npz",
-         "BIWI_test_features_88.npz",
-         "AFLW2000_features_88_0.7_1.npz"],
+         "BIWI_test_features_88.npz"],
     96: ["BIWI_Train_Enlarged_features_96_0.7_1.npz",
-         "BIWI_Test_Enlarged_features_96_0.7_1.npz",
-         "AFLW2000_Enlarged_features_96_0.7_1.npz"],
+         "BIWI_Test_Enlarged_features_96_0.7_1.npz"],
 }
 EVAL_FILES = {
     88: ("AFLW2000_Enlarged_features_88_0.7_1.npz",
@@ -196,15 +203,24 @@ def main():
 
     merged = json.load(open(RESULT)) if os.path.exists(RESULT) else {}
     key = f"family{fam}"
-    summary = merged.get(key, {
-        "teacher": f"ensemble{fam}-stacked-mixed",
-        "teacher_in_sample_aflw": None,
-        "student_layers": [list(l) for l in STUDENT_LAYERS],
-        "distill_pool_rows": int(pool.shape[0]),
-        "augment_rows": POOL_AUGMENT,
-        "runs": [],
-        "shipped_seed": None,
-    })
+    summary = merged.get(key)
+    if summary is not None and summary.get("pool_files") != POOL_FILES[fam]:
+        # the pool recipe changed (r5: AFLW crop-variant files dropped,
+        # ADVICE r4) — old runs are not comparable; start a fresh section
+        # and keep the superseded one for the record
+        merged[f"{key}_superseded_leaky_pool"] = summary
+        summary = None
+    if summary is None:
+        summary = {
+            "teacher": f"ensemble{fam}-stacked-mixed",
+            "teacher_in_sample_aflw": None,
+            "student_layers": [list(l) for l in STUDENT_LAYERS],
+            "pool_files": POOL_FILES[fam],
+            "distill_pool_rows": int(pool.shape[0]),
+            "augment_rows": POOL_AUGMENT,
+            "runs": [],
+            "shipped_seed": None,
+        }
     tmeta = json.load(open(os.path.join(
         REPO, "headpose_tpu", "pretrained_models",
         f"ensemble{fam}-stacked-mixed", "spec.json")))["metadata"]
@@ -252,11 +268,13 @@ def main():
                 f"single compact MLP distilled from ensemble{fam}-stacked-"
                 "mixed (the stacked accuracy frontier) — fresh init, "
                 "trained with train/ on teacher forwards over shipped "
-                "non-eval features + backbone-manifold rows + feature-"
-                "space mixup; no labels consumed by distillation.  The "
-                "TEACHER's stacking weights were ridge-calibrated on "
-                "labeled AFLW rows + the BIWI val split "
-                "(scripts/stack_ensemble.py) — that supervision is "
+                "BIWI features + backbone-manifold rows + feature-space "
+                "mixup; no labels consumed by distillation, and no "
+                "AFLW2000 imagery at any crop variant enters the pool "
+                "(eval inputs unseen at the IMAGE level, not just the "
+                "file level).  The TEACHER's stacking weights were "
+                "ridge-calibrated on labeled AFLW rows + the BIWI val "
+                "split (scripts/stack_ensemble.py) — that supervision is "
                 "inherited and disclosed, never a zero-shot claim."),
             "seed": seed,
             "aflw2000_mae": metrics["aflw2000"],

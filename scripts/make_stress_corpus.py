@@ -57,6 +57,7 @@ N_NMS = 36
 N_SATURATION = 24
 N_OVERFLOW = 12
 ASCENT_STEPS = 700
+ASCENT_STEPS_OVERFLOW = 3000   # ~190 competing targets need a longer climb
 
 
 def _front_anchor(rng, r8, c8):
@@ -168,16 +169,39 @@ def targets_saturation(rng):
 
 
 def targets_overflow(rng):
-    """150-200 distinct targets over the whole 896-anchor table, every
-    same/adjacent-macro-cell pair IoU-shaped below the 0.3 suppression
-    boundary: far more than MAX_FACE_NUM=100 mutually-surviving candidates
-    reach the reference NMS, exercising its max_output_size truncation
-    (blazeFaceDetectorH5.py:332)."""
-    k = int(rng.integers(150, 201))
-    anchors = [int(a) for a in rng.choice(896, size=k, replace=False)]
-    caps = rng.uniform(1.0, 5.0, size=k).tolist()       # scores ~0.73-0.99
-    pa, pb, piou = _separation_pairs(anchors, rng, max_dist=1)
-    return anchors, caps, pa, pb, piou
+    """~160 targets spread EVENLY over the image (per macro-cell: two front
+    anchors from different 16-grid cells, plus a back anchor in half the
+    cells), same/adjacent-cell pairs IoU-shaped below the 0.3 suppression
+    boundary: at the saturation axis's observed ~58% target→survivor yield
+    this lands >100 mutually-surviving candidates at the reference NMS,
+    exercising its max_output_size=MAX_FACE_NUM truncation
+    (blazeFaceDetectorH5.py:332).  The first random-placement attempt
+    (150-200 uniform anchors, sum-normalized losses) collapsed to ~4
+    detections/image — crowding + the ~2300-pair summed IoU penalty
+    drowning the score term; this axis therefore uses MEAN-normalized
+    losses in synthesize()."""
+    # FRONT-ONLY, 2 targets per macro-cell on DIAGONAL 16-grid sub-cells =
+    # 128 targets at >=11.3px pitch.  Probed dead ends, for the record:
+    # a 128-point checkerboard at 11px uniform pitch fails at the
+    # PERCEPTION level (~11/128 cross threshold — faces cannot pack that
+    # tight visually); adding back-grid anchors is unsatisfiable under the
+    # separation hinge (a back center sits 5.66px from four front centers
+    # — near-coincident boxes cannot reach low IoU, and the conflicting
+    # gradients collapse the whole image to ~6 survivors); hard box-size
+    # targets crush the score ascent (size and score are entangled).
+    anchors = []
+    for cell in range(64):
+        r8, c8 = cell // 8, cell % 8
+        diag = ((0, 0), (1, 1)) if rng.random() < 0.5 else ((0, 1), (1, 0))
+        for dr, dc in diag:
+            base = ((2 * r8 + dr) * 16 + (2 * c8 + dc)) * 2
+            anchors.append(base + int(rng.integers(2)))
+    # caps are score FLOORS here (hinge: relu(cap - hit), varied so the
+    # truncation order is score-diverse); scores land ~0.77-0.95
+    caps = rng.uniform(1.2, 3.0, size=len(anchors)).tolist()
+    # no pair list: this axis uses the FULL-pairwise hinge separation
+    # penalty in synthesize() (every target pair pushed below IoU 0.2)
+    return anchors, caps, [], [], []
 
 
 def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
@@ -224,6 +248,12 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
     pa, pb = jnp.asarray(pa), jnp.asarray(pb)
     piou, pw = jnp.asarray(piou), jnp.asarray(pw)
     pull = axis == "threshold"
+    # overflow: ~160 targets and ~10^3 shaping pairs per image — the summed
+    # IoU penalty would drown the score term (first attempt: 4 dets/image),
+    # so that axis normalizes both terms to per-target/per-pair MEANS
+    norm_w = 1.0 / max(float(w.sum() / len(w)), 1.0) if axis == "overflow" else 1.0
+    norm_p = 1.0 / max(float(pw.sum() / len(pw)), 1.0) if axis == "overflow" else 1.0
+    iou_weight = 3.0 if axis == "overflow" else 50.0
     opt = optax.adam(0.08)
 
     def loss_fn(z):
@@ -236,8 +266,13 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
             # squared pull TOWARD the cap: final logits sit AT the band,
             # uint8 rounding then jitters them across the 0.4 threshold
             score_loss = jnp.sum(w * (hit - cap) ** 2)
+        elif axis == "overflow":
+            # hinge to a varied score FLOOR: once a target clears its cap
+            # the gradient stops, freeing the whole budget for the
+            # separation term (overdriving 160 logits to 0.99 fights it)
+            score_loss = norm_w * jnp.sum(w * jnp.maximum(cap - hit, 0.0))
         else:
-            score_loss = -jnp.sum(w * jnp.minimum(hit, cap + 0.8))
+            score_loss = -norm_w * jnp.sum(w * jnp.minimum(hit, cap + 0.8))
         boxes = decode_boxes(out["loc"], anchors_tbl, SIZE)  # (N, 896, 4)
         ba = jnp.take_along_axis(boxes, pa[:, :, None], axis=1)
         bb = jnp.take_along_axis(boxes, pb[:, :, None], axis=1)
@@ -250,8 +285,34 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
             jnp.maximum(b[..., 3] - b[..., 1], 0.0)
         union = area(ba) + area(bb) - inter
         iou = inter / jnp.maximum(union, 1e-9)
-        iou_loss = jnp.sum(pw * (iou - piou) ** 2)
-        return score_loss + 50.0 * iou_loss
+        iou_loss = norm_p * jnp.sum(pw * (iou - piou) ** 2)
+        loss = score_loss + iou_weight * iou_loss
+        if axis == "overflow":
+            # FULL-pairwise hinge separation: every target pair's IoU
+            # pushed below 0.2 (clear of the 0.3 suppression boundary),
+            # leaving the optimizer free to pick any feasible geometry.
+            # (Probed alternatives both failed: listed-pair penalties left
+            # median-28px boxes that NMS'd to ~47 survivors; a direct
+            # 12px box-size penalty crushed the score ascent to ~12
+            # above-threshold targets — size and score are entangled.)
+            tb = jnp.take_along_axis(boxes, idx[:, :, None], axis=1)
+            x1 = jnp.maximum(tb[:, :, None, 0], tb[:, None, :, 0])
+            y1 = jnp.maximum(tb[:, :, None, 1], tb[:, None, :, 1])
+            x2 = jnp.minimum(tb[:, :, None, 2], tb[:, None, :, 2])
+            y2 = jnp.minimum(tb[:, :, None, 3], tb[:, None, :, 3])
+            inter2 = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+            ar = jnp.maximum(tb[..., 2] - tb[..., 0], 0.0) * \
+                jnp.maximum(tb[..., 3] - tb[..., 1], 0.0)
+            union2 = ar[:, :, None] + ar[:, None, :] - inter2
+            iou2 = inter2 / jnp.maximum(union2, 1e-9)
+            mask = (w[:, :, None] * w[:, None, :]
+                    * (1.0 - jnp.eye(w.shape[1])[None]))
+            hinge = jnp.maximum(iou2 - 0.2, 0.0)
+            sep = jnp.sum(mask * hinge ** 2) / jnp.maximum(jnp.sum(w), 1.0)
+            loss = loss + 50.0 * sep
+        return loss
+
+    steps = ASCENT_STEPS_OVERFLOW if axis == "overflow" else ASCENT_STEPS
 
     @jax.jit
     def run(z):
@@ -263,7 +324,7 @@ def synthesize(axis: str, n_images: int, seed: int) -> np.ndarray:
             updates, state = opt.update(g, state)
             return optax.apply_updates(z, updates), state
 
-        z, _ = jax.lax.fori_loop(0, ASCENT_STEPS, step, (z, state))
+        z, _ = jax.lax.fori_loop(0, steps, step, (z, state))
         return jax.nn.sigmoid(z) * 255.0
 
     z0 = jnp.zeros((n_images, SIZE, SIZE, 3), jnp.float32)

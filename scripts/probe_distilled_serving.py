@@ -74,6 +74,20 @@ def main():
 
     fm = ms["flagship-map"]
     spread = (max(fm) - min(fm)) / statistics.median(fm)
+    # the surv/surv16-vs-map question is a DIRECT A/B on the same artifact:
+    # pair each variant against its own same-round distilled-map dispatch
+    # (adjacent, ~1 s apart) — far tighter than flagship normalization on
+    # drift days (methodology: probe_survivors_cost.py; A/A-validated in
+    # docs/survivors_cost.json `direct_pairing_aa`)
+    direct = {}
+    for tag in ("distilled-surv", "distilled-surv16"):
+        rs = [b / a for a, b in zip(ms["distilled-map"], ms[tag])]
+        direct[tag] = {
+            "vs": "distilled-map",
+            "per_round": [round(x, 3) for x in rs],
+            "median": round(statistics.median(rs), 3),
+            "spread": round((max(rs) - min(rs)) / statistics.median(rs), 3),
+        }
     report = {
         "iters": iters, "rounds": rounds, "batch": batch,
         "flagship_round_spread": round(spread, 3),
@@ -82,6 +96,7 @@ def main():
         "median_ratio_vs_flagship_map": {
             t: round(statistics.median(
                 [b / a for a, b in zip(fm, ms[t])]), 3) for t in fns},
+        "direct_pairing": direct,
         "median_fps": {t: round(batch / (statistics.median(v) / 1e3), 1)
                        for t, v in ms.items()},
         "compile_s": compile_s,

@@ -76,6 +76,37 @@ def run_family(fam: int, ship: bool) -> dict:
 
     aflw_mae = mae(apply_stack(Pa, W, b), np.asarray(aflw.poses))
     biwi_mae = mae(apply_stack(Pb, W, b), np.asarray(biwi.poses))
+
+    # VERDICT r4 item 6: is the 96-family collapse SAMPLE-starvation (329
+    # val rows fitting members*3+3 weights — recovers with a small member
+    # subset) or DOMAIN shift (BIWI labels cannot see the AFLW bias — no k
+    # recovers)?  Rank members by their own val MAE (the selection signal
+    # BIWI-only calibration legitimately has), refit the stack on top-k.
+    ya, yb = np.asarray(aflw.poses), np.asarray(biwi.poses)
+    per_val = np.array([mae(Pv[i], yv) for i in range(len(Pv))])
+    order = np.argsort(per_val)
+    topk = {}
+    for k in (4, 8, 16, 32):
+        if k >= len(Pv):
+            continue
+        sel = order[:k]
+        Wk, bk, ak = fit_with_cv(Pv[sel], yv, np.ones(len(yv)),
+                                 seed=fam * 100 + k)
+        topk[str(k)] = {
+            "aflw2000_mae_UNTOUCHED": mae(apply_stack(Pa[sel], Wk, bk), ya),
+            "biwi_mae": mae(apply_stack(Pb[sel], Wk, bk), yb),
+            "alpha": ak,
+            "weights_fit": int(k * 3 + 1) * 3,
+            "mean_member_val_mae": float(per_val[sel].mean()),
+        }
+        print(f"  top-{k}: AFLW {topk[str(k)]['aflw2000_mae_UNTOUCHED']:.3f}"
+              f" (untouched)  BIWI {topk[str(k)]['biwi_mae']:.3f}  "
+              f"alpha {ak}", flush=True)
+    best_single = {
+        "aflw2000_mae_UNTOUCHED": mae(Pa[order[0]], ya),
+        "biwi_mae": mae(Pb[order[0]], yb),
+        "member_val_mae": float(per_val[order[0]]),
+    }
     shipped_aflw = mae(
         np.asarray(jax.jit(spec.apply)(params, aflw.features)),
         np.asarray(aflw.poses))
@@ -90,6 +121,8 @@ def run_family(fam: int, ship: bool) -> dict:
         "reference_production_aflw": REFERENCE_AFLW[fam],
         "beats_reference_untouched": bool(aflw_mae < REFERENCE_AFLW[fam]),
         "shipped_stack_aflw_in_sample_for_context": shipped_aflw,
+        "topk_by_val": topk,
+        "best_single_by_val": best_single,
     }
     print(f"  biwi-only stack: AFLW {aflw_mae:.3f} (untouched; reference "
           f"{REFERENCE_AFLW[fam]}), BIWI {biwi_mae:.3f}  alpha {alpha}",
