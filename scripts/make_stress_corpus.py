@@ -355,9 +355,20 @@ def main():
                           ("nms", N_NMS, SEED + 1),
                           ("saturation", N_SATURATION, SEED + 2),
                           ("overflow", N_OVERFLOW, SEED + 3)):
-        print(f"synthesizing {n} '{axis}' images "
-              f"({ASCENT_STEPS} ascent steps)...", flush=True)
-        all_imgs.append(synthesize(axis, n, seed))
+        steps = ASCENT_STEPS_OVERFLOW if axis == "overflow" else ASCENT_STEPS
+        print(f"synthesizing {n} '{axis}' images ({steps} ascent steps)...",
+              flush=True)
+        if axis == "overflow":
+            # synthesize in BATCHES OF 4: the ascent trajectory is chaotic
+            # in XLA batch-tiling numerics, and batch-4 programs land
+            # 116-131 uncapped survivors where a batch-12 program of the
+            # same seeds plateaus at 82-94 (measured on-chip, both
+            # verified against the reference) — chunking reproduces the
+            # good dynamics deterministically
+            for i in range(0, n, 4):
+                all_imgs.append(synthesize(axis, 4, seed + i))
+        else:
+            all_imgs.append(synthesize(axis, n, seed))
         all_axis += [axis] * n
     imgs = np.concatenate(all_imgs)
     axes = np.array(all_axis)
