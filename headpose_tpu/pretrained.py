@@ -97,10 +97,12 @@ def load_pretrained(name: str):
       docs/distill_stack_result.json): the stacked frontiers compressed
       into single 256-128 tanh MLPs by feature-space distillation (fresh
       init, no labels consumed; the teachers' AFLW+BIWI-val calibration
-      supervision is inherited and disclosed).  AFLW 7.308 / 7.307 —
-      below their teachers' in-sample numbers — at single-head cost, with
-      plain-MLP map grafting (no survivors profile) and TFLite/AOT/edge
-      exportability.
+      supervision is inherited and disclosed; since r5 the distill pool
+      is BIWI-only — no AFLW2000 crop-variant files — so eval imagery is
+      unseen at the image level, not just the file level).  AFLW 7.303 /
+      7.283 — below their teachers' holdout means — at single-head cost,
+      with plain-MLP map grafting (no survivors profile) and
+      TFLite/AOT/edge exportability.
     - 'unified-best-distilled' (scripts/build_unified_best_distilled.py):
       the flagship backbone + SSD heads joined with both stack-distilled
       heads — the SERVED best model (`BEST`/`best_detector`): the
@@ -173,7 +175,7 @@ def best_detector(**kwargs):
     """A ready-to-use FaceDetector on the served best model
     ('unified-best-distilled'): flagship detections with the stacked
     accuracy frontier distilled into single compact pose heads — AFLW
-    7.308/7.307, ~flagship dispatch cost, TFLite/AOT/edge exportable.
+    7.303/7.283, ~flagship dispatch cost, TFLite/AOT/edge exportable.
 
     The heads are plain per-vector MLPs, so the default map grafting is
     EXACT (the survivors-vs-map divergence of docs/headeval_divergence.json
