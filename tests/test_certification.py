@@ -185,6 +185,8 @@ class TestStressCertification:
     @pytest.mark.parametrize("mode", ["highest", "fast"])
     def test_parity_modes_hold_at_the_boundaries(self, stress, mode):
         for axis, r in stress["modes"][mode].items():
+            if axis == "overflow_order":
+                continue   # gated in TestOverflowCertification
             assert r["set_agreement"] == 1.0, (
                 f"{mode}/{axis}: detection sets diverged at the boundary")
             assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG
@@ -195,6 +197,9 @@ class TestStressCertification:
         for mode, per_axis in stress["modes_pallas_postprocess"].items():
             for axis, r in per_axis.items():
                 want = stress["modes"][mode][axis]
+                if axis == "overflow_order":
+                    assert r["order_exact"] == r["images"]
+                    continue
                 assert r["set_agreement"] == want["set_agreement"]
                 assert r["pose_deg"] == want["pose_deg"], (
                     f"pallas {mode}/{axis} diverges from the XLA postprocess")
