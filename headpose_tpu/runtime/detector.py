@@ -96,8 +96,9 @@ class FaceDetector:
         #              and the island probes show NO bf16 backbone island
         #              holds p99 < 0.1 — docs/turbo_island_probe.json).
         #              Detection sets identical on the primary corpus but
-        #              23/24 on saturated boundary images (stress section
-        #              of docs/certification.json); fine for
+        #              101/108 on boundary-stress images, and truncation
+        #              order at the 100-face cap never matches (stress
+        #              section of docs/certification.json); fine for
         #              accuracy-driven serving (heads' own MAE is 4-8 deg).
         #   'max'      every block at single-pass bf16: p99 0.68 / max 4.9
         #              deg, 4/112 images change detection sets; fastest.
