@@ -96,10 +96,38 @@ def main():
     # keep the r3 field names readable by older docs/tests
     report["median_time_ratio"] = report[
         "median_time_ratio_vs_flagship"]["unified-best"]
+    # an UNSTABLE run never replaces a stable top-level record (the 1.115x
+    # headline is stable-window-backed); every run lands in `history` so
+    # per-round re-measures are on the record either way (A/A control:
+    # many-round medians center within ~5% even on drift days —
+    # docs/survivors_cost.json direct_pairing_aa)
+    old = None
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                old = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            old = None
+    entry = {"rounds": rounds, "iters": iters,
+             "flagship_round_spread": report["flagship_round_spread"],
+             "stable_window": report["stable_window"],
+             "median_time_ratio_vs_flagship":
+                 report["median_time_ratio_vs_flagship"]}
+    history = (old or {}).get("history", [])
+    history.append(entry)
+    if old and old.get("stable_window") and not report["stable_window"]:
+        old["history"] = history
+        out_doc, kept = old, True
+    else:
+        report["history"] = history
+        out_doc, kept = report, False
     with open(OUT, "w") as f:
-        json.dump(report, f, indent=1)
-    print(f"median paired ratio {report['median_time_ratio']}x; wrote {OUT}",
-          flush=True)
+        json.dump(out_doc, f, indent=1)
+    print(f"median paired ratio "
+          f"{report['median_time_ratio_vs_flagship']} "
+          f"({'UNSTABLE window — kept the stable top-level record, '
+             'appended to history' if kept else 'top-level updated'}); "
+          f"wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":
