@@ -42,6 +42,7 @@ def test_synthesize_images_range_and_shape():
     assert np.abs(flat[0] - flat[1]).max() > 0.05
 
 
+@pytest.mark.heavy  # 25s; bf16 self-calibration is a niche lane
 def test_simulate_fast_applies_rounding():
     model, params = tiny_unified()
     x = synthesize_images(jax.random.PRNGKey(1), 2, 32)
@@ -78,6 +79,7 @@ def test_simulate_fast_operand_selective_modes():
         assert float(jnp.abs(outs[m] - outs[True]).max()) > 1e-7, m
 
 
+@pytest.mark.heavy  # 16s
 def test_calibration_reduces_loss_and_freezes_heads():
     model, params = tiny_unified()
     newp, hist = calibrate_fast_params(
@@ -99,6 +101,7 @@ def test_calibration_reduces_loss_and_freezes_heads():
     assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
 
 
+@pytest.mark.heavy  # 13s
 def test_flagship_island_error_decomposition():
     """Pins the documented turbo-island justification (docs/BENCH.md): on
     the golden images, the all-blocks bf16 island's ACTIVATION-rounding

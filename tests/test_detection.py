@@ -298,6 +298,7 @@ def test_detector_threshold_mutation_retraces():
     assert n_after < n_before
 
 
+@pytest.mark.heavy  # 28s; chunked >128 path also stress-certified on-chip (best_detector gate)
 def test_wide_batch_chunking_exact(production_detector):
     """Batches wider than one 128-lane tile are served as explicit <=128
     branches inside one jit (docs/BENCH.md 'the >128 cliff': four 128-wide
@@ -319,6 +320,7 @@ def test_wide_batch_chunking_exact(production_detector):
                                       err_msg=k)
 
 
+@pytest.mark.heavy  # 26s; 'auto' resolution also exercised by the on-chip certifications
 def test_postprocess_auto_backend():
     """'auto' picks the XLA path for small batches and the fused kernel for
     >=64-lane occupancy, per chunk — always bit-equal to the explicit

@@ -131,6 +131,7 @@ def test_entire_artifact_zoo_loads_and_runs():
 
 
 @needs_reference
+@pytest.mark.heavy  # 32s; the full-zoo sweep lives in the slow lane
 def test_zoo_sample_numeric_parity():
     """12 randomly sampled zoo heads (4 per artifact family) match their
     tf-keras outputs (goldens in tests/golden/zoo_heads.npz)."""

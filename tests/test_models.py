@@ -124,6 +124,7 @@ class TestNativeImport:
             assert out["pose_front"].shape == (b, 16, 16, 3)
             assert out["pose_back"].shape == (b, 8, 8, 3)
 
+    @pytest.mark.heavy  # 20s; the documented bf16 error measurements live in docs/BENCH.md
     def test_bf16_activations_bounded(self, unified_native):
         """bfloat16 backbone is opt-in: measured divergence on random inputs is
         up to ~1.3 degrees per pose-map cell (why f32 stays the accuracy-path
@@ -395,6 +396,7 @@ def test_back_camera_anchor_config():
     np.testing.assert_array_equal(a, golden)
 
 
+@pytest.mark.heavy  # 34s; back topology also certified on-chip (certify_back)
 def test_back_camera_backbone_and_detector():
     """BLAZEFACE_BACK: 256-input spec with one extra downsample stage —
     feature grids and anchor-major outputs line up with the back anchor

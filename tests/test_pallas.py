@@ -93,6 +93,7 @@ class TestFusedBackbone2:
     through the Mosaic toolchain and match the XLA backbone to <=1.2e-4;
     e2e pose error 0.003 deg on the golden images."""
 
+    @pytest.mark.heavy  # 23s interpret-mode; kernel regression refreshed on-chip per round
     def test_segments_and_fused_match_xla(self):
         from headpose_tpu.pretrained import load_flagship
         from headpose_tpu.ops.pallas.backbone2 import (apply_fused,

@@ -76,6 +76,7 @@ class TestShardedTraining:
             np.testing.assert_allclose(b["val_loss"], a["val_loss"],
                                        rtol=1e-5)
 
+    @pytest.mark.heavy  # 47s; the driver dry-runs the graft entry every round
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
