@@ -91,6 +91,34 @@ def test_doc_pretrained_names_exist():
         f"(shipped: {sorted(shipped)})")
 
 
+def test_cost_evidence_invariants():
+    """The serving-cost evidence chain (BENCH.md's drift protocol) must
+    keep its structural guarantees: the A/A control exists and is
+    unbiased at the many-round median, probe history accumulates instead
+    of overwriting, and any stable-window top-level record carries its
+    stability flag."""
+    import json
+
+    with open(os.path.join(REPO, "docs", "survivors_cost.json")) as f:
+        surv = json.load(f)
+    aa = surv["direct_pairing_aa"]
+    assert len(aa["sessions"]) >= 2, "A/A control needs >=2 sessions"
+    for s in aa["sessions"]:
+        assert s["rounds"] >= 7
+        # unbiased at the median: within 5% of 1.00 in EVERY window
+        assert abs(s["median_ratio"] - 1.0) < 0.05, s
+    with open(os.path.join(REPO, "docs",
+                           "distilled_serving_cost.json")) as f:
+        dist = json.load(f)
+    assert len(dist["history"]) >= 2, "probe history must accumulate"
+    with open(os.path.join(REPO, "docs", "unified_best_cost.json")) as f:
+        best = json.load(f)
+    assert best["stable_window"] is True, (
+        "the 1.115x headline must stay stable-window-backed — an unstable "
+        "re-probe may only append to history, never replace the top level")
+    assert best["history"], "per-round best-model re-measures accumulate"
+
+
 def test_doc_script_paths_exist():
     """Every scripts/*.py and docs/*.json artifact a doc cites must exist."""
     pat = re.compile(r"\b(scripts/[\w]+\.py|docs/[\w]+\.json)\b")
