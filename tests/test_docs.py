@@ -119,6 +119,34 @@ def test_cost_evidence_invariants():
     assert best["history"], "per-round best-model re-measures accumulate"
 
 
+def test_certify_all_manifest_integrity():
+    """The one-command evidence regenerator (scripts/certify_all.py,
+    CLAUDE.md) must keep a well-formed manifest: unique names, every
+    dependency defined BEFORE its dependents, every script file present,
+    and --list running clean."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "certify_all", os.path.join(REPO, "scripts", "certify_all.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = [m[0] for m in mod.MANIFEST]
+    assert len(names) == len(set(names))
+    seen = set()
+    for name, argv, needs, _ in mod.MANIFEST:
+        assert set(needs) <= seen, (name, needs)
+        assert os.path.exists(os.path.join(REPO, "scripts", argv[0])), argv
+        seen.add(name)
+    for rel in mod.GATES:
+        assert os.path.exists(os.path.join(REPO, rel)), rel
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "certify_all.py"),
+         "--list"], capture_output=True, text=True)
+    assert proc.returncode == 0 and "stress" in proc.stdout
+
+
 def test_doc_script_paths_exist():
     """Every scripts/*.py and docs/*.json artifact a doc cites must exist."""
     pat = re.compile(r"\b(scripts/[\w]+\.py|docs/[\w]+\.json)\b")
