@@ -54,7 +54,7 @@ def aa_main():
                                               sustained_seconds_per_dispatch)
 
     argv = [a for a in sys.argv[1:] if a != "--aa"]
-    iters = int(argv[0]) if len(argv) > 0 else 200
+    iters = int(argv[0]) if len(argv) > 0 else 500
     rounds = int(argv[1]) if len(argv) > 1 else 9
     batch = 128
 
@@ -138,7 +138,7 @@ def main():
     from headpose_tpu.utils.profiling import (staged_uint8_frames,
                                               sustained_seconds_per_dispatch)
 
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500  # r5: 500-iter arms turn 20-35% "drift" windows into 1-2% ones
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     batch = 128
 
