@@ -107,6 +107,43 @@ def run_family(fam: int, ship: bool) -> dict:
         "biwi_mae": mae(Pb[order[0]], yb),
         "member_val_mae": float(per_val[order[0]]),
     }
+
+    # make k ITSELF val-selected (r5): nested split of the BIWI val rows —
+    # fit per-k stacks on half A, choose k by MAE on half B (no AFLW label
+    # touches the choice), refit the chosen k on the full val, and only
+    # then score AFLW untouched.  If this still beats the reference, the
+    # "beats it with zero AFLW supervision" claim is legitimate end to end.
+    rng = np.random.default_rng(fam)
+    perm = rng.permutation(len(yv))
+    a_idx, b_idx = perm[:len(yv) // 2], perm[len(yv) // 2:]
+    per_val_a = np.array([mae(Pv[i][a_idx], yv[a_idx])
+                          for i in range(len(Pv))])
+    order_a = np.argsort(per_val_a)
+    k_grid = [k for k in (2, 4, 8, 16, 32) if k < len(Pv)]
+    inner = {}
+    for k in k_grid:
+        sel = order_a[:k]
+        Wk, bk, _ = fit_with_cv(Pv[sel][:, a_idx], yv[a_idx],
+                                np.ones(len(a_idx)), seed=fam * 7 + k)
+        inner[k] = mae(apply_stack(Pv[sel][:, b_idx], Wk, bk), yv[b_idx])
+    k_star = min(inner, key=inner.get)
+    sel = order[:k_star]                      # rank on the FULL val, top-k*
+    Wf, bf, af = fit_with_cv(Pv[sel], yv, np.ones(len(yv)),
+                             seed=fam * 11 + k_star)
+    val_selected = {
+        "inner_val_mae_by_k": {str(k): float(v) for k, v in inner.items()},
+        "k_selected_by_val": int(k_star),
+        "aflw2000_mae_UNTOUCHED": mae(apply_stack(Pa[sel], Wf, bf), ya),
+        "biwi_mae": mae(apply_stack(Pb[sel], Wf, bf), yb),
+        "alpha": af,
+        "beats_reference_untouched": bool(
+            mae(apply_stack(Pa[sel], Wf, bf), ya) < REFERENCE_AFLW[fam]),
+    }
+    print(f"  val-selected k={k_star} (inner "
+          f"{ {k: round(v, 3) for k, v in inner.items()} }): AFLW "
+          f"{val_selected['aflw2000_mae_UNTOUCHED']:.3f} untouched "
+          f"(reference {REFERENCE_AFLW[fam]}), BIWI "
+          f"{val_selected['biwi_mae']:.3f}", flush=True)
     shipped_aflw = mae(
         np.asarray(jax.jit(spec.apply)(params, aflw.features)),
         np.asarray(aflw.poses))
@@ -123,6 +160,7 @@ def run_family(fam: int, ship: bool) -> dict:
         "shipped_stack_aflw_in_sample_for_context": shipped_aflw,
         "topk_by_val": topk,
         "best_single_by_val": best_single,
+        "val_selected_k": val_selected,
     }
     print(f"  biwi-only stack: AFLW {aflw_mae:.3f} (untouched; reference "
           f"{REFERENCE_AFLW[fam]}), BIWI {biwi_mae:.3f}  alpha {alpha}",
