@@ -207,8 +207,14 @@ def main():
     if summary is not None and summary.get("pool_files") != POOL_FILES[fam]:
         # the pool recipe changed (r5: AFLW crop-variant files dropped,
         # ADVICE r4) — old runs are not comparable; start a fresh section
-        # and keep the superseded one for the record
-        merged[f"{key}_superseded_leaky_pool"] = summary
+        # and ARCHIVE the superseded one under a key that never clobbers
+        # an earlier archive (the r5 leaky-pool record keeps its name)
+        sup = f"{key}_superseded_leaky_pool"
+        n_sup = 2
+        while sup in merged:
+            sup = f"{key}_superseded_{n_sup}"
+            n_sup += 1
+        merged[sup] = summary
         summary = None
     if summary is None:
         summary = {

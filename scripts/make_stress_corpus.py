@@ -366,7 +366,7 @@ def main():
             # verified against the reference) — chunking reproduces the
             # good dynamics deterministically
             for i in range(0, n, 4):
-                all_imgs.append(synthesize(axis, 4, seed + i))
+                all_imgs.append(synthesize(axis, min(4, n - i), seed + i))
         else:
             all_imgs.append(synthesize(axis, n, seed))
         all_axis += [axis] * n
@@ -413,8 +413,12 @@ def main():
           "overflow images (MAX_FACE_NUM -> 896)...", flush=True)
     ov_results, ov_counts = capture_uncapped(imgs[ov_idx])
     assert (ov_counts >= counts[ov_idx]).all()
-    assert (ov_counts > 100).sum() >= n_capped, \
-        "capped images must have >100 uncapped survivors"
+    # genuinely TRUNCATED = uncapped survivors exceed the cap (an image
+    # whose uncapped NMS yields exactly 100 was never cut)
+    n_truncated = int((ov_counts > 100).sum())
+    assert n_truncated >= max(1, len(ov_idx) // 2), (
+        f"only {n_truncated} overflow images genuinely truncate "
+        "(uncapped > 100) — raise targets/caps/steps")
     ov_max = int(ov_counts.max())
     ov_boxes = np.zeros((len(ov_idx), ov_max, 4), np.float32)
     ov_scores = np.zeros((len(ov_idx), ov_max), np.float32)
@@ -425,7 +429,7 @@ def main():
         ov_scores[i, :c] = np.asarray(r.scores, np.float32)
         ov_poses[i, :c] = np.asarray(r.poses, np.float32)
     print(f"  uncapped survivors/image: min {int(ov_counts.min())}, "
-          f"max {ov_max}; {n_capped} images truncated at the cap")
+          f"max {ov_max}; {n_truncated} images truncated at the cap")
 
     np.savez_compressed(OUT, imgs=imgs, axis=axes, counts=counts,
                         boxes=boxes, keypoints=keypoints, scores=scores,

@@ -233,16 +233,13 @@ def main():
         # run must carry it forward, not clobber it
         report["direct_pairing_aa"] = old["direct_pairing_aa"]
     if not stable and old is not None:
-        try:
-            # an unstable run never replaces a stable one; among unstable
-            # runs, one that carries the direct same-round pairing beats
-            # one that doesn't, then the tighter flagship window wins
-            keep = (not old.get("stable_window", False)
-                    and ("direct_pairing" not in old
-                         or spread < old.get("flagship_round_spread",
-                                             float("inf"))))
-        except (json.JSONDecodeError, OSError):
-            keep = True
+        # an unstable run never replaces a stable one; among unstable
+        # runs, one that carries the direct same-round pairing beats
+        # one that doesn't, then the tighter flagship window wins
+        keep = (not old.get("stable_window", False)
+                and ("direct_pairing" not in old
+                     or spread < old.get("flagship_round_spread",
+                                         float("inf"))))
     if keep:
         with open(OUT, "w") as f:
             json.dump(report, f, indent=1)

@@ -123,10 +123,10 @@ def main():
         out_doc, kept = report, False
     with open(OUT, "w") as f:
         json.dump(out_doc, f, indent=1)
+    status = ("UNSTABLE window — kept the stable top-level record, "
+              "appended to history" if kept else "top-level updated")
     print(f"median paired ratio "
-          f"{report['median_time_ratio_vs_flagship']} "
-          f"({'UNSTABLE window — kept the stable top-level record, '
-             'appended to history' if kept else 'top-level updated'}); "
+          f"{report['median_time_ratio_vs_flagship']} ({status}); "
           f"wrote {OUT}", flush=True)
 
 

@@ -130,14 +130,14 @@ def run_family(fam: int, ship: bool) -> dict:
     sel = order[:k_star]                      # rank on the FULL val, top-k*
     Wf, bf, af = fit_with_cv(Pv[sel], yv, np.ones(len(yv)),
                              seed=fam * 11 + k_star)
+    aflw_sel = mae(apply_stack(Pa[sel], Wf, bf), ya)
     val_selected = {
         "inner_val_mae_by_k": {str(k): float(v) for k, v in inner.items()},
         "k_selected_by_val": int(k_star),
-        "aflw2000_mae_UNTOUCHED": mae(apply_stack(Pa[sel], Wf, bf), ya),
+        "aflw2000_mae_UNTOUCHED": aflw_sel,
         "biwi_mae": mae(apply_stack(Pb[sel], Wf, bf), yb),
         "alpha": af,
-        "beats_reference_untouched": bool(
-            mae(apply_stack(Pa[sel], Wf, bf), ya) < REFERENCE_AFLW[fam]),
+        "beats_reference_untouched": bool(aflw_sel < REFERENCE_AFLW[fam]),
     }
     print(f"  val-selected k={k_star} (inner "
           f"{ {k: round(v, 3) for k, v in inner.items()} }): AFLW "

