@@ -196,7 +196,29 @@ def main() -> None:
             export_unified_tflite(model, params, path)
             edge = EdgeDetector(path)   # production thresholds
             per_img = [edge.detect_single(im) for im in imgs]
-        rep = full_report(data, per_img)
+            rep = full_report(data, per_img)
+            # C++ postprocess UNCAPPED: the native greedy NMS must also
+            # reproduce the reference's full >100-survivor sets (proving
+            # its truncation at max_faces is a genuine order match)
+            if "ov_idx" in data:
+                edge256 = EdgeDetector(path, max_faces=256)
+                ov = [edge256.detect_single(imgs[i]) for i in data["ov_idx"]]
+                ov_ref = {"axis": np.array(["overflow"] * len(ov)),
+                          "counts": data["ov_counts"],
+                          "boxes": data["ov_boxes"],
+                          "scores": data["ov_scores"],
+                          "poses": data["ov_poses"]}
+                unc = per_axis_report(ov_ref, ov)["overflow"]
+                unc["count_match"] = int(sum(
+                    len(ov[i]) == int(data["ov_counts"][i])
+                    for i in range(len(ov))))
+                unc["order"] = overflow_order_report(ov_ref, ov)
+                rep["overflow_uncapped"] = unc
+                print(f"  edge uncapped: sets {unc['agree_images']}/"
+                      f"{unc['images']}, counts {unc['count_match']}/"
+                      f"{unc['images']}, order "
+                      f"{unc['order']['order_exact']}/{unc['images']}",
+                      flush=True)
         merge(sha, base, "tflite_edge", rep)
         summarize("tflite_edge", rep)
         print("wrote", OUT)

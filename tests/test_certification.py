@@ -211,6 +211,11 @@ class TestStressCertification:
             for axis, r in stress[section].items():
                 if axis == "overflow_order":
                     continue   # gated in test_overflow_truncation_order
+                if axis == "overflow_uncapped":
+                    # the C++ postprocess must reproduce the reference's
+                    # FULL >100-survivor sets at max_faces=256 too
+                    assert r["count_match"] == r["images"]
+                    assert r["order"]["order_exact"] == r["images"]
                 assert r["set_agreement"] == 1.0, f"{section}/{axis}"
                 assert r["pose_deg"]["max"] < PARITY_BUDGET_DEG
 
