@@ -117,6 +117,32 @@ class TestNativePostprocessParity:
         assert all(len(r) == 7 for r in got)
         _assert_matches_jax(got, want)
 
+    def test_max_face_num_overflow_truncation(self):
+        """The production MAX_FACE_NUM=100 cap with >100 mutually-surviving
+        candidates: the C++ greedy must truncate with the reference's exact
+        survivor identity AND emission order (CPU twin of the on-chip
+        overflow certification, blazeFaceDetectorH5.py:8-9,332)."""
+        rng = np.random.default_rng(11)
+        # 12px boxes pinned at every anchor center: front same-cell pairs
+        # coincide (one survives per cell), everything else sits below the
+        # 0.3 IoU boundary -> ~320 mutually-surviving candidates
+        logits = rng.uniform(1.0, 3.0, (2, 896)).astype(np.float32)
+        loc = np.zeros((2, 896, 16), np.float32)
+        loc[..., 2:4] = 12.0
+        pf = rng.normal(0, 5, (2, 16, 16, 3)).astype(np.float32)
+        pb = rng.normal(0, 5, (2, 8, 8, 3)).astype(np.float32)
+        uncapped = _jax_post(logits, loc, pf, pb, max_faces=896)
+        assert (uncapped["valid"].sum(1) > 100).all(), \
+            "construction must yield >100 mutually-surviving candidates"
+        native = NativePostprocess(ANCHORS, max_faces=100)
+        got = native(logits, loc, pf, pb)
+        want = _jax_post(logits, loc, pf, pb, max_faces=100)
+        assert all(len(r) == 100 for r in got)     # cap genuinely bit
+        _assert_matches_jax(got, want)             # identity AND order
+        # the capped output is exactly the uncapped greedy's first 100
+        np.testing.assert_array_equal(want["boxes"][:, :100],
+                                      uncapped["boxes"][:, :100])
+
     def test_layout_rejected(self):
         native = NativePostprocess(ANCHORS)
         with pytest.raises(ValueError, match="layout|\\(B, A"):
