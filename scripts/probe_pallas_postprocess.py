@@ -51,30 +51,49 @@ def main():
     img = np.asarray(golden["img"], np.uint8)[64:192, 64:192]
     gimg = jax.device_put(np.broadcast_to(img, (batch, *img.shape)).copy())
 
+    # build + compile both variants up front, then INTERLEAVE timing rounds
+    # (r5 hardening: a single sequential shot of this probe once measured
+    # pallas at 1.905 ms during a transient slow phase — 48% off the
+    # stable value the very next run; sequential A-then-B is exactly the
+    # methodology CLAUDE.md rejects for A/B conclusions)
+    rounds = 3
     report = {}
-    outs = {}
+    outs, fns = {}, {}
     for backend in ("xla", "pallas"):
         det = flagship_detector(precision="fast", postprocess=backend)
         args = (det.params, det.score_threshold, det.iou_threshold,
                 det.max_faces, det.precision, det.postprocess)
 
-        def run(images):
+        def run(images, det=det, args=args):
             return det._pipeline(args[0], images, *args[1:])
 
         t0 = time.time()
         jax.block_until_ready(jax.tree.leaves(run(bufs[0])))
         compile_s = time.time() - t0
         print(f"[{backend}] compile+first-run {compile_s:.0f} s", flush=True)
-
         outs[backend] = {k: np.asarray(v) for k, v in run(gimg).items()}
+        fns[backend] = run
+        report[backend] = {"compile_s": round(compile_s, 1)}
 
-        sec = sustained_seconds_per_dispatch(run, bufs, iters)
-        fps = batch / sec
-        report[backend] = {"frames_per_sec": round(fps, 1),
-                           "ms_per_dispatch": round(sec * 1e3, 3),
-                           "compile_s": round(compile_s, 1)}
-        print(f"[{backend}] {fps:,.0f} frames/s sustained "
-              f"({sec * 1e3:.3f} ms/dispatch, {iters} iters)", flush=True)
+    ms = {b: [] for b in fns}
+    for r in range(rounds):
+        for b, f in fns.items():
+            ms[b].append(sustained_seconds_per_dispatch(f, bufs, iters) * 1e3)
+        print(f"round {r}: " + "  ".join(f"{b}={ms[b][-1]:.3f}ms"
+                                         for b in ms), flush=True)
+    import statistics
+    for b in fns:
+        med = statistics.median(ms[b])
+        report[b].update({
+            "frames_per_sec": round(batch / (med / 1e3), 1),
+            "ms_per_dispatch": round(med, 3),
+            "per_round_ms": [round(x, 3) for x in ms[b]],
+        })
+        print(f"[{b}] {batch / (med / 1e3):,.0f} frames/s sustained "
+              f"(median {med:.3f} ms/dispatch over {rounds} interleaved "
+              f"{iters}-iter rounds)", flush=True)
+    report["paired_ratio_pallas_vs_xla"] = round(statistics.median(
+        [p / x for x, p in zip(ms["xla"], ms["pallas"])]), 3)
 
     worst = max(float(np.abs(outs["xla"][k].astype(np.float64) -
                              outs["pallas"][k].astype(np.float64)).max())
